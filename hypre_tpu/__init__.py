@@ -1,0 +1,34 @@
+"""hypre_tpu — a TPU-native sparse linear solver framework.
+
+A ground-up rebuild of the capabilities of hypre 2.20.0 (SX-Aurora/hypre-ve
+fork) designed for TPU hardware: JAX/XLA for the compute path, Pallas kernels
+for the hot ops, ``jax.sharding`` meshes + collectives instead of MPI, and
+host-side (numpy/scipy) setup producing static-shape device hierarchies.
+
+Layer map (mirrors reference layers, re-designed TPU-first):
+
+  utils/     -> reference utilities/ (L0): config, LCG RNG, timing, errors
+  ops/       -> reference seq_mv/ (L1): CSR/ELL containers, SpMV, BLAS1,
+                stencil kernels (the BoxLoop analog), host SpGEMM
+  parallel/  -> reference parcsr_mv/ (L2): mesh, partitions, halo plans,
+                sharded ParCSR matvec, psum dot products
+  models/    -> reference problem generators (par_laplace*.c, par_difconv.c)
+                and the IJ assembly interface (IJ_mv/)
+  solvers/   -> reference krylov/ (L4), parcsr_ls/ (L5: BoomerAMG, hybrid,
+                AMS...), struct_ls/ (PFMG/SMG)
+  struct/    -> reference struct_mv/ (L1s/L3): boxes, grids, stencils,
+                struct matrices/vectors
+
+Precision: hypre's default scalar is C double; we default to float64
+(enable via jax x64) with float32 available (the --enable-single analog).
+Set HYPRE_TPU_NO_X64=1 before import to leave JAX in 32-bit mode.
+"""
+
+import os as _os
+
+if not _os.environ.get("HYPRE_TPU_NO_X64"):
+    import jax as _jax
+
+    _jax.config.update("jax_enable_x64", True)
+
+__version__ = "0.1.0"

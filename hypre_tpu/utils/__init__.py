@@ -1,0 +1,4 @@
+from .lcg import HypreLCG, lcg_fill, lcg_skip
+from .config import Config, default_config, real_dtype, int_dtype
+from .errors import HypreError, ConvergenceWarning
+from .timing import Timer, timed, named_scope

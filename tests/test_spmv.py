@@ -1,0 +1,68 @@
+"""SpMV / ELL layout vs scipy (reference: seq_mv tests are driver-level;
+here we unit-test against scipy as the oracle)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from hypre_tpu.ops import CSRMatrix, ell_spmv
+from hypre_tpu.ops.spmv import ell_matvec, ell_spmv_multi
+
+
+def random_csr(n, m, density=0.05, seed=0):
+    rng = np.random.default_rng(seed)
+    M = sp.random(n, m, density=density, random_state=rng, format="csr")
+    M.data = rng.standard_normal(M.nnz)
+    return M
+
+
+@pytest.mark.parametrize("n,m", [(1, 1), (7, 7), (100, 100), (65, 130), (128, 64)])
+def test_ell_spmv_matches_scipy(n, m):
+    M = random_csr(n, m, density=0.2, seed=n + m)
+    A = CSRMatrix.from_scipy(M)
+    x = np.random.default_rng(1).standard_normal(m)
+    y = ell_spmv(A.to_ell(), jnp.asarray(x))[:n]
+    np.testing.assert_allclose(np.asarray(y), M @ x, rtol=1e-12)
+
+
+def test_empty_rows():
+    M = sp.csr_matrix((5, 5))
+    M[2, 3] = 4.0
+    A = CSRMatrix.from_scipy(M.tocsr())
+    x = np.arange(5.0)
+    y = ell_spmv(A.to_ell(), jnp.asarray(x))[:5]
+    np.testing.assert_allclose(np.asarray(y), M @ x)
+
+
+def test_matvec_alpha_beta():
+    M = random_csr(50, 50, seed=3)
+    A = CSRMatrix.from_scipy(M).to_ell()
+    rng = np.random.default_rng(2)
+    x, b = rng.standard_normal(50), rng.standard_normal(50)
+    y = ell_matvec(A, jnp.asarray(x), jnp.asarray(b), alpha=2.5, beta=-0.5)
+    np.testing.assert_allclose(np.asarray(y), 2.5 * (M @ x) - 0.5 * b, rtol=1e-12)
+
+
+def test_multivector():
+    M = random_csr(40, 30, seed=4)
+    A = CSRMatrix.from_scipy(M).to_ell()
+    X = np.random.default_rng(5).standard_normal((30, 3))
+    Y = ell_spmv_multi(A, jnp.asarray(X))
+    np.testing.assert_allclose(np.asarray(Y), M @ X, rtol=1e-12)
+
+
+def test_ell_jit_and_tree():
+    # ELLMatrix must be a pytree usable as a jit argument.
+    M = random_csr(20, 20, seed=6)
+    A = CSRMatrix.from_scipy(M).to_ell()
+    f = jax.jit(lambda A, x: ell_spmv(A, x)[:20])
+    x = jnp.ones(20, dtype=A.data.dtype)
+    np.testing.assert_allclose(np.asarray(f(A, x)), M @ np.ones(20), rtol=1e-12)
+
+
+def test_roundtrip_coo():
+    A = CSRMatrix.from_coo([0, 1, 1], [1, 0, 0], [1.0, 2.0, 3.0], (2, 2))
+    # duplicates summed like IJ AddToValues
+    assert A.to_scipy()[1, 0] == 5.0
