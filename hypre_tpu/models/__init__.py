@@ -1,0 +1,8 @@
+from .laplacian import (
+    laplacian_7pt,
+    laplacian_9pt,
+    laplacian_27pt,
+    difconv_7pt,
+    laplacian_5pt_2d,
+)
+from .ij import IJMatrix, IJVector

@@ -1,0 +1,174 @@
+"""Problem generators — the reference's "model zoo".
+
+Reference analog: parcsr_ls/par_laplace.c (GenerateLaplacian),
+par_laplace_9pt.c, par_laplace_27pt.c, par_difconv.c, with the driver
+stencil-value conventions of test/ij.c:7799-7814 (7-pt), :8885-8898
+(9-pt), :9011-9016 (27-pt), :8216-8343 (difconv upwind variants).
+
+Grid indexing is hypre's: ix fastest, global row = ix + nx*(iy + ny*iz).
+Homogeneous Dirichlet: out-of-grid neighbors are dropped, diagonal is NOT
+adjusted (matches GenerateLaplacian — interior-point stencil everywhere).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import scipy.sparse as sp
+
+from ..ops.csr import CSRMatrix
+
+
+def _stencil_matrix(nx, ny, nz, offsets, values) -> CSRMatrix:
+    """Assemble sum of shifted diagonals for offsets (dx,dy,dz)->value."""
+    n = nx * ny * nz
+    ix, iy, iz = np.meshgrid(
+        np.arange(nx), np.arange(ny), np.arange(nz), indexing="ij"
+    )
+    # hypre ordering: ix fastest
+    gid = (ix + nx * (iy + ny * iz)).ravel(order="F")
+    ixf = ix.ravel(order="F")
+    iyf = iy.ravel(order="F")
+    izf = iz.ravel(order="F")
+
+    rows_list, cols_list, vals_list = [], [], []
+    for (dx, dy, dz), v in zip(offsets, values):
+        if v == 0.0:
+            continue
+        jx, jy, jz = ixf + dx, iyf + dy, izf + dz
+        ok = (
+            (jx >= 0) & (jx < nx) & (jy >= 0) & (jy < ny) & (jz >= 0) & (jz < nz)
+        )
+        rows_list.append(gid[ok])
+        cols_list.append(jx[ok] + nx * (jy[ok] + ny * jz[ok]))
+        vals_list.append(np.full(ok.sum(), v))
+    M = sp.coo_matrix(
+        (
+            np.concatenate(vals_list),
+            (np.concatenate(rows_list), np.concatenate(cols_list)),
+        ),
+        shape=(n, n),
+    ).tocsr()
+    M.sum_duplicates()
+    M.sort_indices()
+    return CSRMatrix.from_scipy(M)
+
+
+def laplacian_7pt(nx, ny=1, nz=1, cx=1.0, cy=1.0, cz=1.0) -> CSRMatrix:
+    """3D 7-point Laplacian (ij.c:7799-7814 values + GenerateLaplacian)."""
+    diag = 0.0
+    if nx > 1:
+        diag += 2.0 * cx
+    if ny > 1:
+        diag += 2.0 * cy
+    if nz > 1:
+        diag += 2.0 * cz
+    offsets = [
+        (0, 0, 0),
+        (-1, 0, 0),
+        (1, 0, 0),
+        (0, -1, 0),
+        (0, 1, 0),
+        (0, 0, -1),
+        (0, 0, 1),
+    ]
+    values = [diag, -cx, -cx, -cy, -cy, -cz, -cz]
+    return _stencil_matrix(nx, ny, nz, offsets, values)
+
+
+def laplacian_5pt_2d(nx, ny, c=1.0) -> CSRMatrix:
+    """2D 5-point Laplacian (the ex5 problem, unscaled: diag 4, offd -1)."""
+    return laplacian_7pt(nx, ny, 1, cx=c, cy=c, cz=0.0)
+
+
+def laplacian_9pt(nx, ny) -> CSRMatrix:
+    """2D 9-point Laplacian (ij.c:8885-8898: diag 8, all 8 neighbors -1)."""
+    diag = 0.0
+    if nx > 1:
+        diag += 2.0
+    if ny > 1:
+        diag += 2.0
+    if nx > 1 and ny > 1:
+        diag += 4.0
+    offsets = [(0, 0, 0)] + [
+        (dx, dy, 0) for dx in (-1, 0, 1) for dy in (-1, 0, 1) if (dx, dy) != (0, 0)
+    ]
+    values = [diag] + [-1.0] * 8
+    return _stencil_matrix(nx, ny, 1, offsets, values)
+
+
+def laplacian_27pt(nx, ny, nz) -> CSRMatrix:
+    """3D 27-point Laplacian (ij.c:9011-9016: diag 26, neighbors -1)."""
+    ndim_gt1 = (nx > 1) + (ny > 1) + (nz > 1)
+    diag = {3: 26.0, 2: 8.0}.get(ndim_gt1, 2.0)
+    offsets = [(0, 0, 0)] + [
+        (dx, dy, dz)
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+        for dz in (-1, 0, 1)
+        if (dx, dy, dz) != (0, 0, 0)
+    ]
+    values = [diag] + [-1.0] * 26
+    return _stencil_matrix(nx, ny, nz, offsets, values)
+
+
+def difconv_7pt(
+    nx,
+    ny=1,
+    nz=1,
+    cx=1.0,
+    cy=1.0,
+    cz=1.0,
+    ax=1.0,
+    ay=1.0,
+    az=1.0,
+    atype=0,
+) -> CSRMatrix:
+    """7-pt convection-diffusion (ij.c BuildParDifConv :8205-8343).
+
+    atype 0: forward scheme (a/h on the plus-side neighbor)
+    atype 1: backward scheme
+    atype 2: upwind per sign of a (here: backward, matching a>0)
+    atype 3: centered differences
+    h = 1/(nx+1) etc. per driver hinx convention.
+    """
+    hx, hy, hz = 1.0 / (nx + 1), 1.0 / (ny + 1), 1.0 / (nz + 1)
+    cx2, cy2, cz2 = cx / hx**2, cy / hy**2, cz / hz**2
+    diag = 0.0
+    if atype == 0:
+        w, s, d = -cx2, -cy2, -cz2
+        e, n_, u = -cx2 + ax / hx, -cy2 + ay / hy, -cz2 + az / hz
+        if nx > 1:
+            diag += 2.0 * cx2 - ax / hx
+        if ny > 1:
+            diag += 2.0 * cy2 - ay / hy
+        if nz > 1:
+            diag += 2.0 * cz2 - az / hz
+    elif atype in (1, 2):
+        w, s, d = -cx2 - ax / hx, -cy2 - ay / hy, -cz2 - az / hz
+        e, n_, u = -cx2, -cy2, -cz2
+        if nx > 1:
+            diag += 2.0 * cx2 + ax / hx
+        if ny > 1:
+            diag += 2.0 * cy2 + ay / hy
+        if nz > 1:
+            diag += 2.0 * cz2 + az / hz
+    else:  # centered
+        w, s, d = -cx2 - ax / (2 * hx), -cy2 - ay / (2 * hy), -cz2 - az / (2 * hz)
+        e, n_, u = -cx2 + ax / (2 * hx), -cy2 + ay / (2 * hy), -cz2 + az / (2 * hz)
+        if nx > 1:
+            diag += 2.0 * cx2
+        if ny > 1:
+            diag += 2.0 * cy2
+        if nz > 1:
+            diag += 2.0 * cz2
+    offsets = [
+        (0, 0, 0),
+        (-1, 0, 0),
+        (1, 0, 0),
+        (0, -1, 0),
+        (0, 1, 0),
+        (0, 0, -1),
+        (0, 0, 1),
+    ]
+    values = [diag, w, e, s, n_, d, u]
+    return _stencil_matrix(nx, ny, nz, offsets, values)
