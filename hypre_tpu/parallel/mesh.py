@@ -1,0 +1,28 @@
+"""Device mesh helpers (the MPI communicator analog).
+
+The reference's inter-process world is an MPI communicator over which
+matrices are row-partitioned (SURVEY §2.14).  Here it is a 1-D
+jax.sharding.Mesh whose single axis plays the role of ranks; collectives
+ride ICI (psum for dots, ppermute for halos).
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+
+AXIS = "shard"
+
+
+def make_mesh(n_devices: int | None = None, axis: str = AXIS) -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    if n > len(devs):
+        raise ValueError(f"requested {n} devices, have {len(devs)}")
+    return Mesh(np.array(devs[:n]), (axis,))
+
+
+def default_mesh() -> Mesh:
+    return make_mesh()

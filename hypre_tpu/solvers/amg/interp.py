@@ -1,0 +1,326 @@
+"""Interpolation operators P.
+
+Reference: parcsr_ls/par_interp.c (classical modified, direct),
+par_lr_interp.c (extended+i), truncation via
+hypre_ParCSRMatrixTruncate (par_csr_matrix.c:2671: inf-norm drop
+tol*max|row|, cap to max_elmts largest-|.|, rescale to preserve row sum).
+
+Formulas (hypre par_interp.c:631-906, modified classical):
+  for F-point i with strong-C set C_i, strong-F set Fs_i (CF == -1 only):
+    w_j   = a_ij                                    j in C_i
+    for k in Fs_i:  sgn = sign(a_kk)
+       sum_k = sum_{m in C_i, sgn*a_km < 0} a_km
+       if sum_k != 0:  w_m += a_ik * a_km / sum_k   (same m filter)
+       else:           d_i += a_ik                  (lump to diagonal)
+    d_i   = a_ii + sum_{weak k != i} a_ik
+    P_ij  = -w_j / d_i
+
+Vectorization: the triple loop (i, k, m) is two sparse matmuls —
+pair sums  = (sign-filtered A) @ C-mask^T  evaluated on strong-F edges,
+distribute = (edge/sums) @ (sign-filtered A)  masked to the C pattern.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import scipy.sparse as sp
+
+from .coarsen import C_PT, F_PT
+
+
+def _split(A: sp.csr_matrix):
+    n = A.shape[0]
+    rows = np.repeat(np.arange(n), np.diff(A.indptr))
+    return n, rows, A.indices, A.data
+
+
+def _coo(vals, rows, cols, shape):
+    M = sp.coo_matrix((vals, (rows, cols)), shape=shape).tocsr()
+    M.sum_duplicates()
+    return M
+
+
+def classical_interp(
+    A: sp.csr_matrix, S: sp.csr_matrix, cf: np.ndarray
+) -> sp.csr_matrix:
+    """Modified classical interpolation (hypre interp_type 0)."""
+    n, rows, cols, data = _split(A)
+    diag = A.diagonal()
+    is_c = cf > 0
+    cmap = np.cumsum(is_c) - 1  # fine -> coarse index
+    nc = int(is_c.sum())
+
+    # strong pattern as boolean lookup (S has no diagonal)
+    Sbool = S.astype(bool)
+    strong_edge = np.asarray(Sbool[rows, cols]).ravel() if A.nnz else np.zeros(0, bool)
+    # fast path: mark strong pairs via set membership on (row,col) keys
+    strong_pairs = _pattern_mask(A, S)
+
+    offdiag = cols != rows
+    strongC = strong_pairs & is_c[cols]
+    strongF = strong_pairs & (cf[cols] == F_PT)
+    weak = offdiag & ~strongC & ~strongF
+
+    f_rows = ~is_c
+
+    # --- sign-filtered A for the distribution: keep a_km with sgn_k*a_km<0
+    sgn = np.where(diag < 0, -1.0, 1.0)
+    keep = (sgn[rows] * data) < 0
+    Aneg = _coo(np.where(keep, data, 0.0), rows, cols, (n, n))
+
+    # --- C-mask: Pmask[i, m] = 1 iff m strong-C neighbor of i
+    Pmask = _coo(
+        np.ones(int(strongC.sum())), rows[strongC], cols[strongC], (n, n)
+    )
+
+    # --- pair sums over strong-F edges: sum_ik = (Aneg @ Pmask^T)[k, i]
+    # computed as T = Pmask @ Aneg^T  =>  T[i, k] = sum_m Pmask[i,m] Aneg[k,m]
+    T = (Pmask @ Aneg.T).tocsr()
+
+    e_i, e_k = rows[strongF], cols[strongF]
+    e_a = data[strongF]
+    sums = np.asarray(T[e_i, e_k]).ravel() if e_i.size else np.zeros(0)
+
+    lump = sums == 0.0
+    # D[i,k] = a_ik / sum_ik on non-lumped strong-F edges
+    D = _coo(
+        np.where(lump, 0.0, e_a / np.where(lump, 1.0, sums)),
+        e_i,
+        e_k,
+        (n, n),
+    )
+    # distributed contributions, masked to the strong-C pattern of each row
+    W2 = (D @ Aneg).tocsr()
+    W2 = W2.multiply(Pmask)  # keep only m in C_i
+
+    # --- accumulate w and diagonal
+    Wdirect = _coo(np.where(strongC, data, 0.0), rows, cols, (n, n))
+    W = (Wdirect + W2).tocsr()
+
+    d = diag.copy()
+    np.add.at(d, rows[weak], data[weak])
+    lump_add = np.zeros(n)
+    np.add.at(lump_add, e_i[lump], e_a[lump])
+    d += lump_add
+
+    # --- P rows: F rows = -W/d restricted to C cols; C rows = identity
+    W = W.tocoo()
+    keep_f = f_rows[W.row] & is_c[W.col] & (W.data != 0)
+    p_rows = W.row[keep_f]
+    p_cols = cmap[W.col[keep_f]]
+    p_vals = -W.data[keep_f] / d[W.row[keep_f]]
+
+    c_idx = np.flatnonzero(is_c)
+    P = _coo(
+        np.concatenate([p_vals, np.ones(nc)]),
+        np.concatenate([p_rows, c_idx]),
+        np.concatenate([p_cols, cmap[c_idx]]),
+        (n, nc),
+    )
+    P.sort_indices()
+    return P
+
+
+def direct_interp(
+    A: sp.csr_matrix, S: sp.csr_matrix, cf: np.ndarray
+) -> sp.csr_matrix:
+    """Direct interpolation (hypre interp_type 3, par_interp.c:1474-1700):
+    P_ij = -alfa * a_ij / a_ii  (a_ij < 0),  -beta * a_ij / a_ii (a_ij > 0)
+    alfa = sum_all-neg / sum_strongC-neg, beta likewise for positive."""
+    n, rows, cols, data = _split(A)
+    diag = A.diagonal()
+    is_c = cf > 0
+    cmap = np.cumsum(is_c) - 1
+    nc = int(is_c.sum())
+    strong_pairs = _pattern_mask(A, S)
+    strongC = strong_pairs & is_c[cols]
+    offdiag = cols != rows
+
+    neg = data < 0
+    pos = (data > 0) & offdiag
+
+    sum_N_neg = np.zeros(n)
+    sum_N_pos = np.zeros(n)
+    sum_P_neg = np.zeros(n)
+    sum_P_pos = np.zeros(n)
+    np.add.at(sum_N_neg, rows[neg & offdiag], data[neg & offdiag])
+    np.add.at(sum_N_pos, rows[pos], data[pos])
+    np.add.at(sum_P_neg, rows[strongC & neg], data[strongC & neg])
+    np.add.at(sum_P_pos, rows[strongC & pos], data[strongC & pos])
+
+    alfa = np.divide(sum_N_neg, sum_P_neg, out=np.zeros(n), where=sum_P_neg != 0)
+    beta = np.divide(sum_N_pos, sum_P_pos, out=np.zeros(n), where=sum_P_pos != 0)
+
+    coef = np.where(data < 0, alfa[rows], beta[rows])
+    sel = strongC & ~is_c[rows]
+    p_vals = -coef[sel] * data[sel] / diag[rows[sel]]
+
+    c_idx = np.flatnonzero(is_c)
+    P = _coo(
+        np.concatenate([p_vals, np.ones(nc)]),
+        np.concatenate([rows[sel], c_idx]),
+        np.concatenate([cmap[cols[sel]], cmap[c_idx]]),
+        (n, nc),
+    )
+    P.sort_indices()
+    return P
+
+
+def extended_i_interp(
+    A: sp.csr_matrix, S: sp.csr_matrix, cf: np.ndarray
+) -> sp.csr_matrix:
+    """Extended+i interpolation (hypre interp_type 6, the default).
+
+    Reference: par_lr_interp.c hypre_BoomerAMGBuildExtPIInterpHost
+    (:1041-1860).  For F-point i with distance-2 coarse set
+    C_i^ext = strongC(i) u strongC(strongF(i)):
+      w_j   += a_ij                      for A-entries j in C_i^ext
+      for strong-F neighbors k (cf == -1), sgn = sign(a_kk):
+        sum_k = sum_{m != k, sgn*a_km<0, m in C_i^ext or m == i} a_km
+        if sum_k != 0:
+           w_m += (a_ik/sum_k) a_km      (same filter, m in C_i^ext)
+           d_i += (a_ik/sum_k) a_ki'     (the m == i term — the "+i")
+        else: d_i += a_ik
+      d_i   += a_ik for weak k with cf[k] != -3 (SF neighbors skipped!)
+      P_ij  = -w_j / d_i
+    """
+    n, rows, cols, data = _split(A)
+    diag = A.diagonal()
+    is_c = cf >= 0
+    cmap = np.cumsum(is_c) - 1
+    nc = int(is_c.sum())
+
+    strong_pairs = _pattern_mask(A, S)
+    # S split by neighbor type (pattern matrices)
+    s_rows = np.repeat(np.arange(n), np.diff(S.indptr))
+    s_cols = S.indices
+    SC = _coo(
+        np.ones(int(is_c[s_cols].sum())),
+        s_rows[is_c[s_cols]],
+        s_cols[is_c[s_cols]],
+        (n, n),
+    )
+    sf_sel = cf[s_cols] == F_PT
+    SF = _coo(np.ones(int(sf_sel.sum())), s_rows[sf_sel], s_cols[sf_sel], (n, n))
+
+    # distance-2 C pattern
+    Pmask = ((SC + SF @ SC) > 0).astype(np.float64).tocsr()
+
+    in_ext = _pattern_mask(A, Pmask)  # per-A-entry membership in C_i^ext
+    offdiag = cols != rows
+    strongF = strong_pairs & (cf[cols] == F_PT)
+
+    # sign-filtered A, diagonal excluded (loops start past the diagonal)
+    sgn = np.where(diag < 0, -1.0, 1.0)
+    keep = ((sgn[rows] * data) < 0) & offdiag
+    Asgn = _coo(np.where(keep, data, 0.0), rows, cols, (n, n))
+
+    # pair sums on strong-F edges: T[i,k] = sum_{m in C_i^ext} Asgn[k,m]
+    T = (Pmask @ Asgn.T).tocsr()
+    e_i, e_k = rows[strongF], cols[strongF]
+    e_a = data[strongF]
+    if e_i.size:
+        sums = np.asarray(T[e_i, e_k]).ravel()
+        sums = sums + np.asarray(Asgn[e_k, e_i]).ravel()  # the "+i" term
+    else:
+        sums = np.zeros(0)
+
+    lump = sums == 0.0
+    D = _coo(
+        np.where(lump, 0.0, e_a / np.where(lump, 1.0, sums)), e_i, e_k, (n, n)
+    )
+    DA = (D @ Asgn).tocsr()
+    W2 = DA.multiply(Pmask)
+
+    # diagonal: a_ii + distributed a_ki terms + lumped + weak (non-SF)
+    d = diag.copy()
+    d += DA.diagonal()  # sum_k D[i,k] Asgn[k,i]
+    lump_add = np.zeros(n)
+    np.add.at(lump_add, e_i[lump], e_a[lump])
+    d += lump_add
+    weak = offdiag & ~in_ext & ~strongF & (cf[cols] != -3)
+    np.add.at(d, rows[weak], data[weak])
+
+    Wdirect = _coo(np.where(in_ext & offdiag, data, 0.0), rows, cols, (n, n))
+    W = (Wdirect + W2).tocoo()
+
+    keep_f = (~is_c[W.row]) & (cf[W.row] != -3) & is_c[W.col] & (W.data != 0)
+    p_rows = W.row[keep_f]
+    p_cols = cmap[W.col[keep_f]]
+    dsafe = np.where(d == 0, 1.0, d)
+    p_vals = -W.data[keep_f] / dsafe[W.row[keep_f]]
+
+    c_idx = np.flatnonzero(is_c)
+    P = _coo(
+        np.concatenate([p_vals, np.ones(nc)]),
+        np.concatenate([p_rows, c_idx]),
+        np.concatenate([p_cols, cmap[c_idx]]),
+        (n, nc),
+    )
+    P.sort_indices()
+    return P
+
+
+def truncate_interp(
+    P: sp.csr_matrix, trunc_factor: float = 0.0, max_elmts: int = 0
+) -> sp.csr_matrix:
+    """hypre_ParCSRMatrixTruncate semantics (rescale=1, inf-norm):
+    phase 1 drops |v| < tol * max|row| (rescale to preserve row sum),
+    phase 2 keeps the max_elmts largest-|.| (rescale again).  Vectorized."""
+    if trunc_factor <= 0.0 and max_elmts == 0:
+        return P
+    P = P.tocsr()
+    n = P.shape[0]
+    rows = np.repeat(np.arange(n), np.diff(P.indptr))
+    cols, vals = P.indices.copy(), P.data.copy()
+
+    if trunc_factor > 0 and vals.size:
+        rowmax = np.zeros(n)
+        np.maximum.at(rowmax, rows, np.abs(vals))
+        keep = np.abs(vals) >= trunc_factor * rowmax[rows]
+        rows, cols, vals = _rescale_rows(rows, cols, vals, keep, n)
+
+    if max_elmts > 0 and vals.size:
+        # rank entries within each row by descending |v| (stable)
+        order = np.lexsort((-np.abs(vals), rows))
+        r_s = rows[order]
+        first = np.zeros(len(r_s), dtype=np.int64)
+        new_row = np.empty(len(r_s), dtype=bool)
+        new_row[0] = True
+        new_row[1:] = r_s[1:] != r_s[:-1]
+        pos = np.arange(len(r_s))
+        row_start = np.maximum.accumulate(np.where(new_row, pos, 0))
+        rank = pos - row_start
+        keep_sorted = rank < max_elmts
+        keep = np.zeros(len(r_s), dtype=bool)
+        keep[order] = keep_sorted
+        rows, cols, vals = _rescale_rows(rows, cols, vals, keep, n)
+
+    return _coo(vals, rows, cols, P.shape)
+
+
+def _rescale_rows(rows, cols, vals, keep, n):
+    """Drop ~keep entries; scale kept so each row sum is preserved."""
+    row_sum = np.zeros(n)
+    np.add.at(row_sum, rows, vals)
+    kept_sum = np.zeros(n)
+    np.add.at(kept_sum, rows[keep], vals[keep])
+    scale = np.where(kept_sum != 0, row_sum / np.where(kept_sum == 0, 1, kept_sum), 1.0)
+    rows2, cols2 = rows[keep], cols[keep]
+    vals2 = vals[keep] * scale[rows2]
+    return rows2, cols2, vals2
+
+
+def _pattern_mask(A: sp.csr_matrix, S: sp.csr_matrix) -> np.ndarray:
+    """Boolean per-A-entry mask: True where (row, col) is in S's pattern."""
+    if A.nnz == 0:
+        return np.zeros(0, dtype=bool)
+    n = A.shape[0]
+    rows_a = np.repeat(np.arange(n), np.diff(A.indptr))
+    key_a = rows_a.astype(np.int64) * n + A.indices
+    rows_s = np.repeat(np.arange(n), np.diff(S.indptr))
+    key_s = rows_s.astype(np.int64) * n + S.indices
+    key_s_sorted = np.sort(key_s)
+    pos = np.searchsorted(key_s_sorted, key_a)
+    pos = np.clip(pos, 0, len(key_s_sorted) - 1)
+    return (len(key_s_sorted) > 0) & (key_s_sorted[pos] == key_a)

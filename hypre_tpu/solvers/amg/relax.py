@@ -1,0 +1,249 @@
+"""Smoothers (device, jittable).
+
+Reference: parcsr_ls/par_relax.c hypre_BoomerAMGRelax (:109-137 dispatch):
+  0   weighted Jacobi (CF variant = relax_points +-1)
+  7   Jacobi via matvec
+  3/4 hybrid forward/backward SOR-GS     (np=1, 1 thread -> true GS)
+  6   hybrid symmetric SSOR-GS
+  13/14 L1-GS forward/backward           (np=1, 1 thread -> GS with the
+        option-4 l1 norm, which degenerates to |a_ii|, ams.c:569-660)
+  18  L1-Jacobi
+  16  Chebyshev (par_cheby.c)
+
+TPU design: Jacobi-family smoothers are single fused SpMV+axpy kernels.
+Gauss-Seidel is inherently sequential; following the VE fork's
+level-scheduled substitution (par_relax.c:472-560: levels of the
+triangular dependency DAG, ASL-sorted), we precompute wavefront levels
+host-side and run one lax.scan step per level — each level is a batched
+gather/updatee with static shapes.  This gives bit-faithful sequential-GS
+math (iteration-count parity with np=1 hypre) at the cost of O(#levels)
+kernel steps; for large grids prefer l1-Jacobi/Chebyshev (hypre's own
+guidance for massive parallelism).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...ops.csr import CSRMatrix, ELLMatrix
+from ...ops.spmv import ell_spmv
+
+
+# ---------------------------------------------------------------------------
+# Jacobi family
+# ---------------------------------------------------------------------------
+
+def jacobi(A: ELLMatrix, dinv, u, f, weight=1.0):
+    """u += weight * D^{-1} (f - A u)   (par_relax.c case 0, all points)."""
+    with jax.named_scope("RELAX"):
+        r = f - ell_spmv(A, u)[: A.num_rows]
+        return u + weight * dinv * r
+
+
+def jacobi_cf(A: ELLMatrix, dinv, u, f, mask, weight=1.0):
+    """CF-Jacobi: update only rows where mask (C then F gives CF-GS)."""
+    with jax.named_scope("RELAX"):
+        r = f - ell_spmv(A, u)[: A.num_rows]
+        return jnp.where(mask, u + weight * dinv * r, u)
+
+
+def l1_jacobi(A: ELLMatrix, l1inv, u, f, weight=1.0):
+    """relax 18: u += (f - A u) / l1   (par_relax.c:3492 family)."""
+    return jacobi(A, l1inv, u, f, weight)
+
+
+# ---------------------------------------------------------------------------
+# Level-scheduled Gauss-Seidel
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class GSSchedule:
+    """Wavefront schedule: rows grouped into dependency levels.
+
+    rows[l, k] = row index of k-th row in level l, or n (sentinel pad).
+    The gathered ELL slabs (acols/adata) are prefetched per level so the
+    scan step is gather(u) -> reduce -> scatter(u).
+    """
+
+    rows: jax.Array  # int32 [L, W]
+    acols: jax.Array  # int32 [L, W, width]
+    adata: jax.Array  # real [L, W, width]
+    dinv: jax.Array  # real [L, W]   (1/divisor, 0 at pads)
+    n: int = dataclasses.field(metadata=dict(static=True))
+
+
+def build_gs_schedule(
+    A: CSRMatrix, forward: bool = True, divisor: np.ndarray | None = None
+) -> GSSchedule:
+    """Host: compute wavefront levels of the (lower/upper) triangular
+    dependency DAG (the par_relax.c:472-560 analog) and pack per-level
+    ELL slabs."""
+    n = A.num_rows
+    indptr, indices = A.indptr, A.indices
+    level = np.zeros(n, dtype=np.int64)
+    order = range(n) if forward else range(n - 1, -1, -1)
+    for i in order:
+        cols = indices[indptr[i] : indptr[i + 1]]
+        deps = cols[cols < i] if forward else cols[cols > i]
+        if deps.size:
+            level[i] = level[deps].max() + 1
+
+    nlev = int(level.max()) + 1 if n else 1
+    buckets = [np.flatnonzero(level == l) for l in range(nlev)]
+    W = max(len(b) for b in buckets)
+
+    E = A.to_ell()
+    cols_h = np.asarray(E.cols)
+    data_h = np.asarray(E.data)
+    width = E.width
+
+    rows = np.full((nlev, W), n, dtype=np.int32)
+    acols = np.zeros((nlev, W, width), dtype=np.int32)
+    adata = np.zeros((nlev, W, width), dtype=data_h.dtype)
+    div = divisor if divisor is not None else A.diagonal()
+    dinv = np.zeros((nlev, W), dtype=data_h.dtype)
+    for l, b in enumerate(buckets):
+        rows[l, : len(b)] = b
+        acols[l, : len(b)] = cols_h[b]
+        adata[l, : len(b)] = data_h[b]
+        dinv[l, : len(b)] = np.where(div[b] != 0, 1.0 / np.where(div[b] == 0, 1, div[b]), 0.0)
+
+    return GSSchedule(
+        rows=jnp.asarray(rows),
+        acols=jnp.asarray(acols),
+        adata=jnp.asarray(adata),
+        dinv=jnp.asarray(dinv),
+        n=n,
+    )
+
+
+def gauss_seidel(sched: GSSchedule, u, f, weight=1.0):
+    """One sweep in the schedule's direction; exact sequential-GS math."""
+    n = sched.n
+    u_ext = jnp.concatenate([u, jnp.zeros(1, u.dtype)])
+    f_ext = jnp.concatenate([f, jnp.zeros(1, f.dtype)])
+
+    def step(u_ext, slab):
+        rows, acols, adata, dinv = slab
+        r = f_ext[rows] - jnp.sum(adata * u_ext[acols], axis=-1)
+        u_ext = u_ext.at[rows].add(weight * dinv * r)
+        return u_ext, None
+
+    with jax.named_scope("RELAX"):
+        u_ext, _ = jax.lax.scan(
+            step, u_ext, (sched.rows, sched.acols, sched.adata, sched.dinv)
+        )
+    return u_ext[:n]
+
+
+# ---------------------------------------------------------------------------
+# Chebyshev (relax 16)
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ChebyData:
+    coefs: jax.Array  # [order+1]
+    dsqrtinv: jax.Array  # D^{-1/2} (scaled variant)
+    order: int = dataclasses.field(metadata=dict(static=True))
+
+
+def cheby_setup(
+    A: CSRMatrix,
+    order: int = 2,
+    ratio: float = 0.3,
+    max_eig: float | None = None,
+) -> ChebyData:
+    """Coefficients of the scaled Chebyshev smoother (par_cheby.c:35-200).
+
+    Mirrors hypre_ParCSRRelax_Cheby_Setup: operate on D^{-1/2} A D^{-1/2},
+    eig upper bound from a CG/Lanczos estimate (here: a few power/Lanczos
+    steps on the scaled operator), lower = ratio * upper, and expand the
+    shifted Chebyshev polynomial into monomial coefficients.
+    """
+    import scipy.sparse.linalg as spla
+
+    diag = A.diagonal()
+    dsqrtinv = 1.0 / np.sqrt(np.abs(diag))
+    M = A.to_scipy()
+    n = A.num_rows
+    if max_eig is None:
+        Ds = np.asarray(dsqrtinv)
+        scaled = lambda x: Ds * (M @ (Ds * x))
+        op = spla.LinearOperator((n, n), matvec=scaled, dtype=np.float64)
+        if n > 2:
+            try:
+                max_eig = float(
+                    spla.eigsh(op, k=1, which="LA", return_eigenvectors=False, maxiter=50, tol=1e-2)[0]
+                )
+            except Exception:
+                max_eig = _power_iter(scaled, n)
+        else:
+            max_eig = _power_iter(scaled, n)
+        max_eig *= 1.1  # hypre pads the CG estimate similarly (scale factor)
+
+    upper, lower = max_eig, ratio * max_eig
+    theta = (upper + lower) / 2
+    delta = (upper - lower) / 2
+
+    # monomial coefficients of the order-k Chebyshev acceleration of
+    # I - p(A)A (hypre expands these explicitly for order <= 4)
+    order = min(max(order, 1), 4)
+    coefs = _cheby_monomial_coefs(order, theta, delta)
+    return ChebyData(
+        coefs=jnp.asarray(coefs),
+        dsqrtinv=jnp.asarray(dsqrtinv),
+        order=order,
+    )
+
+
+def _power_iter(mv, n, iters=30, seed=0):
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal(n)
+    lam = 1.0
+    for _ in range(iters):
+        y = mv(x)
+        lam = np.linalg.norm(y)
+        if lam == 0:
+            return 1.0
+        x = y / lam
+    return float(lam)
+
+
+def _cheby_monomial_coefs(order, theta, delta):
+    """Expand the Chebyshev smoothing polynomial into monomials
+    (the closed forms hypre hardcodes in par_cheby.c for orders 1..4)."""
+    # p(t) such that smoothing operator is p(A); from par_cheby.c:
+    # uses del = delta, the expansions below replicate its coefficients.
+    d = delta
+    t = theta
+    if order == 1:
+        return np.array([1.0 / t])
+    if order == 2:
+        den = t * t - d * d / 2
+        return np.array([2 * t, -1.0]) / den  # p(x) = (2t - x)/den
+    if order == 3:
+        den = t * (t * t - 3 * d * d / 4)
+        return np.array([3 * t * t - 3 * d * d / 4, -3 * t, 1.0]) / den
+    # order 4
+    den = (t * t) * (t * t - 3 * d * d / 2) + 3 * d**4 / 8
+    return np.array(
+        [4 * t * (t * t - d * d), -(6 * t * t - 3 * d * d / 2), 4 * t, -1.0]
+    ) / den
+
+
+def chebyshev(A: ELLMatrix, cd: ChebyData, u, f):
+    """u += D^{-1/2} p(As) D^{-1/2} r with As = D^{-1/2} A D^{-1/2}."""
+    with jax.named_scope("RELAX"):
+        ds = cd.dsqrtinv
+        r = ds * (f - ell_spmv(A, u)[: A.num_rows])
+        # Horner on the scaled operator
+        acc = cd.coefs[cd.order - 1] * r
+        for k in range(cd.order - 2, -1, -1):
+            acc = cd.coefs[k] * r + ds * ell_spmv(A, ds * acc)[: A.num_rows]
+        return u + ds * acc

@@ -8,7 +8,9 @@ behavior with multi-rank MPI on one box (SURVEY §4.2).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU regardless of ambient JAX_PLATFORMS (e.g. a TPU tunnel):
+# tests validate math + sharding, the benchmark exercises the TPU.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,4 +19,8 @@ if "host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# jax may already be imported by a pytest plugin, so the env var alone is
+# not enough — set the config directly (backend is not yet initialized).
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", True)
