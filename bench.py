@@ -1,0 +1,134 @@
+#!/usr/bin/env python
+"""North-star benchmark: BoomerAMG-PCG on the 3D 7-pt Poisson problem.
+
+Prints ONE JSON line:
+  {"metric": "amg_pcg_dofs_per_sec", "value": N, "unit": "DOF/s",
+   "vs_baseline": N/target, ...extras}
+
+The reference publishes no numbers (BASELINE.md); the target used for
+vs_baseline is the BASELINE.json-derived model: SpMV at 70% of HBM
+roofline feeding ~2.05x-operator-complexity V-cycles + CG overhead.
+Extras include SpMV GB/s, setup seconds, iteration count, convergence.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=96, help="grid edge (size^3 DOFs)")
+    ap.add_argument("--dtype", default="float64", choices=["float32", "float64"])
+    ap.add_argument("--tol", type=float, default=1e-8)
+    ap.add_argument("--repeats", type=int, default=3)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    import hypre_tpu  # noqa: F401  (enables x64)
+    from hypre_tpu.models import laplacian_7pt
+    from hypre_tpu.ops.spmv import ell_spmv
+    from hypre_tpu.solvers.amg import BoomerAMG, BoomerAMGOptions
+    from hypre_tpu.solvers.krylov import PCGOptions, pcg
+
+    dt = np.dtype(args.dtype)
+    nx = args.size
+    n = nx**3
+
+    # ---- problem + setup -------------------------------------------------
+    t0 = time.perf_counter()
+    A = laplacian_7pt(nx, nx, nx)
+    gen_time = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    amg = BoomerAMG(
+        A,
+        BoomerAMGOptions(
+            coarsen_type="pmis",
+            interp_type="ext+i",
+            P_max_elmts=4,  # hypre production default keeps coarse ops sparse
+            trunc_factor=0.0,
+            relax_down=18,  # l1-Jacobi: hypre's parallel-recommended smoother
+            relax_up=18,
+        ),
+    )
+    setup_time = time.perf_counter() - t0
+
+    E = A.to_ell(dtype=dt) if dt == np.float32 else amg.levels[0].A
+    b = jnp.asarray(A.to_scipy() @ np.ones(n))
+
+    op = lambda x: ell_spmv(amg.levels[0].A, x)[:n]
+    solve = jax.jit(
+        lambda b: pcg(
+            op, b, M=amg.precond, opts=PCGOptions(tol=args.tol, max_iter=200)
+        )
+    )
+
+    # compile + converged-solve timing
+    res = solve(b)
+    jax.block_until_ready(res.x)
+    iters = int(res.num_iterations)
+    times = []
+    for _ in range(args.repeats):
+        t0 = time.perf_counter()
+        res = solve(b)
+        jax.block_until_ready(res.x)
+        times.append(time.perf_counter() - t0)
+    solve_time = min(times)
+    dofs_per_sec = n / solve_time
+
+    # ---- SpMV roofline measurement --------------------------------------
+    spmv = jax.jit(lambda x: ell_spmv(amg.levels[0].A, x)[:n])
+    y = spmv(b)
+    jax.block_until_ready(y)
+    reps = 50
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        y = spmv(y)
+    jax.block_until_ready(y)
+    spmv_time = (time.perf_counter() - t0) / reps
+    Ed = amg.levels[0].A
+    itemsize = np.dtype(np.float64).itemsize
+    spmv_bytes = Ed.data.size * (itemsize + 4 + itemsize) + 2 * n * itemsize
+    spmv_gbs = spmv_bytes / spmv_time / 1e9
+
+    # ---- target model ----------------------------------------------------
+    kind = jax.devices()[0].device_kind.lower()
+    hbm_gbs = 2765.0 if "v5p" in kind or "v5 p" in kind else 819.0
+    opcx = amg.operator_complexity()
+    # per PCG iteration: 1 fine matvec + 1 V-cycle (~2*opcx matvec-equivalents)
+    work_bytes_per_iter = (1 + 2 * opcx) * (
+        Ed.data.size * (2 * itemsize + 4) + 2 * n * itemsize
+    )
+    target_dofs_per_sec = n / (iters * work_bytes_per_iter / (0.7 * hbm_gbs * 1e9))
+
+    out = {
+        "metric": "amg_pcg_dofs_per_sec",
+        "value": round(dofs_per_sec, 1),
+        "unit": "DOF/s",
+        "vs_baseline": round(dofs_per_sec / target_dofs_per_sec, 4),
+        "n": n,
+        "iterations": iters,
+        "converged": bool(res.converged),
+        "rel_residual": float(res.rel_residual_norm),
+        "solve_sec": round(solve_time, 4),
+        "setup_sec": round(setup_time, 3),
+        "matrix_gen_sec": round(gen_time, 3),
+        "spmv_gbs": round(spmv_gbs, 1),
+        "spmv_roofline_frac": round(spmv_gbs / hbm_gbs, 3),
+        "operator_complexity": round(opcx, 4),
+        "num_levels": amg.num_levels,
+        "device": jax.devices()[0].device_kind,
+        "dtype": args.dtype,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
