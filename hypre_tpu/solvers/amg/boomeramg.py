@@ -73,6 +73,9 @@ class BoomerAMGOptions:
     # cycling
     cycle_type: int = 1  # 1 = V (W/F planned)
     seed: int = 2747
+    # device precision for the frozen solve-phase hierarchy; setup math
+    # stays float64 on host (the --enable-single analog, SURVEY §5)
+    dtype: str = "float64"
 
 
 @jax.tree_util.register_dataclass
@@ -158,6 +161,7 @@ class BoomerAMG:
 
     def _freeze_level(self, A, P, R, cf) -> AMGLevel:
         o = self.opts
+        dt = np.dtype(o.dtype)
         Ah = CSRMatrix.from_scipy(A)
         n = A.shape[0]
         diag = A.diagonal()
@@ -186,15 +190,17 @@ class BoomerAMG:
 
         coarse_inv = None
         if coarsest:
-            coarse_inv = jnp.asarray(np.linalg.pinv(A.toarray(), rcond=1e-12))
+            coarse_inv = jnp.asarray(
+                np.linalg.pinv(A.toarray(), rcond=1e-12).astype(dt)
+            )
 
         return AMGLevel(
-            A=Ah.to_ell(),
-            dinv=jnp.asarray(dinv),
-            l1inv=jnp.asarray(l1inv),
+            A=Ah.to_ell(dtype=dt),
+            dinv=jnp.asarray(dinv.astype(dt)),
+            l1inv=jnp.asarray(l1inv.astype(dt)),
             cmask=jnp.asarray((cf > 0) if cf is not None else np.zeros(n, bool)),
-            P=None if P is None else CSRMatrix.from_scipy(P).to_ell(),
-            R=None if R is None else CSRMatrix.from_scipy(R).to_ell(),
+            P=None if P is None else CSRMatrix.from_scipy(P).to_ell(dtype=dt),
+            R=None if R is None else CSRMatrix.from_scipy(R).to_ell(dtype=dt),
             gs_fwd=gs_fwd,
             gs_bwd=gs_bwd,
             cheby=cheby,
@@ -232,6 +238,12 @@ class BoomerAMG:
 
     # ------------------------------------------------------------------
     # cycle (device)
+    #
+    # All methods below take the frozen hierarchy `levels` as an explicit
+    # argument so callers can jit with the hierarchy as a traced pytree
+    # input.  Closing over device arrays instead would embed them as jaxpr
+    # constants — correct, but some runtimes (remote-device tunnels)
+    # re-upload constants per call, which murders performance.
     # ------------------------------------------------------------------
     def _smooth(self, lvl: AMGLevel, relax_type: int, u, f, up: bool):
         o = self.opts
@@ -257,23 +269,24 @@ class BoomerAMG:
             return chebyshev(lvl.A, lvl.cheby, u, f)
         raise ValueError(f"relax_type {relax_type} not implemented")
 
-    def cycle(self, f, u=None):
-        """One V-cycle (jittable; capture via functools.partial or jit of
-        a wrapper — `self` is static)."""
+    def cycle(self, f, u=None, levels=None):
+        """One V-cycle.  Pass `levels` explicitly inside jits (see note
+        above); defaults to this instance's hierarchy."""
+        levels = self.levels if levels is None else levels
         if u is None:
             u = jnp.zeros_like(f)
-        return self._vcycle(0, u, f)
+        return self._vcycle(levels, 0, u, f)
 
-    def _vcycle(self, l: int, u, f):
+    def _vcycle(self, levels, l: int, u, f):
         o = self.opts
-        lvl = self.levels[l]
-        if l == self.num_levels - 1:
+        lvl = levels[l]
+        if l == len(levels) - 1:
             return self._smooth(lvl, o.relax_coarse, u, f, up=False)
         for _ in range(o.num_sweeps):
             u = self._smooth(lvl, o.relax_down, u, f, up=False)
         r = f - ell_spmv(lvl.A, u)[: lvl.A.num_rows]
         fc = ell_spmv(lvl.R, r)[: lvl.R.num_rows]
-        uc = self._vcycle(l + 1, jnp.zeros_like(fc), fc)
+        uc = self._vcycle(levels, l + 1, jnp.zeros_like(fc), fc)
         u = u + ell_spmv(lvl.P, uc)[: lvl.P.num_rows]
         for _ in range(o.num_sweeps):
             u = self._smooth(lvl, o.relax_up, u, f, up=True)
@@ -281,8 +294,19 @@ class BoomerAMG:
 
     @property
     def precond(self):
-        """M(r) -> z: one cycle with zero initial guess (the PCG hook)."""
+        """M(r) -> z: one cycle with zero initial guess (the PCG hook).
+        Note: closes over the hierarchy; inside performance-critical jits
+        prefer `precond_fn` + explicit levels argument."""
         return lambda r: self.cycle(r)
+
+    @property
+    def precond_fn(self):
+        """(levels, r) -> z, hierarchy passed explicitly (jit-arg style)."""
+        return lambda levels, r: self.cycle(r, levels=levels)
+
+    @property
+    def levels_tuple(self):
+        return tuple(self.levels)
 
     # ------------------------------------------------------------------
     # standalone solve (par_amg_solve.c)
@@ -294,9 +318,11 @@ class BoomerAMG:
         tol: float = 1e-7,
         max_iter: int = 20,
         min_iter: int = 0,
+        levels=None,
     ) -> SolverResult:
         """Iterate V-cycles until ||r||/||b|| < tol (par_amg_solve.c:243)."""
-        lvl0 = self.levels[0]
+        levels = self.levels if levels is None else levels
+        lvl0 = levels[0]
         n = lvl0.A.num_rows
         x0 = jnp.zeros(n, dtype=lvl0.A.data.dtype) if x0 is None else x0
 
@@ -315,7 +341,7 @@ class BoomerAMG:
 
         def body(st):
             i, x, rnorm, norms = st
-            x = self._vcycle(0, x, b)
+            x = self._vcycle(levels, 0, x, b)
             r = b - ell_spmv(A, x)[:n]
             rnorm = jnp.sqrt(jnp.vdot(r, r))
             return (i + 1, x, rnorm, norms.at[i + 1].set(rnorm))

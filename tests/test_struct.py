@@ -1,0 +1,87 @@
+"""Struct layer + PFMG tests (reference: TEST_struct/pfmgbase3d.saved:
+'struct -n 12 12 12 -c 2.0 3.0 40 -solver 1' -> 10 iterations,
+final rel res 3.298941e-07; driver sets skip=0, relax=1, rap=0)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse.linalg as spla
+
+from hypre_tpu.struct import StructGrid, StructMatrix, struct_matvec
+from hypre_tpu.solvers.struct_ls import PFMG, PFMGOptions
+
+
+def poisson7(shape, cx=1.0, cy=1.0, cz=1.0):
+    ones = np.ones(shape)
+    return StructMatrix.from_dict(
+        {
+            (0, 0, 0): 2 * (cx + cy + cz) * ones,
+            (-1, 0, 0): -cx * ones,
+            (1, 0, 0): -cx * ones,
+            (0, -1, 0): -cy * ones,
+            (0, 1, 0): -cy * ones,
+            (0, 0, -1): -cz * ones,
+            (0, 0, 1): -cz * ones,
+        },
+        StructGrid(shape),
+    )
+
+
+def test_struct_matvec_matches_scipy():
+    A = poisson7((5, 4, 3), 1.0, 2.0, 3.0)
+    x = np.random.default_rng(0).standard_normal((5, 4, 3))
+    y = struct_matvec(A, jnp.asarray(x))
+    y_ref = (A.to_scipy() @ x.ravel()).reshape(5, 4, 3)
+    np.testing.assert_allclose(np.asarray(y), y_ref, rtol=1e-13)
+
+
+def test_struct_matrix_scipy_roundtrip():
+    A = poisson7((4, 3, 2))
+    M = A.to_scipy()
+    B = StructMatrix.from_scipy(M, (4, 3, 2))
+    np.testing.assert_allclose(
+        np.asarray(B.entry((0, 0, 0))), np.asarray(A.entry((0, 0, 0)))
+    )
+    assert (B.to_scipy() != M).nnz == 0
+
+
+def test_struct_matvec_periodic():
+    shape = (6, 4, 1)
+    ones = np.ones(shape)
+    A = StructMatrix.from_dict(
+        {(0, 0, 0): 4 * ones, (-1, 0, 0): -ones, (1, 0, 0): -ones,
+         (0, -1, 0): -ones, (0, 1, 0): -ones},
+        StructGrid(shape, periodic=(6, 4, 0)),
+    )
+    x = np.random.default_rng(1).standard_normal(shape)
+    y = struct_matvec(A, jnp.asarray(x))
+    y_ref = (A.to_scipy() @ x.ravel()).reshape(shape)
+    np.testing.assert_allclose(np.asarray(y), y_ref, rtol=1e-13)
+
+
+@pytest.mark.slow
+def test_pfmg_base3d_iterations():
+    # TEST_struct/pfmgbase3d.saved: 10 iterations @ 12^3, c=(2,3,40)
+    A = poisson7((12, 12, 12), 2.0, 3.0, 40.0)
+    pfmg = PFMG(A, PFMGOptions(tol=1e-6, max_iter=100, skip_relax=0))
+    res = pfmg.solve(jnp.ones((12, 12, 12)))
+    assert int(res.num_iterations) == 10
+    assert float(res.rel_residual_norm) < 1e-6
+
+
+def test_pfmg_solves_correctly():
+    shape = (8, 8, 8)
+    A = poisson7(shape)
+    pfmg = PFMG(A, PFMGOptions(tol=1e-10, max_iter=60, skip_relax=0))
+    b = jnp.ones(shape)
+    res = pfmg.solve(b)
+    x_ref = spla.spsolve(A.to_scipy().tocsc(), np.ones(512)).reshape(shape)
+    np.testing.assert_allclose(np.asarray(res.x), x_ref, rtol=1e-7)
+
+
+def test_pfmg_anisotropic_semicoarsens():
+    A = poisson7((8, 8, 8), 1.0, 1.0, 100.0)
+    pfmg = PFMG(A)
+    # strong z coupling -> first coarsening directions must be z (2)
+    assert pfmg.levels[0].cdir == 2
+    assert pfmg.levels[1].cdir == 2
