@@ -35,7 +35,7 @@ def main():
 
     import hypre_tpu  # noqa: F401  (enables x64)
     from hypre_tpu.models import laplacian_7pt
-    from hypre_tpu.ops.spmv import ell_spmv
+    from hypre_tpu.ops.dia import spmv
     from hypre_tpu.solvers.amg import BoomerAMG, BoomerAMGOptions
     from hypre_tpu.solvers.krylov import PCGOptions, pcg
 
@@ -71,7 +71,7 @@ def main():
 
     @jax.jit
     def solve(levels, b):
-        op = lambda x: ell_spmv(levels[0].A, x)[:n]
+        op = lambda x: spmv(levels[0].A, x)
         M = lambda r: amg.cycle(r, levels=levels)
         return pcg(op, b, M=M, opts=PCGOptions(tol=args.tol, max_iter=200))
 
@@ -89,19 +89,24 @@ def main():
     dofs_per_sec = n / solve_time
 
     # ---- SpMV roofline measurement --------------------------------------
-    spmv = jax.jit(lambda E, x: ell_spmv(E, x)[:n])
+    spmv_f = jax.jit(lambda E, x: spmv(E, x))
     E0 = levels[0].A
-    y = spmv(E0, b)
+    y = spmv_f(E0, b)
     jax.block_until_ready(y)
     reps = 50
     t0 = time.perf_counter()
     for _ in range(reps):
-        y = spmv(E0, y)
+        y = spmv_f(E0, y)
     jax.block_until_ready(y)
     spmv_time = (time.perf_counter() - t0) / reps
     Ed = amg.levels[0].A
     itemsize = dt.itemsize
-    spmv_bytes = Ed.data.size * (itemsize + 4 + itemsize) + 2 * n * itemsize
+    from hypre_tpu.ops.dia import DIAMatrix
+    if isinstance(Ed, DIAMatrix):
+        # DIA traffic: diagonal data + x read per diagonal reuse ~ cached
+        spmv_bytes = Ed.data.size * itemsize + 2 * n * itemsize
+    else:
+        spmv_bytes = Ed.data.size * (2 * itemsize + 4) + 2 * n * itemsize
     spmv_gbs = spmv_bytes / spmv_time / 1e9
 
     # ---- target model ----------------------------------------------------

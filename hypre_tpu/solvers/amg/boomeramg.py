@@ -24,6 +24,7 @@ import scipy.sparse as sp
 
 from ...ops.csr import CSRMatrix, ELLMatrix
 from ...ops.spmv import ell_spmv
+from ...ops.dia import freeze_auto, spmv
 from ...utils.timing import timed
 from ..krylov.common import SolverResult
 from .coarsen import C_PT, hmis_coarsen, pmis_coarsen, ruge_stuben_coarsen
@@ -71,11 +72,19 @@ class BoomerAMGOptions:
     cheby_order: int = 2
     cheby_ratio: float = 0.3
     # cycling
-    cycle_type: int = 1  # 1 = V (W/F planned)
+    cycle_type: int = 1  # 1 = V, 2 = W (par_cycle.c lev_counter semantics)
+    fcycle: bool = False  # F-cycle flag (par_cycle.c:202-206, 613-615)
     seed: int = 2747
     # device precision for the frozen solve-phase hierarchy; setup math
     # stays float64 on host (the --enable-single analog, SURVEY §5)
     dtype: str = "float64"
+    # lattice embedding of level 1 (gather-free coarse ops): when the
+    # fine matrix is a lattice stencil, lift level-1 A/P/R onto the fine
+    # lattice as DIA operators — trades padded bandwidth for eliminating
+    # XLA's slow HBM gathers (see ops/dia.py).  Applies only with
+    # Jacobi-family smoothers.
+    embed_level1: bool = True
+    max_embedded_offsets: int = 512
 
 
 @jax.tree_util.register_dataclass
@@ -101,8 +110,11 @@ class BoomerAMG:
         self.opts = opts
         self.levels: list[AMGLevel] = []
         self._host_A: list[sp.csr_matrix] = []
+        self._host_P: list[sp.csr_matrix] = []
         self._cf: list[np.ndarray] = []
         self._setup(A)
+        if opts.embed_level1:
+            self._try_embed_level1()
 
     # ------------------------------------------------------------------
     # setup (host)
@@ -136,6 +148,7 @@ class BoomerAMG:
                 with timed("RAP"):
                     Ac = galerkin_rap(A, P)
                 self._host_A.append(A)
+                self._host_P.append(P)
                 self._cf.append(cf)
                 self.levels.append(self._freeze_level(A, P, P.T.tocsr(), cf))
                 A = Ac
@@ -195,17 +208,75 @@ class BoomerAMG:
             )
 
         return AMGLevel(
-            A=Ah.to_ell(dtype=dt),
+            A=freeze_auto(Ah, dtype=dt),
             dinv=jnp.asarray(dinv.astype(dt)),
             l1inv=jnp.asarray(l1inv.astype(dt)),
             cmask=jnp.asarray((cf > 0) if cf is not None else np.zeros(n, bool)),
-            P=None if P is None else CSRMatrix.from_scipy(P).to_ell(dtype=dt),
-            R=None if R is None else CSRMatrix.from_scipy(R).to_ell(dtype=dt),
+            P=None if P is None else freeze_auto(CSRMatrix.from_scipy(P), dtype=dt),
+            R=None if R is None else freeze_auto(CSRMatrix.from_scipy(R), dtype=dt),
             gs_fwd=gs_fwd,
             gs_bwd=gs_bwd,
             cheby=cheby,
             coarse_inv=coarse_inv,
         )
+
+    def _try_embed_level1(self) -> None:
+        """Lift level-1 ops onto the fine lattice (gather-free DIA)."""
+        from ...ops.dia import (
+            DIAMatrix,
+            GatherOp,
+            ScatterOp,
+            build_embedded_dia,
+            embedded_offset_count,
+        )
+
+        o = self.opts
+        if self.num_levels < 2 or not isinstance(self.levels[0].A, DIAMatrix):
+            return
+        if {o.relax_down, o.relax_up} - {0, 7, 18}:
+            return  # embedded smoothing implemented for Jacobi family only
+        dt = np.dtype(o.dtype)
+        n0 = self._host_A[0].shape[0]
+        cpos0 = np.flatnonzero(self._cf[0] > 0).astype(np.int64)
+        A1 = self._host_A[1]
+        if embedded_offset_count(A1, cpos0, cpos0) > o.max_embedded_offsets:
+            return
+        P0 = self._host_P[0]
+        idx = np.arange(n0, dtype=np.int64)
+
+        lvl0, lvl1 = self.levels[0], self.levels[1]
+        lvl0 = dataclasses.replace(
+            lvl0,
+            P=build_embedded_dia(P0, idx, cpos0, n0, dt),
+            R=build_embedded_dia(P0.T.tocsr(), cpos0, idx, n0, dt),
+        )
+
+        diag1 = A1.diagonal()
+        dinv_e = np.zeros(n0, dtype=dt)
+        dinv_e[cpos0] = np.where(diag1 == 0, 0.0, 1.0 / np.where(diag1 == 0, 1, diag1))
+        l1 = np.abs(A1).sum(axis=1).A1 if hasattr(np.abs(A1).sum(axis=1), "A1") else np.asarray(np.abs(A1).sum(axis=1)).ravel()
+        l1inv_e = np.zeros(n0, dtype=dt)
+        l1inv_e[cpos0] = np.where(l1 == 0, 0.0, 1.0 / np.where(l1 == 0, 1, l1))
+        cmask_e = np.zeros(n0, dtype=bool)
+        cmask_e[cpos0[self._cf[1] > 0]] = True
+
+        cpos_dev = jnp.asarray(cpos0.astype(np.int32))
+        new_P = lvl1.P
+        new_R = lvl1.R
+        if new_P is not None:
+            new_P = ScatterOp(inner=lvl1.P, pos=cpos_dev, n_out=n0)
+            new_R = GatherOp(inner=lvl1.R, pos=cpos_dev)
+        lvl1 = dataclasses.replace(
+            lvl1,
+            A=build_embedded_dia(A1, cpos0, cpos0, n0, dt),
+            dinv=jnp.asarray(dinv_e),
+            l1inv=jnp.asarray(l1inv_e),
+            cmask=jnp.asarray(cmask_e),
+            P=new_P,
+            R=new_R,
+        )
+        self.levels[0] = lvl0
+        self.levels[1] = lvl1
 
     # ------------------------------------------------------------------
     # stats (par_stats.c)
@@ -278,19 +349,56 @@ class BoomerAMG:
         return self._vcycle(levels, 0, u, f)
 
     def _vcycle(self, levels, l: int, u, f):
+        """hypre's nonrecursive cycle state machine (par_cycle.c:255-621),
+        traced statically: lev_counter controls V/W revisits, fcycle_lev
+        drives the F-cycle.  With cycle_type=1, fcycle=False this is the
+        classic V-cycle."""
+        assert l == 0
         o = self.opts
-        lvl = levels[l]
-        if l == len(levels) - 1:
-            return self._smooth(lvl, o.relax_coarse, u, f, up=False)
-        for _ in range(o.num_sweeps):
-            u = self._smooth(lvl, o.relax_down, u, f, up=False)
-        r = f - ell_spmv(lvl.A, u)[: lvl.A.num_rows]
-        fc = ell_spmv(lvl.R, r)[: lvl.R.num_rows]
-        uc = self._vcycle(levels, l + 1, jnp.zeros_like(fc), fc)
-        u = u + ell_spmv(lvl.P, uc)[: lvl.P.num_rows]
-        for _ in range(o.num_sweeps):
-            u = self._smooth(lvl, o.relax_up, u, f, up=True)
-        return u
+        L = len(levels)
+        if L == 1:
+            return self._smooth(levels[0], o.relax_coarse, u, f, up=False)
+
+        U: list = [None] * L
+        F: list = [None] * L
+        U[0], F[0] = u, f
+        lev_counter = [1] + [1 if o.fcycle else o.cycle_type] * (L - 1)
+        fcycle_lev = L - 2
+        level = 0
+        cycle_param = 0
+        guard = 0
+        while True:
+            guard += 1
+            if guard > 16384:
+                raise RuntimeError("cycle state machine exploded")
+            lvl = levels[level]
+            if cycle_param == 3:
+                U[level] = self._smooth(
+                    lvl, o.relax_coarse, U[level], F[level], up=False
+                )
+            else:
+                rt = o.relax_down if cycle_param in (0, 1) else o.relax_up
+                for _ in range(o.num_sweeps):
+                    U[level] = self._smooth(
+                        lvl, rt, U[level], F[level], up=(cycle_param == 2)
+                    )
+            lev_counter[level] -= 1
+            if lev_counter[level] >= 0 and level != L - 1:
+                r = F[level] - spmv(lvl.A, U[level])
+                F[level + 1] = spmv(lvl.R, r)
+                U[level + 1] = jnp.zeros_like(F[level + 1])
+                level += 1
+                lev_counter[level] = max(lev_counter[level], o.cycle_type)
+                cycle_param = 1 if level < L - 1 else 3
+            elif level != 0:
+                U[level - 1] = U[level - 1] + spmv(levels[level - 1].P, U[level])
+                level -= 1
+                cycle_param = 2
+                if o.fcycle and fcycle_lev == level:
+                    lev_counter[level] = max(lev_counter[level], 1)
+                    fcycle_lev -= 1
+            else:
+                return U[0]
 
     @property
     def precond(self):
@@ -328,7 +436,7 @@ class BoomerAMG:
 
         A = lvl0.A
         b_norm = jnp.sqrt(jnp.vdot(b, b))
-        r0 = b - ell_spmv(A, x0)[:n]
+        r0 = b - spmv(A, x0)
         r0_norm = jnp.sqrt(jnp.vdot(r0, r0))
         den = jnp.where(b_norm > 0, b_norm, jnp.where(r0_norm > 0, r0_norm, 1.0))
 
@@ -342,7 +450,7 @@ class BoomerAMG:
         def body(st):
             i, x, rnorm, norms = st
             x = self._vcycle(levels, 0, x, b)
-            r = b - ell_spmv(A, x)[:n]
+            r = b - spmv(A, x)
             rnorm = jnp.sqrt(jnp.vdot(r, r))
             return (i + 1, x, rnorm, norms.at[i + 1].set(rnorm))
 

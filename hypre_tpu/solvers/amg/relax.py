@@ -31,27 +31,28 @@ import numpy as np
 
 from ...ops.csr import CSRMatrix, ELLMatrix
 from ...ops.spmv import ell_spmv
+from ...ops.dia import spmv
 
 
 # ---------------------------------------------------------------------------
 # Jacobi family
 # ---------------------------------------------------------------------------
 
-def jacobi(A: ELLMatrix, dinv, u, f, weight=1.0):
+def jacobi(A, dinv, u, f, weight=1.0):
     """u += weight * D^{-1} (f - A u)   (par_relax.c case 0, all points)."""
     with jax.named_scope("RELAX"):
-        r = f - ell_spmv(A, u)[: A.num_rows]
+        r = f - spmv(A, u)
         return u + weight * dinv * r
 
 
-def jacobi_cf(A: ELLMatrix, dinv, u, f, mask, weight=1.0):
+def jacobi_cf(A, dinv, u, f, mask, weight=1.0):
     """CF-Jacobi: update only rows where mask (C then F gives CF-GS)."""
     with jax.named_scope("RELAX"):
-        r = f - ell_spmv(A, u)[: A.num_rows]
+        r = f - spmv(A, u)
         return jnp.where(mask, u + weight * dinv * r, u)
 
 
-def l1_jacobi(A: ELLMatrix, l1inv, u, f, weight=1.0):
+def l1_jacobi(A, l1inv, u, f, weight=1.0):
     """relax 18: u += (f - A u) / l1   (par_relax.c:3492 family)."""
     return jacobi(A, l1inv, u, f, weight)
 
@@ -237,13 +238,13 @@ def _cheby_monomial_coefs(order, theta, delta):
     ) / den
 
 
-def chebyshev(A: ELLMatrix, cd: ChebyData, u, f):
+def chebyshev(A, cd: ChebyData, u, f):
     """u += D^{-1/2} p(As) D^{-1/2} r with As = D^{-1/2} A D^{-1/2}."""
     with jax.named_scope("RELAX"):
         ds = cd.dsqrtinv
-        r = ds * (f - ell_spmv(A, u)[: A.num_rows])
+        r = ds * (f - spmv(A, u))
         # Horner on the scaled operator
         acc = cd.coefs[cd.order - 1] * r
         for k in range(cd.order - 2, -1, -1):
-            acc = cd.coefs[k] * r + ds * ell_spmv(A, ds * acc)[: A.num_rows]
+            acc = cd.coefs[k] * r + ds * spmv(A, ds * acc)
         return u + ds * acc
