@@ -89,16 +89,28 @@ def main():
     dofs_per_sec = n / solve_time
 
     # ---- SpMV roofline measurement --------------------------------------
-    spmv_f = jax.jit(lambda E, x: spmv(E, x))
+    # chained inside ONE jit (per-call RPC latency through remote-device
+    # tunnels would otherwise dominate); k=8 vs k=64 difference isolates
+    # the marginal per-SpMV cost from fixed overheads
+    scale = 1.0 / 7.0
+
+    def chain(E, x, k):
+        def body(i, x):
+            return spmv(E, x) * jnp.asarray(scale, x.dtype)
+
+        return jax.lax.fori_loop(0, k, body, x)[:1]
+
+    chain8 = jax.jit(lambda E, x: chain(E, x, 8))
+    chain64 = jax.jit(lambda E, x: chain(E, x, 64))
     E0 = levels[0].A
-    y = spmv_f(E0, b)
-    jax.block_until_ready(y)
-    reps = 50
+    float(chain8(E0, b)[0]), float(chain64(E0, b)[0])  # warm both
     t0 = time.perf_counter()
-    for _ in range(reps):
-        y = spmv_f(E0, y)
-    jax.block_until_ready(y)
-    spmv_time = (time.perf_counter() - t0) / reps
+    float(chain8(E0, b)[0])
+    t8 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(chain64(E0, b)[0])
+    t64 = time.perf_counter() - t0
+    spmv_time = max((t64 - t8) / 56, 1e-9)
     Ed = amg.levels[0].A
     itemsize = dt.itemsize
     from hypre_tpu.ops.dia import DIAMatrix
