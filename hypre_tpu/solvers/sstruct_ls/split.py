@@ -1,0 +1,134 @@
+"""SStruct Split solver — block solves per (part, var).
+
+Reference: sstruct_ls/HYPRE_sstruct_split.c:150-260 — per iteration:
+  y = b - N x   (N = inter-variable S blocks + the whole U matrix)
+  x_pv = M_pv^{-1} y_pv  per diagonal block, where M_pv is one
+         application of a struct solver (SMG/PFMG/Jacobi) on S_pvpv
+Convergence on ||b - A x|| / ||b|| checked at the top of each iteration.
+
+Sub-solver: one PFMG V-cycle (ssolver HYPRE_PFMG) or weighted Jacobi
+sweeps; the reference default is SMG (planned).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...sstruct.grid import SStructGrid
+from ...sstruct.matrix import SStructMatrix, sstruct_matvec
+from ...struct.matrix import struct_matvec
+from ..krylov.common import SolverResult, tdot
+from ..struct_ls.pfmg import PFMG, PFMGOptions
+
+
+@dataclasses.dataclass(frozen=True)
+class SplitOptions:
+    tol: float = 1e-6
+    max_iter: int = 200
+    ssolver: str = "pfmg"  # pfmg | jacobi  (smg planned)
+    pfmg: PFMGOptions = PFMGOptions(skip_relax=0)
+    jacobi_sweeps: int = 2
+
+
+class SStructSplit:
+    def __init__(self, A: SStructMatrix, opts: SplitOptions = SplitOptions()):
+        self.A = A
+        self.opts = opts
+        self._sub = {}
+        self._dinv = {}
+        g = A.grid
+        for p in range(g.nparts):
+            for v in range(g.nvars(p)):
+                sm = A.diag_block(p, v)
+                if opts.ssolver == "pfmg":
+                    self._sub[(p, v)] = PFMG(sm, opts.pfmg)
+                diag = np.asarray(sm.diagonal())
+                self._dinv[(p, v)] = jnp.asarray(
+                    np.where(diag == 0, 0.0, 1.0 / np.where(diag == 0, 1, diag))
+                )
+
+    def _block_solve(self, p, v, rhs, x_cur):
+        """Sub-solve S_pv z = rhs starting from the CURRENT x (the
+        reference passes sx as initial guess, HYPRE_sstruct_split.c:247 —
+        this makes the true solution an exact fixed point even with
+        inexact sub-solves)."""
+        o = self.opts
+        if o.ssolver == "pfmg":
+            return self._sub[(p, v)].cycle(rhs, u=x_cur)
+        sm = self.A.diag_block(p, v)
+        dinv = self._dinv[(p, v)]
+        x = x_cur
+        for _ in range(o.jacobi_sweeps):
+            x = x + dinv * (rhs - struct_matvec(sm, x))
+        return x
+
+    def solve(self, b, x0=None) -> SolverResult:
+        o = self.opts
+        g = self.A.grid
+        x = jax.tree.map(jnp.zeros_like, b) if x0 is None else x0
+
+        b_dot_b = tdot(b, b)
+        eps = o.tol**2
+        dtype = jnp.result_type(*jax.tree.leaves(b))
+
+        rel = jnp.asarray(jnp.inf, dtype)
+        norms = [float("nan")] * (o.max_iter + 1)
+        it_done = 0
+        converged = False
+        # host loop (mirrors the reference's host iteration; each step is
+        # one jitted composite) — device-resident while_loop variant is a
+        # planned optimization once sub-solver cycles are inline-jitted
+        step = jax.jit(self._step)
+
+        @jax.jit
+        def resid(x):
+            r = jax.tree.map(jnp.subtract, b, sstruct_matvec(self.A, x))
+            return tdot(r, r)
+
+        for it in range(o.max_iter):
+            rr = resid(x)
+            rel = jnp.sqrt(rr / jnp.where(b_dot_b > 0, b_dot_b, 1.0))
+            norms[it] = float(jnp.sqrt(rr))
+            if float(rel) < o.tol:
+                converged = True
+                it_done = it
+                break
+            x = step(x, b)
+            it_done = it + 1
+
+        return SolverResult(
+            x=x,
+            num_iterations=jnp.asarray(it_done),
+            rel_residual_norm=rel,
+            converged=jnp.asarray(converged),
+            res_norms=jnp.asarray(np.array(norms, dtype=float)),
+        )
+
+    def _step(self, x, b):
+        g = self.A.grid
+        # y = b - N x (off-diagonal S blocks + U)
+        y = [[b[p][v] for v in range(g.nvars(p))] for p in range(g.nparts)]
+        for (p, vi, vj), sm in self.A.smats.items():
+            if vi != vj:
+                y[p][vi] = y[p][vi] - struct_matvec(sm, x[p][vj])
+        if self.A.umat is not None:
+            from ...ops.dia import spmv
+            from ...sstruct.vector import pack_vector, unpack_vector
+
+            flat = spmv(self.A.umat, pack_vector(x))
+            up = unpack_vector(flat, g)
+            for p in range(g.nparts):
+                for v in range(g.nvars(p)):
+                    y[p][v] = y[p][v] - up[p][v]
+        # x = M^{-1} y blockwise (initial guess = current x)
+        return tuple(
+            tuple(
+                self._block_solve(p, v, y[p][v], x[p][v])
+                for v in range(g.nvars(p))
+            )
+            for p in range(g.nparts)
+        )

@@ -1,1 +1,4 @@
 from .pfmg import PFMG, PFMGOptions
+from .jacobi import StructJacobi, StructJacobiOptions
+from .hybrid import StructHybrid, StructHybridOptions
+from .relax import point_jacobi, red_black_gs

@@ -55,6 +55,7 @@ class _Level:
     weight: float
     p_lo: Optional[jax.Array] = None  # interp weights at odd fine points
     p_hi: Optional[jax.Array] = None
+    red_mask: Optional[jax.Array] = None  # parity coloring (relax 2/3)
 
 
 def _compute_dxyz(A: StructMatrix):
@@ -263,6 +264,10 @@ class PFMG:
     def _freeze(self, A, cdir, active, weight, p_lo=None, p_hi=None) -> _Level:
         diag = np.asarray(A.diagonal())
         dinv = np.where(diag == 0, 0.0, 1.0 / np.where(diag == 0, 1.0, diag))
+        red = None
+        if self.opts.relax_type in (2, 3):
+            idx = sum(np.meshgrid(*[np.arange(s) for s in A.shape], indexing="ij"))
+            red = jnp.asarray((idx % 2) == 0)
         return _Level(
             A=A,
             dinv=jnp.asarray(dinv),
@@ -271,6 +276,7 @@ class PFMG:
             weight=float(weight),
             p_lo=None if p_lo is None else jnp.asarray(p_lo),
             p_hi=None if p_hi is None else jnp.asarray(p_hi),
+            red_mask=red,
         )
 
     @property
@@ -281,6 +287,17 @@ class PFMG:
     # device ops
     # ------------------------------------------------------------------
     def _relax(self, lvl: _Level, x, b, sweeps: int, zero_guess: bool):
+        if self.opts.relax_type in (2, 3):
+            from .relax import red_black_gs
+
+            for s in range(sweeps):
+                if zero_guess and s == 0:
+                    x = jnp.where(lvl.red_mask, lvl.dinv * b, 0.0)
+                    r = b - struct_matvec(lvl.A, x)
+                    x = jnp.where(~lvl.red_mask, lvl.dinv * r, x)
+                else:
+                    x = red_black_gs(lvl.A, lvl.dinv, x, b, lvl.red_mask)
+            return x
         w = lvl.weight
         for s in range(sweeps):
             if zero_guess and s == 0:
@@ -347,6 +364,25 @@ class PFMG:
             return x
 
         return down(1, b) if L > 1 else None
+
+    def cycle(self, f, u=None):
+        """One V-cycle with zero initial guess — the preconditioner hook
+        (one pfmg_solve.c iteration without the convergence plumbing)."""
+        o = self.opts
+        lvl0 = self.levels[0]
+        zero_guess = u is None
+        u = jnp.zeros_like(f) if u is None else u
+        u = self._relax(lvl0, u, f, o.num_pre_relax, zero_guess)
+        r = f - struct_matvec(lvl0.A, u)
+        if self.num_levels > 1:
+            ec = self._vcycle(self._restrict(lvl0, r))
+            u = self._interp_add(lvl0, u, ec)
+        u = self._relax(lvl0, u, f, o.num_post_relax, False)
+        return u
+
+    @property
+    def precond(self):
+        return lambda r: self.cycle(r)
 
     # ------------------------------------------------------------------
     def solve(self, b, x0=None) -> SolverResult:

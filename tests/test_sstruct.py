@@ -1,0 +1,106 @@
+"""SStruct layer tests (reference: sstruct_mv + TEST_sstruct patterns).
+
+Problem: two 2D parts coupled along a shared interface through the
+U-matrix (the sstruct.in.default two-part layout, simplified), solved
+with the Split solver and with SStruct-PCG (pytree Krylov reuse).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse as sp
+import scipy.sparse.linalg as spla
+
+from hypre_tpu.ops.csr import CSRMatrix
+from hypre_tpu.sstruct import SStructGrid, SStructMatrix, sstruct_matvec
+from hypre_tpu.sstruct.vector import full, pack_vector, unpack_vector
+from hypre_tpu.struct import StructGrid, StructMatrix
+from hypre_tpu.solvers.sstruct_ls import SplitOptions, SStructSplit
+from hypre_tpu.solvers.krylov import PCGOptions, pcg
+
+
+def two_part_problem(nx=8, ny=8):
+    """Two nx x ny parts side by side; 5-pt Laplacian on each; interface
+    couplings (last column of part 0 <-> first column of part 1) in U."""
+    g = SStructGrid(
+        parts=(
+            (StructGrid((nx, ny)),),
+            (StructGrid((nx, ny)),),
+        )
+    )
+    ones = np.ones((nx, ny))
+    ent = {
+        (0, 0): 4.0 * ones,
+        (-1, 0): -ones,
+        (1, 0): -ones,
+        (0, -1): -ones,
+        (0, 1): -ones,
+    }
+    smats = {
+        (0, 0, 0): StructMatrix.from_dict(ent, g.grid(0)),
+        (1, 0, 0): StructMatrix.from_dict(ent, g.grid(1)),
+    }
+    # U: couple (nx-1, j) of part0 with (0, j) of part1, value -1
+    n = g.total_size
+    offs = g.offsets()
+    rows, cols = [], []
+    for j in range(ny):
+        a = offs[(0, 0)] + (nx - 1) * ny + j  # ravel order (x-major C order)
+        b = offs[(1, 0)] + 0 * ny + j
+        rows += [a, b]
+        cols += [b, a]
+    U = CSRMatrix.from_coo(rows, cols, [-1.0] * len(rows), (n, n))
+    return g, SStructMatrix(g, smats, U)
+
+
+def test_sstruct_matvec_matches_monolithic():
+    g, A = two_part_problem(6, 5)
+    rng = np.random.default_rng(0)
+    x = tuple(
+        tuple(jnp.asarray(rng.standard_normal(gr.shape)) for gr in pv)
+        for pv in g.parts
+    )
+    y = sstruct_matvec(A, x)
+    M = A.to_scipy()
+    y_ref = M @ np.asarray(pack_vector(x))
+    np.testing.assert_allclose(np.asarray(pack_vector(y)), y_ref, rtol=1e-13)
+
+
+def test_split_solver_converges():
+    g, A = two_part_problem(8, 8)
+    b = full(g, 1.0)
+    res = SStructSplit(A, SplitOptions(tol=1e-8, max_iter=300)).solve(b)
+    assert bool(res.converged)
+    M = A.to_scipy()
+    x_ref = spla.spsolve(M.tocsc(), np.ones(g.total_size))
+    np.testing.assert_allclose(
+        np.asarray(pack_vector(res.x)), x_ref, rtol=1e-5, atol=1e-8
+    )
+
+
+def test_sstruct_pcg():
+    # the krylov_sstruct.c vtable analog: pytree PCG over sstruct vectors
+    g, A = two_part_problem(8, 6)
+    b = full(g, 1.0)
+    res = pcg(
+        lambda x: sstruct_matvec(A, x), b, opts=PCGOptions(tol=1e-10, max_iter=300)
+    )
+    assert bool(res.converged)
+    x_ref = spla.spsolve(A.to_scipy().tocsc(), np.ones(g.total_size))
+    np.testing.assert_allclose(
+        np.asarray(pack_vector(res.x)), x_ref, rtol=1e-6
+    )
+
+
+def test_split_preconditioned_pcg():
+    g, A = two_part_problem(8, 8)
+    b = full(g, 1.0)
+    split = SStructSplit(A, SplitOptions(tol=0.0, max_iter=1))
+
+    M = jax.jit(split._step) if False else (lambda r: split._step(jax.tree.map(jnp.zeros_like, r), r))
+    res = pcg(lambda x: sstruct_matvec(A, x), b, M=M, opts=PCGOptions(tol=1e-10, max_iter=100))
+    assert bool(res.converged)
+    assert int(res.num_iterations) < 40
+
+
+import jax  # noqa: E402  (used in test_split_preconditioned_pcg)
