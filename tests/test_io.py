@@ -1,0 +1,62 @@
+"""IO round trips + cross-validation against the reference's file format
+(an IJ.out.A written by the reference driver is committed as a fixture...
+here regenerated from the same math: 3^3 7-pt Laplacian with diag 6)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from hypre_tpu.models import laplacian_7pt
+from hypre_tpu.ops.csr import CSRMatrix
+from hypre_tpu.utils.io import (
+    read_ij_matrix,
+    read_ij_vector,
+    save_amg_hierarchy,
+    load_amg_hierarchy,
+    write_ij_matrix,
+    write_ij_vector,
+)
+
+
+def test_matrix_roundtrip(tmp_path):
+    A = laplacian_7pt(4, 3, 2)
+    p = str(tmp_path / "IJ.out.A")
+    write_ij_matrix(A, p)
+    B = read_ij_matrix(p)
+    assert (A.to_scipy() != B.to_scipy()).nnz == 0
+
+
+def test_vector_roundtrip(tmp_path):
+    v = np.random.default_rng(0).standard_normal(37)
+    p = str(tmp_path / "IJ.out.b")
+    write_ij_vector(v, p)
+    w = read_ij_vector(p)
+    np.testing.assert_allclose(w, v, rtol=1e-14)
+
+
+def test_reference_format_compat(tmp_path):
+    # byte-level shape of the reference files: header + "%d %d %.14e"
+    A = laplacian_7pt(3, 3, 3)
+    p = str(tmp_path / "IJ.out.A")
+    write_ij_matrix(A, p)
+    lines = open(p + ".00000").read().splitlines()
+    assert lines[0] == "0 26 0 26"
+    assert lines[1] == "0 0 6.00000000000000e+00"
+    assert lines[2] == "0 1 -1.00000000000000e+00"
+
+
+def test_hierarchy_checkpoint(tmp_path):
+    from hypre_tpu.solvers.amg import BoomerAMG, BoomerAMGOptions
+
+    A = laplacian_7pt(8, 8, 8)
+    opts = BoomerAMGOptions(coarsen_type="pmis", interp_type="ext+i", relax_down=18, relax_up=18)
+    amg = BoomerAMG(A, opts)
+    p = str(tmp_path / "amg_ckpt.npz")
+    save_amg_hierarchy(amg, p)
+    amg2 = load_amg_hierarchy(p)
+    assert amg2.num_levels == amg.num_levels
+    b = jnp.asarray(A.to_scipy() @ np.ones(512))
+    r1 = amg.solve(b, tol=1e-8, max_iter=40)
+    r2 = amg2.solve(b, tol=1e-8, max_iter=40)
+    assert int(r1.num_iterations) == int(r2.num_iterations)
+    np.testing.assert_allclose(np.asarray(r1.x), np.asarray(r2.x), rtol=1e-12)
