@@ -1,0 +1,93 @@
+"""Native host-setup kernels (ctypes-bound C, compiled on first use).
+
+The reference's setup path is native C throughout; the two Python-loop
+hot spots here (GS wavefront levels, RS coarsening first pass) are
+rebuilt in C and compiled with the system compiler to a cached shared
+object.  Falls back to the pure-Python implementations when no compiler
+is available, so the package never hard-depends on a toolchain.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import tempfile
+
+import numpy as np
+
+_HERE = os.path.dirname(__file__)
+_SRC = os.path.join(_HERE, "kernels.c")
+_SO = os.path.join(_HERE, "_kernels.so")
+
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    for cc in ("cc", "gcc", "clang"):
+        try:
+            r = subprocess.run(
+                [cc, "-O3", "-shared", "-fPIC", "-o", _SO, _SRC],
+                capture_output=True,
+                timeout=120,
+            )
+            if r.returncode == 0:
+                return True
+        except (FileNotFoundError, subprocess.TimeoutExpired):
+            continue
+    return False
+
+
+def _load():
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+        if not _build():
+            return None
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError:
+        return None
+    I64 = ctypes.POINTER(ctypes.c_int64)
+    lib.gs_levels.argtypes = [I64, I64, ctypes.c_int64, ctypes.c_int, I64]
+    lib.gs_levels.restype = None
+    lib.rs_coarsen.argtypes = [I64, I64, I64, I64, ctypes.c_int64, I64]
+    lib.rs_coarsen.restype = None
+    _lib = lib
+    return lib
+
+
+def _ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def gs_levels(indptr, indices, n: int, forward: bool):
+    """level[i] per the par_relax.c wavefront DAG; None if unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(indices, dtype=np.int64)
+    level = np.zeros(n, dtype=np.int64)
+    lib.gs_levels(_ptr(indptr), _ptr(indices), n, int(forward), _ptr(level))
+    return level
+
+
+def rs_coarsen(S_indptr, S_indices, ST_indptr, ST_indices, n: int):
+    lib = _load()
+    if lib is None:
+        return None
+    args = [
+        np.ascontiguousarray(x, dtype=np.int64)
+        for x in (S_indptr, S_indices, ST_indptr, ST_indices)
+    ]
+    cf = np.zeros(n, dtype=np.int64)
+    lib.rs_coarsen(*(_ptr(a) for a in args), n, _ptr(cf))
+    return cf
+
+
+def available() -> bool:
+    return _load() is not None

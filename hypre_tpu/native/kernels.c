@@ -1,0 +1,131 @@
+/* Native host-setup kernels.
+ *
+ * Reference analog: the reference's setup-time graph algorithms are C
+ * (par_relax.c:472-560 level-set DAG scheduling, par_coarsen.c:874 RS
+ * first pass); SURVEY §2.13 calls for C++ helpers where Python setup
+ * loops are too slow.  Compiled to a shared object at import time
+ * (hypre_tpu/native/__init__.py) and bound with ctypes; a pure-numpy
+ * fallback keeps the package functional without a toolchain.
+ */
+
+#include <stdint.h>
+#include <stdlib.h>
+
+/* Wavefront levels of the lower(upper)-triangular dependency DAG:
+ * level[i] = 1 + max(level[j]) over j < i (forward) with A[i,j] != 0. */
+void gs_levels(const int64_t *indptr, const int64_t *indices, int64_t n,
+               int forward, int64_t *level)
+{
+    if (forward) {
+        for (int64_t i = 0; i < n; ++i) {
+            int64_t lv = 0;
+            for (int64_t k = indptr[i]; k < indptr[i + 1]; ++k) {
+                int64_t j = indices[k];
+                if (j < i && level[j] + 1 > lv) lv = level[j] + 1;
+            }
+            level[i] = lv;
+        }
+    } else {
+        for (int64_t i = n - 1; i >= 0; --i) {
+            int64_t lv = 0;
+            for (int64_t k = indptr[i]; k < indptr[i + 1]; ++k) {
+                int64_t j = indices[k];
+                if (j > i && level[j] + 1 > lv) lv = level[j] + 1;
+            }
+            level[i] = lv;
+        }
+    }
+}
+
+/* Classical Ruge-Stueben first pass (par_coarsen.c:874 structure):
+ * bucket queue keyed by measure = |S^T row| with the standard
+ * increment/decrement updates.  cf: 1 = C, -1 = F, -3 = isolated. */
+void rs_coarsen(const int64_t *S_indptr, const int64_t *S_indices,
+                const int64_t *ST_indptr, const int64_t *ST_indices,
+                int64_t n, int64_t *cf)
+{
+    int64_t *measure = (int64_t *)malloc(n * sizeof(int64_t));
+    int64_t *settled = (int64_t *)calloc(n, sizeof(int64_t));
+
+    int64_t max_measure = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        measure[i] = ST_indptr[i + 1] - ST_indptr[i];
+        cf[i] = 0;
+        if (measure[i] == 0 && S_indptr[i + 1] == S_indptr[i]) {
+            cf[i] = -3; /* isolated */
+            settled[i] = 1;
+        }
+        if (measure[i] > max_measure) max_measure = measure[i];
+    }
+
+    /* bucket lists by measure (measures can grow to ~2*max) */
+    int64_t nbuckets = 2 * max_measure + n + 2;
+    int64_t *head = (int64_t *)malloc(nbuckets * sizeof(int64_t));
+    int64_t *next = (int64_t *)malloc(n * sizeof(int64_t));
+    int64_t *prev = (int64_t *)malloc(n * sizeof(int64_t));
+    for (int64_t b = 0; b < nbuckets; ++b) head[b] = -1;
+    for (int64_t i = 0; i < n; ++i) next[i] = prev[i] = -1;
+
+#define BUCKET_INSERT(i)                                                  \
+    do {                                                                  \
+        int64_t b = measure[i];                                           \
+        next[i] = head[b];                                                \
+        prev[i] = -1;                                                     \
+        if (head[b] >= 0) prev[head[b]] = (i);                            \
+        head[b] = (i);                                                    \
+    } while (0)
+
+#define BUCKET_REMOVE(i)                                                  \
+    do {                                                                  \
+        if (prev[i] >= 0) next[prev[i]] = next[i];                        \
+        else head[measure[i]] = next[i];                                  \
+        if (next[i] >= 0) prev[next[i]] = prev[i];                        \
+        next[i] = prev[i] = -1;                                           \
+    } while (0)
+
+    for (int64_t i = 0; i < n; ++i)
+        if (!settled[i]) BUCKET_INSERT(i);
+
+    int64_t cur_max = max_measure;
+    for (;;) {
+        while (cur_max > 0 && head[cur_max] < 0) --cur_max;
+        if (cur_max <= 0) break;
+        int64_t i = head[cur_max];
+        BUCKET_REMOVE(i);
+        cf[i] = 1;
+        settled[i] = 1;
+        /* points depending on i become F; their influencers gain measure */
+        for (int64_t k = ST_indptr[i]; k < ST_indptr[i + 1]; ++k) {
+            int64_t j = ST_indices[k];
+            if (settled[j]) continue;
+            BUCKET_REMOVE(j);
+            cf[j] = -1;
+            settled[j] = 1;
+            for (int64_t kk = S_indptr[j]; kk < S_indptr[j + 1]; ++kk) {
+                int64_t m = S_indices[kk];
+                if (settled[m]) continue;
+                BUCKET_REMOVE(m);
+                measure[m] += 1;
+                if (measure[m] >= nbuckets) measure[m] = nbuckets - 1;
+                BUCKET_INSERT(m);
+                if (measure[m] > cur_max) cur_max = measure[m];
+            }
+        }
+        /* i's influencees lose it as a potential C neighbor */
+        for (int64_t k = S_indptr[i]; k < S_indptr[i + 1]; ++k) {
+            int64_t j = S_indices[k];
+            if (settled[j]) continue;
+            BUCKET_REMOVE(j);
+            if (measure[j] > 0) measure[j] -= 1;
+            BUCKET_INSERT(j);
+        }
+    }
+    for (int64_t i = 0; i < n; ++i)
+        if (!settled[i]) cf[i] = -1;
+
+    free(measure);
+    free(settled);
+    free(head);
+    free(next);
+    free(prev);
+}

@@ -143,6 +143,16 @@ def ruge_stuben_coarsen(
     """
     n = S.shape[0]
     ST = S.T.tocsr()
+    ST.sort_indices()
+
+    # native bucket-list implementation (the par_coarsen.c structure)
+    from ... import native
+
+    cf_native = native.rs_coarsen(S.indptr, S.indices, ST.indptr, ST.indices, n)
+    if cf_native is not None:
+        return cf_native
+
+    # pure-python fallback (heap; tie order differs from the bucket list)
     # integer measures: # points i strongly influences = S^T row counts
     measure = np.diff(ST.indptr).astype(np.int64).copy()
 

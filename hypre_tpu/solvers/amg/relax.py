@@ -86,13 +86,17 @@ def build_gs_schedule(
     ELL slabs."""
     n = A.num_rows
     indptr, indices = A.indptr, A.indices
-    level = np.zeros(n, dtype=np.int64)
-    order = range(n) if forward else range(n - 1, -1, -1)
-    for i in order:
-        cols = indices[indptr[i] : indptr[i + 1]]
-        deps = cols[cols < i] if forward else cols[cols > i]
-        if deps.size:
-            level[i] = level[deps].max() + 1
+    from ... import native
+
+    level = native.gs_levels(indptr, indices, n, forward)
+    if level is None:  # no compiler: pure-python fallback
+        level = np.zeros(n, dtype=np.int64)
+        order = range(n) if forward else range(n - 1, -1, -1)
+        for i in order:
+            cols = indices[indptr[i] : indptr[i + 1]]
+            deps = cols[cols < i] if forward else cols[cols > i]
+            if deps.size:
+                level[i] = level[deps].max() + 1
 
     nlev = int(level.max()) + 1 if n else 1
     buckets = [np.flatnonzero(level == l) for l in range(nlev)]
