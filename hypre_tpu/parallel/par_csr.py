@@ -44,45 +44,60 @@ class ParCSR:
         mesh: Mesh | None = None,
         axis: str = AXIS,
         max_offsets: int = 8,
+        col_part: BlockPartition | None = None,
+        dtype=None,
     ):
+        """Row-sharded sparse operator.  For rectangular operators (P/R
+        transfers in a distributed AMG hierarchy) pass `col_part`, the
+        partition of the INPUT vector; the diag block then holds columns
+        in the shard's own input block (par_csr_matrix.h diag/offd with
+        separate row/col starts)."""
         self.mesh = mesh or default_mesh()
         self.axis = axis
         self.n = A.num_rows
+        self.m = A.num_cols
         S = self.mesh.shape[axis]
         self.part = block_partition(self.n, S)
+        self.col_part = col_part or (
+            self.part if A.num_cols == A.num_rows else block_partition(A.num_cols, S)
+        )
         per = self.part.rows_per_shard
+        cper = self.col_part.rows_per_shard
 
         M = A.to_scipy().tocsr()
+        if dtype is not None:
+            M = M.astype(dtype)
         # per-shard diag/offd split (the par_csr_matrix.h:40-44 layout)
-        diag_cols, diag_data, offd_cols, offd_data, col_maps = [], [], [], [], []
+        col_maps = []
         wd = wo = 1
         rows_struct = []
         for s in range(S):
             lo = s * per
             hi = min(lo + per, self.n)
+            clo = s * cper
+            chi = min(clo + cper, self.m)
             blk = M[lo:hi]
             r = np.repeat(np.arange(hi - lo), np.diff(blk.indptr))
             c = blk.indices
             v = blk.data
-            is_diag = (c >= lo) & (c < hi)
+            is_diag = (c >= clo) & (c < chi)
             cm = np.unique(c[~is_diag])
             col_maps.append(cm)
-            rows_struct.append((r, c, v, is_diag, lo, hi, cm))
-            # widths
+            rows_struct.append((r, c, v, is_diag, lo, hi, clo, cm))
             if len(r):
-                wd = max(wd, int(np.bincount(r[is_diag], minlength=hi - lo).max()))
+                wd = max(wd, int(np.bincount(r[is_diag], minlength=hi - lo).max(initial=0)))
                 if (~is_diag).any():
-                    wo = max(wo, int(np.bincount(r[~is_diag], minlength=hi - lo).max()))
+                    wo = max(wo, int(np.bincount(r[~is_diag], minlength=hi - lo).max(initial=0)))
 
-        self.plan: HaloPlan = build_halo_plan(col_maps, self.part, max_offsets)
+        self.plan: HaloPlan = build_halo_plan(col_maps, self.col_part, max_offsets)
         gw = self.plan.ghost_width
 
         dc = np.zeros((S, per, wd), dtype=np.int32)
         dv = np.zeros((S, per, wd), dtype=M.data.dtype)
         oc = np.full((S, per, wo), gw, dtype=np.int32)  # pad -> zero sink slot
         ov = np.zeros((S, per, wo), dtype=M.data.dtype)
-        for s, (r, c, v, is_diag, lo, hi, cm) in enumerate(rows_struct):
-            rd, cd, vd = r[is_diag], c[is_diag] - lo, v[is_diag]
+        for s, (r, c, v, is_diag, lo, hi, clo, cm) in enumerate(rows_struct):
+            rd, cd, vd = r[is_diag], c[is_diag] - clo, v[is_diag]
             k = _slot_counter(rd)
             dc[s, rd, k] = cd
             dv[s, rd, k] = vd
@@ -144,9 +159,15 @@ class ParCSR:
 
     # ------------------------------------------------------------------
     def pad_vec(self, v) -> jax.Array:
-        """Host/global vector [n] -> padded sharded device vector."""
+        """Host/global OUTPUT-space vector [n] -> padded sharded array."""
         out = np.zeros(self.part.n_padded, dtype=np.asarray(v).dtype)
         out[: self.n] = np.asarray(v)
+        return jax.device_put(out, self.vec_sharding)
+
+    def pad_col_vec(self, v) -> jax.Array:
+        """Host/global INPUT-space vector [m] -> padded sharded array."""
+        out = np.zeros(self.col_part.n_padded, dtype=np.asarray(v).dtype)
+        out[: self.m] = np.asarray(v)
         return jax.device_put(out, self.vec_sharding)
 
     def unpad(self, y: jax.Array) -> np.ndarray:
