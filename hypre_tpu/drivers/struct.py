@@ -83,11 +83,22 @@ def run(argv=None):
         num_pre_relax=n_pre, num_post_relax=n_post, skip_relax=skip,
     )
 
-    if solver_id in (0, 1, 2, 3, 4):  # SMG/PFMG family -> PFMG for now
+    if solver_id == 0:  # SMG
+        from ..solvers.struct_ls import SMG, SMGOptions
+
+        res = SMG(A, SMGOptions(tol=tol, max_iter=max_iter,
+                                num_pre_relax=n_pre, num_post_relax=n_post)).solve(b)
+    elif solver_id in (1, 2, 3, 4):  # PFMG family
         res = PFMG(A, pf_opts).solve(b)
     elif solver_id == 8:
         res = StructJacobi(A, StructJacobiOptions(tol=tol, max_iter=max_iter)).solve(b)
-    elif solver_id in (10, 11):
+    elif solver_id == 10:  # CG + SMG
+        from ..solvers.struct_ls import SMG, SMGOptions
+
+        sm = SMG(A, SMGOptions(num_pre_relax=n_pre, num_post_relax=n_post))
+        res = pcg(lambda x: struct_matvec(A, x), b, M=sm.precond,
+                  opts=PCGOptions(tol=tol, max_iter=max_iter, two_norm=True))
+    elif solver_id == 11:
         pf = PFMG(A, PFMGOptions(relax_type=relax, num_pre_relax=n_pre,
                                  num_post_relax=n_post, skip_relax=skip))
         res = pcg(lambda x: struct_matvec(A, x), b, M=pf.precond,

@@ -29,7 +29,7 @@ from ..struct_ls.pfmg import PFMG, PFMGOptions
 class SplitOptions:
     tol: float = 1e-6
     max_iter: int = 200
-    ssolver: str = "pfmg"  # pfmg | jacobi  (smg planned)
+    ssolver: str = "smg"  # smg (reference default) | pfmg | jacobi
     pfmg: PFMGOptions = PFMGOptions(skip_relax=0)
     jacobi_sweeps: int = 2
 
@@ -46,6 +46,10 @@ class SStructSplit:
                 sm = A.diag_block(p, v)
                 if opts.ssolver == "pfmg":
                     self._sub[(p, v)] = PFMG(sm, opts.pfmg)
+                elif opts.ssolver == "smg":
+                    from ..struct_ls.smg import SMG, SMGOptions
+
+                    self._sub[(p, v)] = SMG(sm, SMGOptions())
                 diag = np.asarray(sm.diagonal())
                 self._dinv[(p, v)] = jnp.asarray(
                     np.where(diag == 0, 0.0, 1.0 / np.where(diag == 0, 1, diag))
@@ -57,7 +61,7 @@ class SStructSplit:
         this makes the true solution an exact fixed point even with
         inexact sub-solves)."""
         o = self.opts
-        if o.ssolver == "pfmg":
+        if o.ssolver in ("pfmg", "smg"):
             return self._sub[(p, v)].cycle(rhs, u=x_cur)
         sm = self.A.diag_block(p, v)
         dinv = self._dinv[(p, v)]

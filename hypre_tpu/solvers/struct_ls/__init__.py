@@ -1,4 +1,5 @@
 from .pfmg import PFMG, PFMGOptions
+from .smg import SMG, SMGOptions
 from .jacobi import StructJacobi, StructJacobiOptions
 from .hybrid import StructHybrid, StructHybridOptions
 from .relax import point_jacobi, red_black_gs

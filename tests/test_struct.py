@@ -85,3 +85,26 @@ def test_pfmg_anisotropic_semicoarsens():
     # strong z coupling -> first coarsening directions must be z (2)
     assert pfmg.levels[0].cdir == 2
     assert pfmg.levels[1].cdir == 2
+
+
+@pytest.mark.slow
+def test_smg_base3d_iterations():
+    # TEST_struct/smgbase3d.saved: 4 iterations, rel res 8.971901e-07
+    from hypre_tpu.solvers.struct_ls import SMG, SMGOptions
+
+    A = poisson7((12, 12, 12), 2.0, 3.0, 40.0)
+    res = SMG(A, SMGOptions(tol=1e-6)).solve(jnp.ones((12, 12, 12)))
+    assert int(res.num_iterations) == 4
+    np.testing.assert_allclose(
+        float(res.rel_residual_norm), 8.971901e-07, rtol=1e-2
+    )
+
+
+def test_smg_solves_correctly():
+    from hypre_tpu.solvers.struct_ls import SMG, SMGOptions
+
+    shape = (8, 8, 8)
+    A = poisson7(shape)
+    res = SMG(A, SMGOptions(tol=1e-10, max_iter=40)).solve(jnp.ones(shape))
+    x_ref = spla.spsolve(A.to_scipy().tocsc(), np.ones(512)).reshape(shape)
+    np.testing.assert_allclose(np.asarray(res.x), x_ref, rtol=1e-7)
