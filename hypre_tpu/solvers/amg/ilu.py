@@ -1,0 +1,125 @@
+"""ILU factorization preconditioners/smoothers.
+
+Reference: parcsr_ls/par_ilu{,_setup,_solve}.c (~16 kLoC): ILU(0)/ILUK/
+ILUT factorizations with (block-Jacobi across ranks) triangular solves;
+the VE fork's level-scheduled substitution applies to the sweeps.
+
+TPU design: factorization happens host-side (scipy/numpy — setup phase);
+the triangular solves run on device via the same wavefront schedules the
+GS smoother uses (relax.py GSSchedule): L-solve = forward schedule of L,
+U-solve = backward schedule of U — each level a batched gather/scatter.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+from ...ops.csr import CSRMatrix
+from .relax import GSSchedule, build_gs_schedule, gauss_seidel
+
+
+@dataclasses.dataclass(frozen=True)
+class ILUOptions:
+    type: int = 0  # 0 = ILU(0); 1 = ILUT (threshold)
+    droptol: float = 0.01  # ILUT drop tolerance (ilu_droptol default)
+    max_row_nnz: int = 20  # ILUT fill cap (ilu_max_row_nnz default)
+
+
+def ilu0_factor(A: sp.csr_matrix):
+    """IKJ-variant ILU(0): L (unit lower) and U with A's sparsity."""
+    A = A.tocsr().copy()
+    A.sort_indices()
+    n = A.shape[0]
+    indptr, indices, data = A.indptr, A.indices, A.data.astype(np.float64).copy()
+    diag_pos = np.zeros(n, dtype=np.int64)
+    for i in range(n):
+        row = indices[indptr[i] : indptr[i + 1]]
+        dp = np.searchsorted(row, i)
+        diag_pos[i] = indptr[i] + dp
+
+    # standard in-place IKJ ILU(0)
+    col_pos = {}
+    for i in range(n):
+        s, e = indptr[i], indptr[i + 1]
+        row_cols = indices[s:e]
+        col_pos.clear()
+        for p in range(s, e):
+            col_pos[indices[p]] = p
+        for p in range(s, e):
+            k = indices[p]
+            if k >= i:
+                break
+            dk = data[diag_pos[k]]
+            if dk == 0:
+                continue
+            lik = data[p] / dk
+            data[p] = lik
+            for q in range(diag_pos[k] + 1, indptr[k + 1]):
+                j = indices[q]
+                pj = col_pos.get(j)
+                if pj is not None:
+                    data[pj] -= lik * data[q]
+
+    M = sp.csr_matrix((data, indices.copy(), indptr.copy()), shape=A.shape)
+    L = sp.tril(M, k=-1).tocsr() + sp.eye(n, format="csr")
+    U = sp.triu(M, k=0).tocsr()
+    return L.tocsr(), U.tocsr()
+
+
+def ilut_factor(A: sp.csr_matrix, droptol=0.01, max_row_nnz=20):
+    """scipy's spilu (SuperLU ILUTP) as the ILUT engine (par_ilu type 1)."""
+    import scipy.sparse.linalg as spla
+
+    B = spla.spilu(
+        A.tocsc(), drop_tol=droptol, fill_factor=max(1, max_row_nnz // 2)
+    )
+    n = A.shape[0]
+    L = B.L.tocsr()
+    U = B.U.tocsr()
+    # spilu permutes rows/cols; fold the permutations into the solve
+    return L, U, B.perm_r, B.perm_c
+
+
+class ILU:
+    """M^{-1} r = U^{-1} L^{-1} r via wavefront-scheduled substitution."""
+
+    def __init__(self, A: CSRMatrix, opts: ILUOptions = ILUOptions()):
+        self.opts = opts
+        As = A.to_scipy()
+        self.perm_r = self.perm_c = None
+        if opts.type == 0:
+            L, U = ilu0_factor(As)
+        else:
+            L, U, self.perm_r, self.perm_c = ilut_factor(
+                As, opts.droptol, opts.max_row_nnz
+            )
+        # forward schedule solves L y = r (unit diag -> divisor 1),
+        # backward solves U x = y
+        Lc = CSRMatrix.from_scipy(L)
+        Uc = CSRMatrix.from_scipy(U)
+        self._Lsched = build_gs_schedule(
+            Lc, forward=True, divisor=np.ones(L.shape[0])
+        )
+        self._Usched = build_gs_schedule(Uc, forward=False, divisor=U.diagonal())
+        if self.perm_r is not None:
+            self._pr = jnp.asarray(np.asarray(self.perm_r))
+            self._pc = jnp.asarray(np.asarray(self.perm_c))
+
+    def solve(self, r):
+        """Apply the preconditioner (the hypre_ILUSolve triangular pair)."""
+        if self.perm_r is not None:
+            r = r[self._pr]
+        y = gauss_seidel(self._Lsched, jnp.zeros_like(r), r)
+        x = gauss_seidel(self._Usched, jnp.zeros_like(y), y)
+        if self.perm_c is not None:
+            x = jnp.zeros_like(x).at[self._pc].set(x)
+        return x
+
+    @property
+    def precond(self):
+        return self.solve

@@ -1,0 +1,61 @@
+"""ILU preconditioners (reference: parcsr_ls/par_ilu*.c)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse as sp
+import scipy.sparse.linalg as spla
+
+from hypre_tpu.models import difconv_7pt, laplacian_7pt
+from hypre_tpu.ops.dia import freeze_auto, spmv
+from hypre_tpu.solvers.amg.ilu import ILU, ILUOptions, ilu0_factor
+from hypre_tpu.solvers.krylov import GMRESOptions, PCGOptions, gmres, pcg
+
+
+def test_ilu0_factor_exact_on_triangular_pattern():
+    # for a matrix whose LU fill stays within the pattern, ILU(0) = LU
+    A = sp.diags([[-1.0] * 9, [4.0] * 10, [-1.0] * 9], [-1, 0, 1]).tocsr()
+    L, U = ilu0_factor(A)
+    err = abs((L @ U - A)).max()
+    assert err < 1e-12
+
+
+def test_ilu0_apply_is_triangular_solve():
+    A = laplacian_7pt(5, 5, 3)
+    ilu = ILU(A)
+    rng = np.random.default_rng(0)
+    r = rng.standard_normal(A.num_rows)
+    z = np.asarray(ilu.solve(jnp.asarray(r)))
+    # reference: scipy triangular solves with the same factors
+    L, U = ilu0_factor(A.to_scipy())
+    z_ref = spla.spsolve_triangular(
+        U.tocsr(), spla.spsolve_triangular(L.tocsr(), r, lower=True), lower=False
+    )
+    np.testing.assert_allclose(z, z_ref, rtol=1e-10, atol=1e-12)
+
+
+def test_ilu0_pcg():
+    A = laplacian_7pt(8, 8, 8)
+    n = A.num_rows
+    E = freeze_auto(A)
+    ilu = ILU(A)
+    b = jnp.ones(n)
+    res = pcg(lambda x: spmv(E, x), b, M=ilu.precond,
+              opts=PCGOptions(tol=1e-9, max_iter=200))
+    res_d = pcg(lambda x: spmv(E, x), b,
+                opts=PCGOptions(tol=1e-9, max_iter=400))
+    assert bool(res.converged)
+    assert int(res.num_iterations) < int(res_d.num_iterations)
+
+
+def test_ilut_gmres_nonsymmetric():
+    A = difconv_7pt(7, 7, 4, ax=8.0, ay=8.0, az=2.0)
+    n = A.num_rows
+    E = freeze_auto(A)
+    ilu = ILU(A, ILUOptions(type=1, droptol=1e-3))
+    b = jnp.ones(n)
+    res = gmres(lambda x: spmv(E, x), b, M=ilu.precond,
+                opts=GMRESOptions(tol=1e-9, k_dim=30, max_iter=300))
+    assert bool(res.converged)
+    x_ref = spla.spsolve(A.to_scipy().tocsc(), np.ones(n))
+    np.testing.assert_allclose(np.asarray(res.x), x_ref, rtol=1e-5, atol=1e-9)
