@@ -91,3 +91,31 @@ def rs_coarsen(S_indptr, S_indices, ST_indptr, ST_indices, n: int):
 
 def available() -> bool:
     return _load() is not None
+
+
+def cljp_coarsen(S_indptr, S_indices, n: int, measure):
+    """CLJP coarsening; returns cf or None without a compiler.
+    S_indices and measure are consumed (copied internally)."""
+    import ctypes as _ct
+
+    lib = _load()
+    if lib is None:
+        return None
+    if not hasattr(lib, "cljp_coarsen_bound"):
+        I64 = _ct.POINTER(_ct.c_int64)
+        D = _ct.POINTER(_ct.c_double)
+        lib.cljp_coarsen.argtypes = [I64, I64, _ct.c_int64, D, I64]
+        lib.cljp_coarsen.restype = None
+        lib.cljp_coarsen_bound = True
+    indptr = np.ascontiguousarray(S_indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(S_indices, dtype=np.int64).copy()
+    meas = np.ascontiguousarray(measure, dtype=np.float64).copy()
+    cf = np.zeros(n, dtype=np.int64)
+    lib.cljp_coarsen(
+        _ptr(indptr),
+        _ptr(indices),
+        n,
+        meas.ctypes.data_as(__import__("ctypes").POINTER(__import__("ctypes").c_double)),
+        _ptr(cf),
+    )
+    return cf

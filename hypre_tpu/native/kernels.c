@@ -129,3 +129,103 @@ void rs_coarsen(const int64_t *S_indptr, const int64_t *S_indices,
     free(next);
     free(prev);
 }
+
+/* CLJP coarsening (par_coarsen.c:93 hypre_BoomerAMGCoarsen, serial form).
+ * S_indices entries are mutated (sign-encoded edge removal, the
+ * reference's in-place trick).  measure holds |S^T col| + rand on entry.
+ * cf: 0 unassigned -> 1 C / -1 F. */
+void cljp_coarsen(const int64_t *S_indptr, int64_t *S_indices, int64_t n,
+                  double *measure, int64_t *cf)
+{
+    const int64_t C_PT = 1, F_PT = -1, SF_PT = -3, COMMON_C = -2;
+    int64_t *graph = (int64_t *)malloc(n * sizeof(int64_t));
+    int64_t graph_size = n;
+    for (int64_t i = 0; i < n; ++i) { graph[i] = i; cf[i] = 0; }
+
+    for (;;) {
+        /* F-assignment: measure < 1 and all row edges removed */
+        for (int64_t ig = 0; ig < graph_size; ++ig) {
+            int64_t i = graph[ig];
+            if (cf[i] != C_PT && measure[i] < 1.0) {
+                cf[i] = F_PT;
+                for (int64_t p = S_indptr[i]; p < S_indptr[i + 1]; ++p)
+                    if (S_indices[p] > -1) { cf[i] = 0; break; }
+            }
+            if (cf[i]) {
+                measure[i] = 0.0;
+                graph[ig] = graph[--graph_size];
+                graph[graph_size] = i;
+                --ig;
+            }
+        }
+        if (graph_size == 0) break;
+
+        /* independent set: candidates measure > 1, strict loser removal */
+        for (int64_t ig = 0; ig < graph_size; ++ig) {
+            int64_t i = graph[ig];
+            if (measure[i] > 1.0) cf[i] = 1;
+        }
+        for (int64_t ig = 0; ig < graph_size; ++ig) {
+            int64_t i = graph[ig];
+            if (measure[i] > 1.0) {
+                for (int64_t p = S_indptr[i]; p < S_indptr[i + 1]; ++p) {
+                    int64_t j = S_indices[p];
+                    if (j < 0) j = -j - 1;
+                    if (measure[j] > 1.0) {
+                        if (measure[i] > measure[j]) cf[j] = 0;
+                        else if (measure[j] > measure[i]) cf[i] = 0;
+                    }
+                }
+            }
+        }
+
+        /* C assignment + CLJP heuristics (par_coarsen.c:615-800) */
+        for (int64_t ig = 0; ig < graph_size; ++ig) {
+            int64_t i = graph[ig];
+            if (cf[i] > 0) {
+                cf[i] = C_PT;
+                for (int64_t p = S_indptr[i]; p < S_indptr[i + 1]; ++p) {
+                    int64_t j = S_indices[p];
+                    if (j > -1) {
+                        S_indices[p] = -j - 1; /* remove edge */
+                        if (!cf[j]) measure[j] -= 1.0;
+                    }
+                }
+            } else {
+                /* marked dependencies */
+                for (int64_t p = S_indptr[i]; p < S_indptr[i + 1]; ++p) {
+                    int64_t j = S_indices[p];
+                    if (j < 0) j = -j - 1;
+                    if (cf[j] > 0) {
+                        if (S_indices[p] > -1) S_indices[p] = -S_indices[p] - 1;
+                        cf[j] = COMMON_C;
+                    } else if (cf[j] == SF_PT) {
+                        if (S_indices[p] > -1) S_indices[p] = -S_indices[p] - 1;
+                    }
+                }
+                /* unmarked dependencies: common-C heuristic */
+                for (int64_t p = S_indptr[i]; p < S_indptr[i + 1]; ++p) {
+                    if (S_indices[p] > -1) {
+                        int64_t j = S_indices[p];
+                        for (int64_t q = S_indptr[j]; q < S_indptr[j + 1]; ++q) {
+                            int64_t k = S_indices[q];
+                            if (k < 0) k = -k - 1;
+                            if (cf[k] == COMMON_C) {
+                                S_indices[p] = -S_indices[p] - 1;
+                                measure[j] -= 1.0;
+                                break;
+                            }
+                        }
+                    }
+                }
+                /* reset temporary markers */
+                for (int64_t p = S_indptr[i]; p < S_indptr[i + 1]; ++p) {
+                    int64_t j = S_indices[p];
+                    if (j < 0) j = -j - 1;
+                    if (cf[j] == COMMON_C) cf[j] = C_PT;
+                }
+            }
+        }
+    }
+    free(graph);
+}

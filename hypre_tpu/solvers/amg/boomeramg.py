@@ -27,7 +27,13 @@ from ...ops.spmv import ell_spmv
 from ...ops.dia import freeze_auto, spmv
 from ...utils.timing import timed
 from ..krylov.common import SolverResult
-from .coarsen import C_PT, hmis_coarsen, pmis_coarsen, ruge_stuben_coarsen
+from .coarsen import (
+    C_PT,
+    cljp_coarsen,
+    hmis_coarsen,
+    pmis_coarsen,
+    ruge_stuben_coarsen,
+)
 from .interp import (
     classical_interp,
     direct_interp,
@@ -161,6 +167,12 @@ class BoomerAMG:
             return hmis_coarsen(S, seed=o.seed)
         if o.coarsen_type == "rs":
             return ruge_stuben_coarsen(S)
+        if o.coarsen_type == "cljp":
+            return cljp_coarsen(S, seed=o.seed)
+        if o.coarsen_type == "falgout":
+            from .coarsen import falgout_coarsen
+
+            return falgout_coarsen(S, seed=o.seed)
         raise ValueError(f"unknown coarsen_type {o.coarsen_type}")
 
     def _interp(self, A, S, cf):

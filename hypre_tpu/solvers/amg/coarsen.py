@@ -42,6 +42,28 @@ def _measures(S: sp.csr_matrix, seed: int = _PMIS_SEED, first_row: int = 0) -> n
     return col_count + lcg_fill(seed, n, skip=first_row)
 
 
+def cljp_coarsen(S: sp.csr_matrix, seed: int = _PMIS_SEED) -> np.ndarray:
+    """CLJP coarsening (par_coarsen.c:93 hypre_BoomerAMGCoarsen) via the
+    native kernel; measures = |S^T col| + LCG rand (par_indepset parity)."""
+    from ... import native
+
+    n = S.shape[0]
+    measure = _measures(S, seed)
+    cf = native.cljp_coarsen(S.indptr, S.indices, n, measure)
+    if cf is None:
+        raise RuntimeError("CLJP requires the native kernel (no C compiler found)")
+    return cf
+
+
+def falgout_coarsen(S: sp.csr_matrix, seed: int = _PMIS_SEED) -> np.ndarray:
+    """Falgout coarsening (par_coarsen.c:1992): RS first pass, then CLJP
+    on the unsettled boundary (serial: RS settles everything, so this
+    reduces to RS — the composition matters only across ranks; kept for
+    API parity and validated against the oracle)."""
+    cf = ruge_stuben_coarsen(S)
+    return cf
+
+
 def pmis_coarsen(
     S: sp.csr_matrix,
     cf_init: np.ndarray | None = None,
