@@ -54,7 +54,7 @@ from .relax import (
 )
 from .strength import strength_matrix
 
-_GS_TYPES = (3, 4, 6, 13, 14)
+_GS_TYPES = (1, 2, 3, 4, 6, 8, 13, 14)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -333,7 +333,10 @@ class BoomerAMG:
         w = o.relax_weight
         if relax_type == 9:
             return lvl.coarse_inv @ f
-        if relax_type in (0, 7, 18):
+        if relax_type in (0, 5, 7, 18):
+            # 0/7 weighted Jacobi; 5 chaotic GS (order-free on a data-
+            # parallel machine == Jacobi, par_relax.c's own caveat);
+            # 18 l1-Jacobi
             div = lvl.l1inv if relax_type == 18 else lvl.dinv
             if o.relax_order == 1:
                 order = (~lvl.cmask, lvl.cmask) if up else (lvl.cmask, ~lvl.cmask)
@@ -341,11 +344,14 @@ class BoomerAMG:
                     u = jacobi_cf(lvl.A, div, u, f, mask, w)
                 return u
             return jacobi(lvl.A, div, u, f, w)
-        if relax_type in (3, 13):
+        if relax_type in (1, 2, 3, 13):
+            # sequential/hybrid forward GS (np=1: true GS; 13 = L1-GS
+            # whose option-4 divisor degenerates to |diag|)
             return gauss_seidel(lvl.gs_fwd, u, f, w)
         if relax_type in (4, 14):
             return gauss_seidel(lvl.gs_bwd, u, f, w)
-        if relax_type == 6:
+        if relax_type in (6, 8):
+            # hybrid SSOR / L1-SSOR (same degenerate divisor at np=1)
             u = gauss_seidel(lvl.gs_fwd, u, f, w)
             return gauss_seidel(lvl.gs_bwd, u, f, w)
         if relax_type == 16:
