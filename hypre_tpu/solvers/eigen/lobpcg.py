@@ -83,6 +83,11 @@ def lobpcg(
             it_done = it
             break
         W = T(R)
+        # soft locking: converged columns contribute no search direction
+        # (their W is numerical noise that erodes block rank — lobpcg.c's
+        # activeMask)
+        active = (resnorms >= opts.tol)[None, :]
+        W = jnp.where(active, W, 0.0)
         AW = A(W)
         X, AX, P, AP, theta = _rr_update(A, B, X, AX, W, AW, P, AP, m, it == 0)
         it_done = it + 1

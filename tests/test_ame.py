@@ -23,11 +23,12 @@ def test_ame_smallest_nonzero_modes():
     evs = np.sort(np.asarray(res.eigenvalues))
 
     # reference: eigenvalues of A restricted to the complement of
-    # range(G) — compute dense for this small case
+    # range(G) — dense, with a RANK-AWARE basis (G annihilates constants,
+    # so naive QR projects out one dimension too many)
     As = A.to_scipy().toarray()
     Gs = G.to_scipy().toarray()
-    # orthonormal basis of the orthogonal complement of range(G)
-    q, _ = np.linalg.qr(Gs)
+    u, sv, _ = np.linalg.svd(Gs, full_matrices=False)
+    q = u[:, sv > 1e-10 * sv.max()]
     Pc = np.eye(ne) - q @ q.T
     w = np.linalg.eigvalsh(Pc @ As @ Pc)
     w_pos = np.sort(w[w > 0.02])[:3]  # skip the deflated ~0.01*gradient band
