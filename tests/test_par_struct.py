@@ -1,0 +1,49 @@
+"""Distributed struct via GSPMD sharding: cross-decomposition parity
+(the smgbase3d/pfmgbase3d same-answer-for-np-1/8 contract)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hypre_tpu.parallel import make_mesh
+from hypre_tpu.parallel.par_struct import shard_struct, vector_sharding
+from hypre_tpu.solvers.struct_ls import PFMG, PFMGOptions, SMG, SMGOptions
+from hypre_tpu.struct import StructGrid, StructMatrix, struct_matvec
+
+
+def poisson7(shape, cx=1.0, cy=1.0, cz=1.0):
+    ones = np.ones(shape)
+    return StructMatrix.from_dict(
+        {(0, 0, 0): 2 * (cx + cy + cz) * ones,
+         (-1, 0, 0): -cx * ones, (1, 0, 0): -cx * ones,
+         (0, -1, 0): -cy * ones, (0, 1, 0): -cy * ones,
+         (0, 0, -1): -cz * ones, (0, 0, 1): -cz * ones},
+        StructGrid(shape),
+    )
+
+
+def test_sharded_struct_matvec():
+    mesh = make_mesh(8)
+    A = poisson7((16, 12, 10), 2.0, 3.0, 40.0)
+    x = np.random.default_rng(0).standard_normal((16, 12, 10))
+    A_sh, (x_sh,) = shard_struct(A, [x], mesh)
+    y_sh = jax.jit(struct_matvec)(A_sh, x_sh)
+    y = struct_matvec(A, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(y_sh), np.asarray(y), rtol=1e-13)
+
+
+def test_sharded_pfmg_iteration_invariance():
+    mesh = make_mesh(8)
+    shape = (16, 12, 12)
+    A = poisson7(shape, 2.0, 3.0, 40.0)
+    pf = PFMG(A, PFMGOptions(tol=1e-6, max_iter=60, skip_relax=0))
+    res_serial = pf.solve(jnp.ones(shape))
+    b_sh = jax.device_put(np.ones(shape), vector_sharding(mesh, 3))
+    res_sh = pf.solve(b_sh)
+    assert int(res_serial.num_iterations) == int(res_sh.num_iterations)
+    np.testing.assert_allclose(
+        np.asarray(res_sh.x), np.asarray(res_serial.x), atol=1e-14
+    )

@@ -66,3 +66,18 @@ def test_iterations_and_conv_factor(amg_default):
     )
     cf = (norms[iters] / norms[0]) ** (1.0 / iters)
     assert cf == pytest.approx(0.678738, abs=1e-6)
+
+
+@pytest.mark.slow
+def test_w_cycle_parity():
+    # oracle: ij -pmis -Pmx 0 -rlx 0 -xisone -mu 2 -> 48 iters, cf 0.677795
+    A = laplacian_7pt(10, 10, 10)
+    import dataclasses
+
+    amg = BoomerAMG(A, dataclasses.replace(DEFAULT_OPTS, cycle_type=2))
+    b = jnp.asarray(A.to_scipy() @ np.ones(1000))
+    res = amg.solve(b, tol=1e-8, max_iter=100)
+    it = int(res.num_iterations)
+    assert it == 48
+    norms = np.asarray(res.res_norms)
+    assert (norms[it] / norms[0]) ** (1.0 / it) == pytest.approx(0.677795, abs=1e-6)
