@@ -119,3 +119,42 @@ def cljp_coarsen(S_indptr, S_indices, n: int, measure):
         _ptr(cf),
     )
     return cf
+
+
+def ext_pi_interp(A, S, cf):
+    """Native ext+i fill; returns scipy COO triplets or None."""
+    import ctypes as _ct
+
+    lib = _load()
+    if lib is None:
+        return None
+    if not hasattr(lib, "ext_pi_bound"):
+        I64 = _ct.POINTER(_ct.c_int64)
+        D = _ct.POINTER(_ct.c_double)
+        lib.ext_pi_interp.argtypes = [I64, I64, D, I64, I64, I64,
+                                      _ct.c_int64, I64, I64, D, _ct.c_int64]
+        lib.ext_pi_interp.restype = _ct.c_int64
+        lib.ext_pi_bound = True
+    import ctypes
+
+    n = A.shape[0]
+    ai = np.ascontiguousarray(A.indptr, dtype=np.int64)
+    aj = np.ascontiguousarray(A.indices, dtype=np.int64)
+    ad = np.ascontiguousarray(A.data, dtype=np.float64)
+    si = np.ascontiguousarray(S.indptr, dtype=np.int64)
+    sj = np.ascontiguousarray(S.indices, dtype=np.int64)
+    cfa = np.ascontiguousarray(cf, dtype=np.int64)
+    cap = max(int(A.nnz * 4), 16)
+    for _ in range(3):
+        rows = np.zeros(cap, dtype=np.int64)
+        cols = np.zeros(cap, dtype=np.int64)
+        vals = np.zeros(cap, dtype=np.float64)
+        dptr = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+        nnz = lib.ext_pi_interp(
+            _ptr(ai), _ptr(aj), dptr(ad), _ptr(si), _ptr(sj), _ptr(cfa),
+            n, _ptr(rows), _ptr(cols), dptr(vals), cap,
+        )
+        if nnz <= cap:
+            return rows[:nnz], cols[:nnz], vals[:nnz]
+        cap = int(nnz) + 16
+    return None
