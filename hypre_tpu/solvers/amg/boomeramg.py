@@ -68,6 +68,12 @@ class BoomerAMGOptions:
     interp_type: str = "classical"  # classical | direct | ext+i (hypre 0|3|6)
     trunc_factor: float = 0.0
     P_max_elmts: int = 0
+    # aggressive coarsening (par_amg.h agg_num_levels; interp built as a
+    # two-stage product P1 @ P2, the agg_interp 1/2 family — multipass
+    # planned): applied to the first agg_num_levels levels
+    agg_num_levels: int = 0
+    agg_P_max_elmts: int = 0
+    agg_trunc_factor: float = 0.0
     # smoothing
     relax_down: int = 13
     relax_up: int = 14
@@ -149,8 +155,38 @@ class BoomerAMG:
                     self.levels.append(self._freeze_level(A, None, None, None))
                     break
                 with timed("INTERP"):
-                    P = self._interp(A, S, cf)
-                    P = truncate_interp(P, o.trunc_factor, o.P_max_elmts)
+                    if len(self._host_A) < o.agg_num_levels:
+                        # aggressive: coarsen twice, interpolate through
+                        # the intermediate grid, store the product P
+                        P1 = truncate_interp(
+                            self._interp(A, S, cf), o.trunc_factor, o.P_max_elmts
+                        )
+                        A_mid = galerkin_rap(A, P1)
+                        S2 = strength_matrix(
+                            CSRMatrix.from_scipy(A_mid),
+                            o.strong_threshold,
+                            o.max_row_sum,
+                        )
+                        cf2 = self._coarsen(S2)
+                        if 0 < (cf2 > 0).sum() < A_mid.shape[0]:
+                            P2 = truncate_interp(
+                                self._interp(A_mid, S2, cf2),
+                                o.trunc_factor,
+                                o.P_max_elmts,
+                            )
+                            P = (P1 @ P2).tocsr()
+                            P = truncate_interp(
+                                P, o.agg_trunc_factor, o.agg_P_max_elmts
+                            )
+                            # combined CF: C iff C in both stages
+                            cidx1 = np.flatnonzero(cf > 0)
+                            cf = np.where(cf > 0, -1, cf).astype(np.int64)
+                            cf[cidx1[cf2 > 0]] = 1
+                        else:
+                            P = P1
+                    else:
+                        P = self._interp(A, S, cf)
+                        P = truncate_interp(P, o.trunc_factor, o.P_max_elmts)
                 with timed("RAP"):
                     Ac = galerkin_rap(A, P)
                 self._host_A.append(A)

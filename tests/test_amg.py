@@ -148,3 +148,24 @@ def test_amg_gs_parity_with_sequential():
     schedb = build_gs_schedule(A, forward=False)
     ub = gauss_seidel(schedb, jnp.asarray(u0), jnp.asarray(f))
     np.testing.assert_allclose(np.asarray(ub), u_ref_b, rtol=1e-13)
+
+
+def test_aggressive_coarsening():
+    # agg_num_levels=1: much lower operator complexity, more iterations
+    # (the classic hypre tradeoff)
+    from hypre_tpu.ops.dia import spmv
+    from hypre_tpu.solvers.krylov import PCGOptions, pcg
+
+    A = laplacian_7pt(12, 12, 12)
+    base = BoomerAMG(A, BoomerAMGOptions(
+        coarsen_type="pmis", interp_type="ext+i", P_max_elmts=4,
+        relax_down=18, relax_up=18))
+    agg = BoomerAMG(A, BoomerAMGOptions(
+        coarsen_type="pmis", interp_type="ext+i", P_max_elmts=4,
+        relax_down=18, relax_up=18, agg_num_levels=1))
+    assert agg.operator_complexity() < base.operator_complexity() * 0.75
+    assert agg.num_levels < base.num_levels
+    b = jnp.asarray(A.to_scipy() @ np.ones(A.num_rows))
+    res = pcg(lambda x: spmv(agg.levels[0].A, x), b, M=agg.precond,
+              opts=PCGOptions(tol=1e-8, max_iter=80))
+    assert bool(res.converged)
