@@ -28,6 +28,8 @@ def main():
     ap.add_argument("--dtype", default="float32", choices=["float32", "float64"])
     ap.add_argument("--tol", type=float, default=1e-6)
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--nongalerkin", type=float, default=0.02,
+                    help="coarse-operator sparsification drop tol")
     args = ap.parse_args()
 
     import jax
@@ -59,6 +61,7 @@ def main():
             relax_down=18,  # l1-Jacobi: hypre's parallel-recommended smoother
             relax_up=18,
             dtype=args.dtype,
+            nongalerkin_tol=args.nongalerkin,
         ),
     )
     setup_time = time.perf_counter() - t0

@@ -40,7 +40,7 @@ from .interp import (
     extended_i_interp,
     truncate_interp,
 )
-from .rap import galerkin_rap
+from .rap import galerkin_rap, nongalerkin_filter
 from .relax import (
     ChebyData,
     GSSchedule,
@@ -74,6 +74,9 @@ class BoomerAMGOptions:
     agg_num_levels: int = 0
     agg_P_max_elmts: int = 0
     agg_trunc_factor: float = 0.0
+    # non-Galerkin coarse-operator sparsification (par_nongalerkin.c
+    # role): drop tol applied to coarse levels >= 1 (0 = off)
+    nongalerkin_tol: float = 0.0
     # smoothing
     relax_down: int = 13
     relax_up: int = 14
@@ -189,6 +192,8 @@ class BoomerAMG:
                         P = truncate_interp(P, o.trunc_factor, o.P_max_elmts)
                 with timed("RAP"):
                     Ac = galerkin_rap(A, P)
+                    if o.nongalerkin_tol > 0:
+                        Ac = nongalerkin_filter(Ac, o.nongalerkin_tol)
                 self._host_A.append(A)
                 self._host_P.append(P)
                 self._cf.append(cf)
