@@ -126,3 +126,87 @@ def curlcurl_matrix(nx, ny, nz, alpha=1.0, beta=1.0, h=1.0):
     A = A.tocsr()
     A.sort_indices()
     return CSRMatrix.from_scipy(A), G, coords
+
+
+def face_structure(nx, ny, nz, h=1.0):
+    """Face-element (RT0) structure: returns (C, Pi_rt, n_faces, G,
+    coords) with C
+    the discrete curl (faces x edges, from edge_structure) and Pi_rt the
+    RT0 interpolation faces x 3*nodes (quarter weight per face corner in
+    the face-normal component) — the hypre_ADSComputePi analog."""
+    G, C, coords, ne = edge_structure(nx, ny, nz, h)
+    NS = (nx + 1, ny + 1, nz + 1)
+    nid = _node_id(NS)
+    nn = nid.size
+
+    rows_l, cols_l, vals_l = [], [], []
+    fcount = 0
+    for d in range(3):
+        d1, d2 = [x for x in range(3) if x != d]
+        fshape = list(NS)
+        fshape[d1] -= 1
+        fshape[d2] -= 1
+        nf = int(np.prod(fshape))
+        idx = np.indices(fshape)
+        fid = np.arange(nf) + fcount
+        # 4 corner nodes of each face (quad in the d1-d2 plane)
+        for s1 in (0, 1):
+            for s2 in (0, 1):
+                cidx = [idx[k].copy() for k in range(3)]
+                cidx[d1] += s1
+                cidx[d2] += s2
+                nodes = nid[tuple(cidx)].ravel()
+                rows_l.append(fid)
+                cols_l.append(nodes * 3 + d)  # normal component
+                vals_l.append(np.full(nf, 0.25 * h * h))
+        fcount += nf
+
+    import scipy.sparse as sp
+
+    Pi = sp.coo_matrix(
+        (np.concatenate(vals_l), (np.concatenate(rows_l), np.concatenate(cols_l))),
+        shape=(fcount, 3 * nn),
+    ).tocsr()
+    return C, CSRMatrix.from_scipy(Pi), fcount, G, coords
+
+
+def divdiv_matrix(nx, ny, nz, alpha=1.0, beta=1.0, h=1.0):
+    """A = alpha D^T D + beta M_f on faces (D = discrete divergence =
+    cell-face incidence) — the ADS test problem."""
+    import scipy.sparse as sp
+
+    C, Pi, nf, G, coords = face_structure(nx, ny, nz, h)
+    # divergence: cells x faces; cell (i,j,k) touches 6 faces with signs
+    NS = (nx + 1, ny + 1, nz + 1)
+    ncell = nx * ny * nz
+    cshape = (nx, ny, nz)
+    cidx = np.indices(cshape)
+    cell = np.arange(ncell)
+
+    rows_l, cols_l, vals_l = [], [], []
+    foffset = 0
+    for d in range(3):
+        d1, d2 = [x for x in range(3) if x != d]
+        fshape = list(NS)
+        fshape[d1] -= 1
+        fshape[d2] -= 1
+
+        # face index arrays ordered over fshape (NS with the two
+        # tangential dims reduced), matching edge_structure's face ids
+        farr = np.arange(int(np.prod(fshape))).reshape(fshape)
+        lo = farr[tuple([cidx[k] for k in range(3)])]
+        hic = [cidx[k].copy() for k in range(3)]
+        hic[d] += 1
+        hi = farr[tuple(hic)]
+        rows_l += [cell, cell]
+        cols_l += [foffset + lo.ravel(), foffset + hi.ravel()]
+        vals_l += [np.full(ncell, -1.0), np.full(ncell, 1.0)]
+        foffset += int(np.prod(fshape))
+
+    D = sp.coo_matrix(
+        (np.concatenate(vals_l), (np.concatenate(rows_l), np.concatenate(cols_l))),
+        shape=(ncell, nf),
+    ).tocsr()
+    A = (alpha * (D.T @ D) + beta * sp.eye(nf)).tocsr()
+    A.sort_indices()
+    return CSRMatrix.from_scipy(A), C, Pi, G, coords

@@ -77,19 +77,24 @@ class AMS:
             np.where(l1 == 0, 0.0, 1.0 / np.where(l1 == 0, 1, l1))
         )
 
-        # G-space: A_G = G^T A G
+        # G-space: A_G = G^T A G; for a pure curl-curl operator this is
+        # exactly zero (beta_is_zero mode, ams.c) -> skip the G-correction
         AG = (Gs.T @ As @ Gs).tocsr()
         AG.sort_indices()
-        # remove zero rows (boundary/constant null) by unit diagonal
-        dg = AG.diagonal()
-        fix = np.flatnonzero(dg == 0)
-        if fix.size:
-            AG = AG + sp.coo_matrix(
-                (np.ones(fix.size), (fix, fix)), shape=AG.shape
-            ).tocsr()
+        scale = abs(As).max() or 1.0
+        self._beta_is_zero = AG.nnz == 0 or abs(AG).max() < 1e-12 * scale
         self._G = freeze_auto(G)
         self._GT = freeze_auto(CSRMatrix.from_scipy(Gs.T.tocsr()))
-        self._amg_G = BoomerAMG(CSRMatrix.from_scipy(AG), opts.amg)
+        if not self._beta_is_zero:
+            dg = AG.diagonal()
+            fix = np.flatnonzero(dg == 0)
+            if fix.size:
+                AG = AG + sp.coo_matrix(
+                    (np.ones(fix.size), (fix, fix)), shape=AG.shape
+                ).tocsr()
+            self._amg_G = BoomerAMG(CSRMatrix.from_scipy(AG), opts.amg)
+        else:
+            self._amg_G = None
 
         # Pi-space: A_Pi = Pi^T A Pi
         Pi = compute_pi(G, coords)
@@ -118,9 +123,11 @@ class AMS:
 
         u = jnp.zeros_like(b)
         u = self._smooth(u, r_of)  # 0
-        u = u + spmv(self._G, self._amg_G.cycle(spmv(self._GT, r_of(u))))  # 1
+        if self._amg_G is not None:
+            u = u + spmv(self._G, self._amg_G.cycle(spmv(self._GT, r_of(u))))  # 1
         u = u + spmv(self._Pi, self._amg_Pi.cycle(spmv(self._PiT, r_of(u))))  # 2
-        u = u + spmv(self._G, self._amg_G.cycle(spmv(self._GT, r_of(u))))  # 1
+        if self._amg_G is not None:
+            u = u + spmv(self._G, self._amg_G.cycle(spmv(self._GT, r_of(u))))  # 1
         u = self._smooth(u, r_of)  # 0
         return u
 
