@@ -1,0 +1,139 @@
+"""`sstruct` driver — mirrors the reference test/sstruct.c CLI subset.
+
+Reference: test/sstruct.c (5.9 kLoC; reads grid-spec input files).  This
+clone builds the built-in two-part 3D layout (the sstruct.in.default
+shape: two equal boxes sharing an interface, 5/7-pt stencils per part,
+interface couplings through the U-matrix).
+
+  -n nx ny nz    per-part grid size (default 6 6 6)
+  -d D           dimension (2|3)
+  -solver ID     3  SysPFMG (single-part path)
+                 19 Split with SMG sub-solver
+                 20 Split with PFMG sub-solver
+                 11 PCG + Split-PFMG      18 GMRES + diag
+                 40 PCG (no precond)
+  -tol T -max_iter N
+Output: "Iterations = N" / "Final Relative Residual Norm = %e".
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+
+def build_two_part(nx, ny, nz, dim):
+    import jax.numpy as jnp
+
+    from ..ops.csr import CSRMatrix
+    from ..sstruct import SStructGrid, SStructMatrix
+    from ..struct import StructGrid, StructMatrix
+
+    shape = (nx, ny, nz) if dim == 3 else (nx, ny)
+    nd = len(shape)
+    g = SStructGrid(parts=((StructGrid(shape),), (StructGrid(shape),)))
+    ones = np.ones(shape)
+    ent = {(0,) * nd: 2.0 * nd * ones}
+
+    def off(d, s):
+        o = [0] * nd
+        o[d] = s
+        return tuple(o)
+
+    for d in range(nd):
+        ent[off(d, -1)] = -ones
+        ent[off(d, 1)] = -ones
+    smats = {
+        (0, 0, 0): StructMatrix.from_dict(ent, g.grid(0)),
+        (1, 0, 0): StructMatrix.from_dict(ent, g.grid(1)),
+    }
+    # interface along the first axis: last x-plane of part 0 <-> first of part 1
+    n = g.total_size
+    offs = g.offsets()
+    tail_shape = shape[1:]
+    ntail = int(np.prod(tail_shape))
+    rows, cols = [], []
+    for j in range(ntail):
+        a = offs[(0, 0)] + (nx - 1) * ntail + j
+        bq = offs[(1, 0)] + j
+        rows += [a, bq]
+        cols += [bq, a]
+    U = CSRMatrix.from_coo(rows, cols, [-1.0] * len(rows), (n, n))
+    return g, SStructMatrix(g, smats, U)
+
+
+def run(argv=None):
+    import jax.numpy as jnp
+
+    import hypre_tpu  # noqa: F401
+    from ..solvers.krylov import GMRESOptions, PCGOptions, gmres, pcg
+    from ..solvers.sstruct_ls import SplitOptions, SStructSplit
+    from ..sstruct.matrix import sstruct_matvec
+    from ..sstruct.vector import full
+
+    a = list(argv if argv is not None else sys.argv[1:])
+
+    def flag(name, nvals=0, default=None, cast=float):
+        if name in a:
+            i = a.index(name)
+            if nvals == 0:
+                a.pop(i)
+                return True
+            vals = [cast(x) for x in a[i + 1 : i + 1 + nvals]]
+            del a[i : i + 1 + nvals]
+            return vals if nvals > 1 else vals[0]
+        return default
+
+    nx, ny, nz = flag("-n", 3, [6, 6, 6], int) or [6, 6, 6]
+    dim = flag("-d", 1, 3, int)
+    solver_id = flag("-solver", 1, 19, int)
+    tol = flag("-tol", 1, 1e-6)
+    max_iter = flag("-max_iter", 1, 200, int)
+
+    g, A = build_two_part(nx, ny, nz, dim)
+    b = full(g, 1.0)
+
+    if solver_id == 3:
+        from ..solvers.sstruct_ls.sys_pfmg import SysPFMG, SysPFMGOptions
+
+        blocks = {(0, 0): A.diag_block(0, 0)}
+        sys = SysPFMG(blocks, g.grid(0), SysPFMGOptions(tol=tol, max_iter=max_iter))
+        res = sys.solve((b[0][0],))
+    elif solver_id in (19, 20):
+        ss = "smg" if solver_id == 19 else "pfmg"
+        res = SStructSplit(A, SplitOptions(tol=tol, max_iter=max_iter, ssolver=ss)).solve(b)
+    elif solver_id == 11:
+        split = SStructSplit(A, SplitOptions(ssolver="pfmg"))
+        import jax
+
+        M = lambda r: split._step(jax.tree.map(jnp.zeros_like, r), r)
+        res = pcg(lambda x: sstruct_matvec(A, x), b, M=M,
+                  opts=PCGOptions(tol=tol, max_iter=max_iter, two_norm=True))
+    elif solver_id == 18:
+        from ..sstruct.vector import pack_vector, unpack_vector
+
+        dflat = []
+        for p in range(g.nparts):
+            for v in range(g.nvars(p)):
+                dflat.append(np.asarray(A.diag_block(p, v).diagonal()).ravel())
+        dinv = jnp.asarray(1.0 / np.concatenate(dflat))
+
+        def M(r):
+            return unpack_vector(dinv * pack_vector(r), g)
+
+        res = gmres(lambda x: sstruct_matvec(A, x), b, M=M,
+                    opts=GMRESOptions(tol=tol, max_iter=max_iter))
+    elif solver_id == 40:
+        res = pcg(lambda x: sstruct_matvec(A, x), b,
+                  opts=PCGOptions(tol=tol, max_iter=max_iter, two_norm=True))
+    else:
+        raise SystemExit(f"solver {solver_id} not implemented")
+
+    print(f"Iterations = {int(res.num_iterations)}")
+    print(f"Final Relative Residual Norm = {float(res.rel_residual_norm):e}")
+    return res
+
+
+if __name__ == "__main__":
+    run()

@@ -61,3 +61,25 @@ def test_struct_pcg_pfmg():
 def test_struct_dscg():
     res = struct_driver.run("-n 8 8 8 -solver 17 -tol 1e-8".split())
     assert bool(res.converged)
+
+
+def test_sstruct_split_smg():
+    from hypre_tpu.drivers import sstruct as sstruct_driver
+
+    res = sstruct_driver.run("-n 6 6 6 -solver 19 -tol 1e-6".split())
+    assert bool(res.converged)
+
+
+def test_sstruct_pcg_split():
+    from hypre_tpu.drivers import sstruct as sstruct_driver
+
+    res = sstruct_driver.run("-n 6 6 6 -solver 11 -tol 1e-8".split())
+    assert bool(res.converged)
+    assert int(res.num_iterations) <= 30
+
+
+def test_sstruct_syspfmg():
+    from hypre_tpu.drivers import sstruct as sstruct_driver
+
+    res = sstruct_driver.run("-n 8 8 8 -solver 3 -tol 1e-8".split())
+    assert bool(res.converged)
