@@ -163,48 +163,67 @@ def cheby_setup(
     order: int = 2,
     ratio: float = 0.3,
     max_eig: float | None = None,
+    min_eig: float | None = None,
+    eig_est_iters: int = 10,
 ) -> ChebyData:
-    """Coefficients of the scaled Chebyshev smoother (par_cheby.c:35-200).
-
-    Mirrors hypre_ParCSRRelax_Cheby_Setup: operate on D^{-1/2} A D^{-1/2},
-    eig upper bound from a CG/Lanczos estimate (here: a few power/Lanczos
-    steps on the scaled operator), lower = ratio * upper, and expand the
-    shifted Chebyshev polynomial into monomial coefficients.
+    """Coefficients of the scaled Chebyshev smoother, matching
+    hypre_ParCSRRelax_Cheby_Setup (par_cheby.c):
+      upper = 1.1 * max_eig;  lower = (upper - min_eig)*fraction + min_eig
+      theta = (upper+lower)/2, delta = (upper-lower)/2
+      standard-variant monomial coefficients for cheby_order = order-1
+    Eigen bounds from a Lanczos sweep on D^{-1/2} A D^{-1/2} (the
+    hypre_ParCSRMaxEigEstimateCG analog, cheby_eig_est=10 default).
     """
-    import scipy.sparse.linalg as spla
-
     diag = A.diagonal()
     dsqrtinv = 1.0 / np.sqrt(np.abs(diag))
     M = A.to_scipy()
     n = A.num_rows
-    if max_eig is None:
+    if max_eig is None or min_eig is None:
         Ds = np.asarray(dsqrtinv)
-        scaled = lambda x: Ds * (M @ (Ds * x))
-        op = spla.LinearOperator((n, n), matvec=scaled, dtype=np.float64)
-        if n > 2:
-            try:
-                max_eig = float(
-                    spla.eigsh(op, k=1, which="LA", return_eigenvectors=False, maxiter=50, tol=1e-2)[0]
-                )
-            except Exception:
-                max_eig = _power_iter(scaled, n)
-        else:
-            max_eig = _power_iter(scaled, n)
-        max_eig *= 1.1  # hypre pads the CG estimate similarly (scale factor)
+        mv = lambda x: Ds * (M @ (Ds * x))
+        lo, hi = _lanczos_bounds(mv, n, iters=max(eig_est_iters, 3))
+        max_eig = hi if max_eig is None else max_eig
+        min_eig = max(lo, 0.0) if min_eig is None else min_eig
 
-    upper, lower = max_eig, ratio * max_eig
+    upper = max_eig * 1.1
+    lower = (upper - min_eig) * ratio + min_eig
     theta = (upper + lower) / 2
     delta = (upper - lower) / 2
 
-    # monomial coefficients of the order-k Chebyshev acceleration of
-    # I - p(A)A (hypre expands these explicitly for order <= 4)
     order = min(max(order, 1), 4)
-    coefs = _cheby_monomial_coefs(order, theta, delta)
+    coefs = _cheby_std_coefs(order, theta, delta)
     return ChebyData(
         coefs=jnp.asarray(coefs),
         dsqrtinv=jnp.asarray(dsqrtinv),
         order=order,
     )
+
+
+def _lanczos_bounds(mv, n, iters=10, seed=0):
+    """Ritz extreme estimates from a short Lanczos recurrence."""
+    rng = np.random.default_rng(seed)
+    v = rng.standard_normal(n)
+    v /= np.linalg.norm(v)
+    alphas, betas = [], []
+    v_prev = np.zeros(n)
+    beta = 0.0
+    for _ in range(min(iters, n)):
+        w = mv(v) - beta * v_prev
+        alpha = float(v @ w)
+        w -= alpha * v
+        beta = float(np.linalg.norm(w))
+        alphas.append(alpha)
+        betas.append(beta)
+        if beta < 1e-14:
+            break
+        v_prev = v
+        v = w / beta
+    k = len(alphas)
+    T = np.diag(alphas)
+    for j in range(k - 1):
+        T[j, j + 1] = T[j + 1, j] = betas[j]
+    ev = np.linalg.eigvalsh(T)
+    return float(ev[0]), float(ev[-1])
 
 
 def _power_iter(mv, n, iters=30, seed=0):
@@ -220,26 +239,28 @@ def _power_iter(mv, n, iters=30, seed=0):
     return float(lam)
 
 
-def _cheby_monomial_coefs(order, theta, delta):
-    """Expand the Chebyshev smoothing polynomial into monomials
-    (the closed forms hypre hardcodes in par_cheby.c for orders 1..4)."""
-    # p(t) such that smoothing operator is p(A); from par_cheby.c:
-    # uses del = delta, the expansions below replicate its coefficients.
-    d = delta
-    t = theta
-    if order == 1:
-        return np.array([1.0 / t])
-    if order == 2:
-        den = t * t - d * d / 2
-        return np.array([2 * t, -1.0]) / den  # p(x) = (2t - x)/den
-    if order == 3:
-        den = t * (t * t - 3 * d * d / 4)
-        return np.array([3 * t * t - 3 * d * d / 4, -3 * t, 1.0]) / den
-    # order 4
-    den = (t * t) * (t * t - 3 * d * d / 2) + 3 * d**4 / 8
-    return np.array(
-        [4 * t * (t * t - d * d), -(6 * t * t - 3 * d * d / 2), 4 * t, -1.0]
-    ) / den
+def _cheby_std_coefs(order, theta, delta):
+    """hypre's standard-variant monomial coefficients (par_cheby.c,
+    cheby_order = order-1 cases 0..3, copied formulas 1:1)."""
+    th, de = theta, delta
+    co = order - 1
+    if co == 0:
+        return np.array([1.0 / th])
+    if co == 1:
+        den = de * de - 2 * th * th
+        return np.array([-4 * th / den, 2 / den])
+    if co == 2:
+        den = 3 * de * de * th - 4 * th**3
+        return np.array(
+            [(3 * de * de - 12 * th * th) / den, 12 * th / den, -4 / den]
+        )
+    den = de**4 - 8 * de * de * th * th + 8 * th**4
+    return np.array([
+        (32 * th**3 - 16 * de * de * th) / den,
+        (8 * de * de - 48 * th * th) / den,
+        32 * th / den,
+        -8 / den,
+    ])
 
 
 def chebyshev(A, cd: ChebyData, u, f):
