@@ -49,12 +49,23 @@ class DenseMatrix:
         return (self.num_rows, self.num_cols)
 
 
+def _dia_width(n: int, m: int, offsets) -> int:
+    """Stored diagonal width: pad square matrices to the Pallas kernel's
+    block grid at freeze time so no per-matvec padding is needed."""
+    if n == m and len(offsets):
+        from .pallas_dia import padded_width
+
+        span = int(offsets[-1]) - int(offsets[0])
+        return padded_width(n, len(offsets), span)
+    return n
+
+
 def csr_to_dia(A: CSRMatrix, dtype=None) -> DIAMatrix | None:
     n, m = A.shape
     rows = np.repeat(np.arange(n), A.row_nnz())
     offs = A.indices - rows
     uniq = np.unique(offs)
-    data = np.zeros((len(uniq), n), dtype=dtype or A.data.dtype)
+    data = np.zeros((len(uniq), _dia_width(n, m, uniq)), dtype=dtype or A.data.dtype)
     k = np.searchsorted(uniq, offs)
     data[k, rows] = A.data.astype(data.dtype)
     return DIAMatrix(
@@ -66,16 +77,28 @@ def csr_to_dia(A: CSRMatrix, dtype=None) -> DIAMatrix | None:
 
 
 def dia_spmv(A: DIAMatrix, x: jax.Array) -> jax.Array:
-    """y_i = sum_k data[k,i] * x[i + off_k]; shifts instead of gathers."""
+    """y_i = sum_k data[k,i] * x[i + off_k]; shifts instead of gathers.
+
+    Dispatches to the Pallas windowed-DMA kernel on TPU (f32, square,
+    large) — ~89% of HBM roofline vs ~16% for the XLA shift path; see
+    ops/pallas_dia.py.
+    """
+    from .pallas_dia import pallas_dia_ok, pallas_dia_spmv
+
     n, m = A.shape
     with jax.named_scope("MATVEC"):
+        if pallas_dia_ok(A, x):
+            return pallas_dia_spmv(A, x)
         # pad x so every shifted read is a static slice
         lo = max(0, -min(A.offsets))
         hi = max(0, max(A.offsets) + n - m)
         xp = jnp.pad(x, (lo, max(hi, max(0, max(A.offsets)))))
         acc = None
         for k, off in enumerate(A.offsets):
-            t = A.data[k] * jax.lax.dynamic_slice_in_dim(xp, lo + off, n)
+            d = A.data[k]
+            if d.shape[0] != n:  # width padded for the Pallas grid
+                d = jax.lax.slice_in_dim(d, 0, n)
+            t = d * jax.lax.dynamic_slice_in_dim(xp, lo + off, n)
             acc = t if acc is None else acc + t
         return acc
 
@@ -89,7 +112,9 @@ def freeze_auto(
     A: CSRMatrix,
     dtype=None,
     dia_max_offsets: int = 48,
-    dense_max_rows: int = 4096,
+    # 6144^2 f32 = 151MB, one spmv = ~0.2ms at roofline — still ~10x
+    # cheaper than the equivalent XLA HBM gather for typical AMG widths
+    dense_max_rows: int = 6144,
 ):
     """Pick the fastest device format for this matrix."""
     n, m = A.shape
@@ -150,7 +175,7 @@ def build_embedded_dia(
     offs = cpos[Mc.col] - rpos[Mc.row]
     uniq = np.unique(offs)
     dt = dtype or Mc.data.dtype
-    data = np.zeros((len(uniq), n_emb), dtype=dt)
+    data = np.zeros((len(uniq), _dia_width(n_emb, n_emb, uniq)), dtype=dt)
     k = np.searchsorted(uniq, offs)
     data[k, rpos[Mc.row]] = Mc.data.astype(dt)
     return DIAMatrix(

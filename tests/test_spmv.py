@@ -66,3 +66,62 @@ def test_roundtrip_coo():
     A = CSRMatrix.from_coo([0, 1, 1], [1, 0, 0], [1.0, 2.0, 3.0], (2, 2))
     # duplicates summed like IJ AddToValues
     assert A.to_scipy()[1, 0] == 5.0
+
+
+# ---------------------------------------------------------------------------
+# DIA formats (incl. the Pallas TPU kernel, run here in interpret mode)
+# ---------------------------------------------------------------------------
+
+def banded(n, offsets, seed=0):
+    rng = np.random.default_rng(seed)
+    rows, cols, vals = [], [], []
+    for o in offsets:
+        i = np.arange(max(0, -o), min(n, n - o))
+        rows.append(i)
+        cols.append(i + o)
+        vals.append(rng.standard_normal(len(i)))
+    return sp.csr_matrix(
+        (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))),
+        shape=(n, n),
+    )
+
+
+@pytest.mark.parametrize("n,offsets", [(300, (-17, -1, 0, 1, 17)), (64, (0, 3))])
+def test_dia_spmv_matches_scipy(n, offsets):
+    from hypre_tpu.ops.dia import csr_to_dia, dia_spmv
+
+    M = banded(n, offsets, seed=n)
+    A = csr_to_dia(CSRMatrix.from_scipy(M))
+    x = np.random.default_rng(1).standard_normal(n)
+    y = jax.jit(dia_spmv)(A, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(y), M @ x, rtol=1e-10)
+
+
+def test_dia_padded_width_roundtrip():
+    # freeze-time width padding (for the Pallas grid) must not change results
+    from hypre_tpu.ops.dia import csr_to_dia, dia_spmv
+
+    n = 500
+    M = banded(n, (-25, 0, 25), seed=2)
+    A = csr_to_dia(CSRMatrix.from_scipy(M))
+    assert A.data.shape[1] >= n
+    x = np.random.default_rng(3).standard_normal(n)
+    y = dia_spmv(A, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(y), M @ x, rtol=1e-10)
+
+
+@pytest.mark.parametrize("offsets", [(-320, -1, 0, 1, 320), (0, 3, 7, 100)])
+def test_pallas_dia_interpret(offsets):
+    """The TPU Pallas kernel, validated via interpret mode on CPU."""
+    from hypre_tpu.ops.csr import CSRMatrix as C
+    from hypre_tpu.ops.dia import csr_to_dia
+    from hypre_tpu.ops.pallas_dia import pallas_dia_spmv
+
+    n = 20000
+    M = banded(n, offsets, seed=7)
+    A = csr_to_dia(C.from_scipy(M), dtype=np.float32)
+    x = np.random.default_rng(5).standard_normal(n).astype(np.float32)
+    y = pallas_dia_spmv(A, jnp.asarray(x), interpret=True)
+    ref = M @ x.astype(np.float64)
+    err = np.abs(np.asarray(y) - ref).max() / np.abs(ref).max()
+    assert err < 3e-6
