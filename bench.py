@@ -62,6 +62,7 @@ def main():
             relax_up=18,
             dtype=args.dtype,
             nongalerkin_tol=args.nongalerkin,
+            lattice_shape=(nx, nx, nx),
         ),
     )
     setup_time = time.perf_counter() - t0

@@ -113,6 +113,7 @@ def run(argv=None):
         relax_down=relax["down"],
         relax_up=relax["up"],
         relax_weight=w,
+        lattice_shape=(nx, ny) if use9 else (nx, ny, nz),
     )
 
     needs_amg = solver_id in (0, 1, 3, 5, 9, 51, 61, 16)

@@ -193,6 +193,215 @@ def embedded_offset_count(M, rpos, cpos) -> int:
     return len(np.unique(cpos[Mc.col] - rpos[Mc.row]))
 
 
+# ---------------------------------------------------------------------------
+# Parity-factored (octant) lattice transfer operators
+#
+# When an AMG coarse level is RELOCATED onto a regular sub-lattice (each
+# coarse point assigned a distinct cell of the 2x-coarsened lattice —
+# see solvers/amg/boomeramg.py), the restriction R: fine -> cells and
+# interpolation P: cells -> fine become strided stencil operators.  A
+# strided stencil is a sum over fine-parity classes of SQUARE DIA
+# operators on the cell lattice: splitting x by octant (x3[pz::2,
+# py::2, px::2], a pure XLA relayout — zero gathers) makes every tap a
+# plain diagonal shift.  This turns the gather/scatter transfer ops
+# (XLA HBM gather ~130M elem/s) into Pallas-DIA streaming ops.
+# ---------------------------------------------------------------------------
+
+def _parity_index(px, py, pz, factors):
+    fx, fy, fz = factors
+    return (pz * fy + py) * fx + px
+
+
+def parity_split(x: jax.Array, fine_shape, factors) -> list[jax.Array]:
+    """Split a flat fine-lattice vector (x-fastest: gid = ix + nx*(iy +
+    ny*iz)) into its parity sub-lattice vectors, cell-lattice flat."""
+    nx, ny, nz = fine_shape
+    fx, fy, fz = factors
+    x3 = x.reshape(nz, ny, nx)
+    parts = []
+    for pz in range(fz):
+        for py in range(fy):
+            for px in range(fx):
+                parts.append(x3[pz::fz, py::fy, px::fx].reshape(-1))
+    return parts
+
+
+def parity_merge(parts, fine_shape, factors) -> jax.Array:
+    """Inverse of parity_split: recombine per-parity cell vectors into a
+    flat fine-lattice vector (pure reshape/transpose — no scatter)."""
+    nx, ny, nz = fine_shape
+    fx, fy, fz = factors
+    cz, cy, cx = nz // fz, ny // fy, nx // fx
+    y = jnp.stack(parts).reshape(fz, fy, fx, cz, cy, cx)
+    y = jnp.transpose(y, (3, 0, 4, 1, 5, 2))  # -> (cz,pz,cy,py,cx,px)
+    return y.reshape(nz * ny * nx)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ParityRestrictOp:
+    """R: fine lattice -> cell lattice; y = sum_p mats[p] @ split_p(x)."""
+
+    mats: tuple  # 2^k DIAMatrix, square on the cell lattice
+    fine_shape: tuple = dataclasses.field(metadata=dict(static=True))
+    factors: tuple = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def num_rows(self):
+        return self.mats[0].num_rows
+
+    @property
+    def num_cols(self):
+        nx, ny, nz = self.fine_shape
+        return nx * ny * nz
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ParityInterpOp:
+    """P: cell lattice -> fine lattice; y = merge_p(mats[p] @ x)."""
+
+    mats: tuple  # 2^k DIAMatrix, square on the cell lattice
+    fine_shape: tuple = dataclasses.field(metadata=dict(static=True))
+    factors: tuple = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def num_rows(self):
+        nx, ny, nz = self.fine_shape
+        return nx * ny * nz
+
+    @property
+    def num_cols(self):
+        return self.mats[0].num_cols
+
+
+def _cells_of_fine(idx, fine_shape, factors):
+    """Fine flat index -> (cell flat index, parity index)."""
+    nx, ny, nz = fine_shape
+    fx, fy, fz = factors
+    ix = idx % nx
+    iy = (idx // nx) % ny
+    iz = idx // (nx * ny)
+    cx, px = ix // fx, ix % fx
+    cy, py = iy // fy, iy % fy
+    cz, pz = iz // fz, iz % fz
+    cells = cx + (nx // fx) * (cy + (ny // fy) * cz)
+    return cells, _parity_index(px, py, pz, factors)
+
+
+def _per_parity_dia(rows_cell, cols_cell, parity, vals, ncells, nparity, dtype):
+    import scipy.sparse as _sp
+
+    mats = []
+    for p in range(nparity):
+        m = parity == p
+        Mp = _sp.csr_matrix(
+            (vals[m], (rows_cell[m], cols_cell[m])), shape=(ncells, ncells)
+        )
+        mats.append(csr_to_dia(CSRMatrix.from_scipy(Mp), dtype))
+    return tuple(mats)
+
+
+def build_parity_restrict(M, rcell, fine_shape, factors, dtype=None):
+    """M: scipy sparse (n_pts x n_fine) with rows = coarse points, cols =
+    fine lattice indices; rcell[i] = assigned cell of point i."""
+    nx, ny, nz = fine_shape
+    fx, fy, fz = factors
+    ncells = (nx // fx) * (ny // fy) * (nz // fz)
+    Mc = M.tocoo()
+    ccell, par = _cells_of_fine(Mc.col.astype(np.int64), fine_shape, factors)
+    mats = _per_parity_dia(
+        rcell[Mc.row], ccell, par, Mc.data, ncells, fx * fy * fz,
+        dtype or Mc.data.dtype,
+    )
+    return ParityRestrictOp(mats=mats, fine_shape=tuple(fine_shape), factors=tuple(factors))
+
+
+def build_parity_interp(M, ccol, fine_shape, factors, dtype=None):
+    """M: scipy sparse (n_fine x n_pts) with rows = fine lattice indices,
+    cols = coarse points; ccol[j] = assigned cell of point j."""
+    nx, ny, nz = fine_shape
+    fx, fy, fz = factors
+    ncells = (nx // fx) * (ny // fy) * (nz // fz)
+    Mc = M.tocoo()
+    rcell, par = _cells_of_fine(Mc.row.astype(np.int64), fine_shape, factors)
+    mats = _per_parity_dia(
+        rcell, ccol[Mc.col], par, Mc.data, ncells, fx * fy * fz,
+        dtype or Mc.data.dtype,
+    )
+    return ParityInterpOp(mats=mats, fine_shape=tuple(fine_shape), factors=tuple(factors))
+
+
+def parity_offset_count(ops) -> int:
+    return sum(len(m.offsets) for m in ops.mats)
+
+
+def relocate_to_cells(pos, fine_shape, factors, max_load=0.9):
+    """Assign each point (fine flat lattice index) a DISTINCT cell of the
+    factor-coarsened lattice near its own position (host, deterministic).
+
+    This is the setup step that makes algebraically-chosen (PMIS/...)
+    coarse grids lattice-regular again: the assignment is a permutation,
+    so the relocated coarse operator is similarity-equivalent (identical
+    spectrum, identical AMG convergence) while its diagonals become few.
+    Collisions are resolved by scanning Chebyshev rings for the nearest
+    free cell in deterministic order.  Returns int64 cells or None.
+    """
+    pos = np.asarray(pos, dtype=np.int64)
+    nx, ny, nz = fine_shape
+    fx, fy, fz = factors
+    cxn, cyn, czn = nx // fx, ny // fy, nz // fz
+    ncells = cxn * cyn * czn
+    npts = len(pos)
+    if npts > max_load * ncells:
+        return None
+    ix = pos % nx
+    iy = (pos // nx) % ny
+    iz = pos // (nx * ny)
+    cx, cy, cz = ix // fx, iy // fy, iz // fz
+    desired = cx + cxn * (cy + cyn * cz)
+
+    out = np.full(npts, -1, dtype=np.int64)
+    occupied = np.zeros(ncells, dtype=bool)
+    uniq, first = np.unique(desired, return_index=True)
+    out[first] = uniq
+    occupied[uniq] = True
+    leftovers = np.setdiff1d(np.arange(npts), first, assume_unique=False)
+
+    ring_cache = {}
+
+    def ring(r):
+        if r not in ring_cache:
+            offs = []
+            for dz in range(-r, r + 1):
+                for dy in range(-r, r + 1):
+                    for dx in range(-r, r + 1):
+                        if max(abs(dx), abs(dy), abs(dz)) == r:
+                            offs.append((dz, dy, dx))
+            ring_cache[r] = offs
+        return ring_cache[r]
+
+    rmax = max(cxn, cyn, czn)
+    for i in leftovers:
+        x0, y0, z0 = cx[i], cy[i], cz[i]
+        placed = False
+        for r in range(1, rmax + 1):
+            for dz, dy, dx in ring(r):
+                X, Y, Z = x0 + dx, y0 + dy, z0 + dz
+                if 0 <= X < cxn and 0 <= Y < cyn and 0 <= Z < czn:
+                    c = X + cxn * (Y + cyn * Z)
+                    if not occupied[c]:
+                        out[i] = c
+                        occupied[c] = True
+                        placed = True
+                        break
+            if placed:
+                break
+        if not placed:  # pragma: no cover
+            return None
+    return out
+
+
 def spmv(A, x: jax.Array) -> jax.Array:
     """Polymorphic matvec over ELL / DIA / dense / gather / scatter
     (dispatch is static)."""
@@ -205,4 +414,14 @@ def spmv(A, x: jax.Array) -> jax.Array:
     if isinstance(A, ScatterOp):
         y = spmv(A.inner, x)
         return jnp.zeros(A.n_out, y.dtype).at[A.pos].set(y)
+    if isinstance(A, ParityRestrictOp):
+        parts = parity_split(x, A.fine_shape, A.factors)
+        acc = None
+        for m, xp in zip(A.mats, parts):
+            t = dia_spmv(m, xp)
+            acc = t if acc is None else acc + t
+        return acc
+    if isinstance(A, ParityInterpOp):
+        parts = [dia_spmv(m, x) for m in A.mats]
+        return parity_merge(parts, A.fine_shape, A.factors)
     return ell_spmv(A, x)[: A.num_rows]

@@ -100,6 +100,15 @@ class BoomerAMGOptions:
     # Jacobi-family smoothers.
     embed_level1: bool = True
     max_embedded_offsets: int = 512
+    # lattice relocation of level 2 (requires lattice_shape): relocate
+    # the PMIS-chosen level-2 points onto a distinct-cell assignment of
+    # the 2x-coarsened lattice (a permutation — identical convergence),
+    # making A2 a compact-lattice DIA operator and factoring the level-1
+    # transfer operators into parity (octant) DIA sums — no HBM gathers
+    # anywhere above level 2.
+    relocate_level2: bool = True
+    lattice_shape: Optional[tuple] = None  # (nx, ny, nz) of the fine grid
+    relocate_min_n2: int = 6144  # below this L2 is dense-MXU anyway
 
 
 @jax.tree_util.register_dataclass
@@ -130,6 +139,8 @@ class BoomerAMG:
         self._setup(A)
         if opts.embed_level1:
             self._try_embed_level1()
+        if opts.relocate_level2 and opts.lattice_shape is not None:
+            self._try_relocate_level2()
 
     # ------------------------------------------------------------------
     # setup (host)
@@ -330,6 +341,115 @@ class BoomerAMG:
         )
         self.levels[0] = lvl0
         self.levels[1] = lvl1
+
+    def _try_relocate_level2(self) -> None:
+        """Relocate level 2 onto the 2x-coarsened lattice (see
+        BoomerAMGOptions.relocate_level2).  The relocation is a pure row/
+        column permutation of A2/P1/R1, so AMG convergence is unchanged;
+        the payoff is that A2 becomes a DIA operator on a compact regular
+        lattice and P1/R1 become parity-factored DIA sums — the Pallas
+        streaming path replaces every XLA HBM gather above level 2."""
+        import scipy.sparse as _sp
+
+        from ...ops.dia import (
+            DIAMatrix,
+            GatherOp,
+            ScatterOp,
+            build_embedded_dia,
+            build_parity_interp,
+            build_parity_restrict,
+            embedded_offset_count,
+            parity_offset_count,
+            relocate_to_cells,
+        )
+
+        o = self.opts
+        shape = tuple(int(s) for s in o.lattice_shape)
+        if len(shape) == 2:
+            shape = (*shape, 1)
+        if len(shape) != 3:
+            return
+        n0 = self._host_A[0].shape[0]
+        if int(np.prod(shape)) != n0:
+            return
+        if self.num_levels < 4 or self.levels[2].P is None:
+            return
+        # small level-2 ops are already dense-MXU (freeze_auto) — faster
+        # than any lattice form
+        if self._host_A[2].shape[0] <= o.relocate_min_n2:
+            return
+        # requires the level-1 embedding (fine-lattice vectors at level 1)
+        if not isinstance(self.levels[1].A, DIAMatrix) or not isinstance(
+            self.levels[1].P, ScatterOp
+        ):
+            return
+        if {o.relax_down, o.relax_up} - {0, 7, 18}:
+            return
+
+        dt = np.dtype(o.dtype)
+        cpos1 = np.flatnonzero(self._cf[0] > 0).astype(np.int64)
+        cpos2_fine = cpos1[self._cf[1] > 0]
+        n2 = self._host_A[2].shape[0]
+
+        # per-axis coarsening factors: halve every even axis whose
+        # halving still leaves room for the points
+        nx, ny, nz = shape
+        factors = None
+        for cand in (
+            (2, 2, 2), (2, 2, 1), (2, 1, 2), (1, 2, 2),
+            (2, 1, 1), (1, 2, 1), (1, 1, 2),
+        ):
+            if any(s % f for s, f in zip(shape, cand)):
+                continue
+            ncells = (nx // cand[0]) * (ny // cand[1]) * (nz // cand[2])
+            if n2 <= 0.85 * ncells:
+                factors = cand
+                break
+        if factors is None:
+            return
+        ncells = (nx // factors[0]) * (ny // factors[1]) * (nz // factors[2])
+
+        rcell = relocate_to_cells(cpos2_fine, shape, factors)
+        if rcell is None:
+            return
+        A2 = self._host_A[2]
+        if embedded_offset_count(A2, rcell, rcell) > o.max_embedded_offsets:
+            return
+
+        # lift P1 (n1 x n2, compressed rows) onto fine-lattice rows
+        P1 = self._host_P[1].tocoo()
+        P1f = _sp.csr_matrix(
+            (P1.data, (cpos1[P1.row], P1.col)), shape=(n0, n2)
+        )
+        Pop = build_parity_interp(P1f, rcell, shape, factors, dt)
+        Rop = build_parity_restrict(P1f.T.tocsr(), rcell, shape, factors, dt)
+        if max(parity_offset_count(Pop), parity_offset_count(Rop)) > (
+            2 * o.max_embedded_offsets
+        ):
+            return
+
+        lvl1, lvl2 = self.levels[1], self.levels[2]
+
+        diag2 = A2.diagonal()
+        dinv_e = np.zeros(ncells, dtype=dt)
+        dinv_e[rcell] = np.where(diag2 == 0, 0.0, 1.0 / np.where(diag2 == 0, 1, diag2))
+        l1 = np.asarray(np.abs(A2).sum(axis=1)).ravel()
+        l1inv_e = np.zeros(ncells, dtype=dt)
+        l1inv_e[rcell] = np.where(l1 == 0, 0.0, 1.0 / np.where(l1 == 0, 1, l1))
+        cmask_e = np.zeros(ncells, dtype=bool)
+        cmask_e[rcell[self._cf[2] > 0]] = True
+
+        rcell_dev = jnp.asarray(rcell.astype(np.int32))
+        self.levels[1] = dataclasses.replace(lvl1, P=Pop, R=Rop)
+        self.levels[2] = dataclasses.replace(
+            lvl2,
+            A=build_embedded_dia(A2, rcell, rcell, ncells, dt),
+            dinv=jnp.asarray(dinv_e),
+            l1inv=jnp.asarray(l1inv_e),
+            cmask=jnp.asarray(cmask_e),
+            P=ScatterOp(inner=lvl2.P, pos=rcell_dev, n_out=ncells),
+            R=GatherOp(inner=lvl2.R, pos=rcell_dev),
+        )
 
     # ------------------------------------------------------------------
     # stats (par_stats.c)
