@@ -109,6 +109,11 @@ class BoomerAMGOptions:
     relocate_level2: bool = True
     lattice_shape: Optional[tuple] = None  # (nx, ny, nz) of the fine grid
     relocate_min_n2: int = 6144  # below this L2 is dense-MXU anyway
+    # offset budget for the relocated level-2 operator and the parity
+    # transfer mats (relocation scatters a few nnz onto rare diagonals,
+    # so this sits higher than max_embedded_offsets; each offset costs
+    # ncells*4 bytes of diagonal storage)
+    max_relocated_offsets: int = 1024
 
 
 @jax.tree_util.register_dataclass
@@ -391,13 +396,16 @@ class BoomerAMG:
         cpos2_fine = cpos1[self._cf[1] > 0]
         n2 = self._host_A[2].shape[0]
 
-        # per-axis coarsening factors: halve every even axis whose
-        # halving still leaves room for the points
+        # per-axis coarsening factors.  NEVER split the x axis unless
+        # forced: x is the minor (lane) dimension on TPU and a stride-2
+        # slice there is a catastrophic XLA relayout (measured 10.8 ms at
+        # 96^3 vs 71 us for the y/z-only split).  y/z strides hit the
+        # sublane/outer dims and are nearly free.
         nx, ny, nz = shape
         factors = None
         for cand in (
-            (2, 2, 2), (2, 2, 1), (2, 1, 2), (1, 2, 2),
-            (2, 1, 1), (1, 2, 1), (1, 1, 2),
+            (1, 2, 2), (1, 2, 1), (1, 1, 2),
+            (2, 2, 2), (2, 2, 1), (2, 1, 2), (2, 1, 1),
         ):
             if any(s % f for s, f in zip(shape, cand)):
                 continue
@@ -413,7 +421,7 @@ class BoomerAMG:
         if rcell is None:
             return
         A2 = self._host_A[2]
-        if embedded_offset_count(A2, rcell, rcell) > o.max_embedded_offsets:
+        if embedded_offset_count(A2, rcell, rcell) > o.max_relocated_offsets:
             return
 
         # lift P1 (n1 x n2, compressed rows) onto fine-lattice rows
@@ -424,7 +432,7 @@ class BoomerAMG:
         Pop = build_parity_interp(P1f, rcell, shape, factors, dt)
         Rop = build_parity_restrict(P1f.T.tocsr(), rcell, shape, factors, dt)
         if max(parity_offset_count(Pop), parity_offset_count(Rop)) > (
-            2 * o.max_embedded_offsets
+            o.max_relocated_offsets
         ):
             return
 
