@@ -109,11 +109,13 @@ class BoomerAMGOptions:
     relocate_level2: bool = True
     lattice_shape: Optional[tuple] = None  # (nx, ny, nz) of the fine grid
     relocate_min_n2: int = 6144  # below this L2 is dense-MXU anyway
-    # offset budget for the relocated level-2 operator and the parity
-    # transfer mats (relocation scatters a few nnz onto rare diagonals,
-    # so this sits higher than max_embedded_offsets; each offset costs
-    # ncells*4 bytes of diagonal storage)
-    max_relocated_offsets: int = 1024
+    # budget for each relocated operator's diagonal storage (offsets *
+    # ncells * itemsize).  Bytes — not offset count — is what the
+    # streaming kernel pays, and deeper levels afford many more offsets
+    # on their smaller lattices.  A sanity cap on total offsets guards
+    # the host-side build.
+    relocate_max_bytes: int = 1 << 30
+    max_relocated_offsets: int = 8192
 
 
 @jax.tree_util.register_dataclass
@@ -348,16 +350,27 @@ class BoomerAMG:
         self.levels[1] = lvl1
 
     def _try_relocate_level2(self) -> None:
-        """Relocate level 2 onto the 2x-coarsened lattice (see
-        BoomerAMGOptions.relocate_level2).  The relocation is a pure row/
-        column permutation of A2/P1/R1, so AMG convergence is unchanged;
-        the payoff is that A2 becomes a DIA operator on a compact regular
-        lattice and P1/R1 become parity-factored DIA sums — the Pallas
-        streaming path replaces every XLA HBM gather above level 2."""
+        """Relocate coarse levels onto per-level compact lattices (see
+        BoomerAMGOptions.relocate_level2).  Recursively, level k's points
+        (an irregular algebraic subset of level k-1's) are assigned
+        DISTINCT cells of level k-1's lattice coarsened by per-axis
+        factors — a pure permutation, so AMG convergence is unchanged.
+        The payoff chain:
+          * A_k becomes a DIA operator on its compact lattice (Pallas
+            streaming) while n_k is large, or a dense-MXU op wrapped in
+            small gather/scatter while n_k <= dense threshold;
+          * P_{k-1}/R_{k-1} become parity-factored DIA sums (pure
+            reshape splits — never an x/lane split, which is a
+            catastrophic XLA relayout);
+          * no XLA HBM gather survives anywhere above the dense tail.
+        Recursion stops at the coarsest level, at tiny levels, or at the
+        first level whose offset budget would blow up; the level below a
+        stop keeps compressed forms behind one small gather/scatter."""
         import scipy.sparse as _sp
 
         from ...ops.dia import (
             DIAMatrix,
+            DenseMatrix,
             GatherOp,
             ScatterOp,
             build_embedded_dia,
@@ -393,71 +406,115 @@ class BoomerAMG:
 
         dt = np.dtype(o.dtype)
         cpos1 = np.flatnonzero(self._cf[0] > 0).astype(np.int64)
-        cpos2_fine = cpos1[self._cf[1] > 0]
-        n2 = self._host_A[2].shape[0]
 
-        # per-axis coarsening factors.  NEVER split the x axis unless
-        # forced: x is the minor (lane) dimension on TPU and a stride-2
-        # slice there is a catastrophic XLA relayout (measured 10.8 ms at
-        # 96^3 vs 71 us for the y/z-only split).  y/z strides hit the
-        # sublane/outer dims and are nearly free.
-        nx, ny, nz = shape
-        factors = None
-        for cand in (
-            (1, 2, 2), (1, 2, 1), (1, 1, 2),
-            (2, 2, 2), (2, 2, 1), (2, 1, 2), (2, 1, 1),
-        ):
-            if any(s % f for s, f in zip(shape, cand)):
-                continue
-            ncells = (nx // cand[0]) * (ny // cand[1]) * (nz // cand[2])
-            if n2 <= 0.85 * ncells:
-                factors = cand
+        def pick_factors(lat_shape, npts):
+            # NEVER split the x axis unless forced: x is the minor (lane)
+            # dimension on TPU and a stride-2 slice there is a
+            # catastrophic XLA relayout (measured 10.8 ms at 96^3 vs
+            # 71 us for the y/z-only split).
+            for cand in (
+                (1, 2, 2), (1, 2, 1), (1, 1, 2),
+                (2, 2, 2), (2, 2, 1), (2, 1, 2), (2, 1, 1),
+            ):
+                if any(s % f for s, f in zip(lat_shape, cand)):
+                    continue
+                nc = (lat_shape[0] // cand[0]) * (lat_shape[1] // cand[1]) * (
+                    lat_shape[2] // cand[2]
+                )
+                if npts <= 0.85 * nc:
+                    return cand
+            return None
+
+        # state: level k-1 lives on `lat_shape` with its points at
+        # `pos_prev` (fine level-1 points sit at their true positions)
+        lat_shape = shape
+        pos_prev = cpos1
+        for k in range(2, self.num_levels - 1):
+            n_k = self._host_A[k].shape[0]
+            if n_k <= 64:
                 break
-        if factors is None:
-            return
-        ncells = (nx // factors[0]) * (ny // factors[1]) * (nz // factors[2])
+            pos_k = pos_prev[self._cf[k - 1] > 0]
+            factors = pick_factors(lat_shape, n_k)
+            if factors is None:
+                break
+            cell_shape = tuple(s // f for s, f in zip(lat_shape, factors))
+            ncells = int(np.prod(cell_shape))
+            rcell = relocate_to_cells(pos_k, lat_shape, factors)
+            if rcell is None:
+                break
+            A_k = self._host_A[k]
 
-        rcell = relocate_to_cells(cpos2_fine, shape, factors)
-        if rcell is None:
-            return
-        A2 = self._host_A[2]
-        if embedded_offset_count(A2, rcell, rcell) > o.max_relocated_offsets:
-            return
+            # --- build the relocated A_k ---------------------------------
+            itemsize = dt.itemsize
+            if n_k > 6144:
+                cnt = embedded_offset_count(A_k, rcell, rcell)
+                if cnt > o.max_relocated_offsets or (
+                    cnt * ncells * itemsize > o.relocate_max_bytes
+                ):
+                    break
+                A_new = build_embedded_dia(A_k, rcell, rcell, ncells, dt)
+            else:
+                # dense-MXU core behind tiny gather/scatter
+                rcell_dev32 = jnp.asarray(rcell.astype(np.int32))
+                dense = DenseMatrix(
+                    data=jnp.asarray(A_k.toarray().astype(dt)),
+                    num_rows=n_k,
+                    num_cols=n_k,
+                )
+                A_new = ScatterOp(
+                    inner=GatherOp(inner=dense, pos=rcell_dev32),
+                    pos=rcell_dev32,
+                    n_out=ncells,
+                )
 
-        # lift P1 (n1 x n2, compressed rows) onto fine-lattice rows
-        P1 = self._host_P[1].tocoo()
-        P1f = _sp.csr_matrix(
-            (P1.data, (cpos1[P1.row], P1.col)), shape=(n0, n2)
-        )
-        Pop = build_parity_interp(P1f, rcell, shape, factors, dt)
-        Rop = build_parity_restrict(P1f.T.tocsr(), rcell, shape, factors, dt)
-        if max(parity_offset_count(Pop), parity_offset_count(Rop)) > (
-            o.max_relocated_offsets
-        ):
-            return
+            # --- parity transfer ops between lattice k-1 and k -----------
+            Pk1 = self._host_P[k - 1].tocoo()
+            ncells_prev = int(np.prod(lat_shape))
+            Pf = _sp.csr_matrix(
+                (Pk1.data, (pos_prev[Pk1.row], Pk1.col)),
+                shape=(ncells_prev, n_k),
+            )
+            Pop = build_parity_interp(Pf, rcell, lat_shape, factors, dt)
+            Rop = build_parity_restrict(Pf.T.tocsr(), rcell, lat_shape, factors, dt)
+            pr_offs = max(parity_offset_count(Pop), parity_offset_count(Rop))
+            if pr_offs > o.max_relocated_offsets or (
+                pr_offs * ncells * itemsize > o.relocate_max_bytes
+            ):
+                break
 
-        lvl1, lvl2 = self.levels[1], self.levels[2]
+            # --- commit level k ------------------------------------------
+            diag = A_k.diagonal()
+            dinv_e = np.zeros(ncells, dtype=dt)
+            dinv_e[rcell] = np.where(diag == 0, 0.0, 1.0 / np.where(diag == 0, 1, diag))
+            l1 = np.asarray(np.abs(A_k).sum(axis=1)).ravel()
+            l1inv_e = np.zeros(ncells, dtype=dt)
+            l1inv_e[rcell] = np.where(l1 == 0, 0.0, 1.0 / np.where(l1 == 0, 1, l1))
+            cmask_e = np.zeros(ncells, dtype=bool)
+            cmask_e[rcell[self._cf[k] > 0]] = True
 
-        diag2 = A2.diagonal()
-        dinv_e = np.zeros(ncells, dtype=dt)
-        dinv_e[rcell] = np.where(diag2 == 0, 0.0, 1.0 / np.where(diag2 == 0, 1, diag2))
-        l1 = np.asarray(np.abs(A2).sum(axis=1)).ravel()
-        l1inv_e = np.zeros(ncells, dtype=dt)
-        l1inv_e[rcell] = np.where(l1 == 0, 0.0, 1.0 / np.where(l1 == 0, 1, l1))
-        cmask_e = np.zeros(ncells, dtype=bool)
-        cmask_e[rcell[self._cf[2] > 0]] = True
-
-        rcell_dev = jnp.asarray(rcell.astype(np.int32))
-        self.levels[1] = dataclasses.replace(lvl1, P=Pop, R=Rop)
-        self.levels[2] = dataclasses.replace(
-            lvl2,
-            A=build_embedded_dia(A2, rcell, rcell, ncells, dt),
-            dinv=jnp.asarray(dinv_e),
-            l1inv=jnp.asarray(l1inv_e),
-            cmask=jnp.asarray(cmask_e),
-            P=ScatterOp(inner=lvl2.P, pos=rcell_dev, n_out=ncells),
-            R=GatherOp(inner=lvl2.R, pos=rcell_dev),
-        )
+            rcell_dev = jnp.asarray(rcell.astype(np.int32))
+            lvl_k = self.levels[k]
+            new_P = lvl_k.P
+            new_R = lvl_k.R
+            if new_P is not None:
+                # compressed forms below; replaced by parity mats if the
+                # next iteration relocates level k+1 too
+                new_P = ScatterOp(inner=lvl_k.P, pos=rcell_dev, n_out=ncells)
+                new_R = GatherOp(inner=lvl_k.R, pos=rcell_dev)
+            self.levels[k - 1] = dataclasses.replace(
+                self.levels[k - 1], P=Pop, R=Rop
+            )
+            self.levels[k] = dataclasses.replace(
+                lvl_k,
+                A=A_new,
+                dinv=jnp.asarray(dinv_e),
+                l1inv=jnp.asarray(l1inv_e),
+                cmask=jnp.asarray(cmask_e),
+                P=new_P,
+                R=new_R,
+            )
+            lat_shape = cell_shape
+            pos_prev = rcell
 
     # ------------------------------------------------------------------
     # stats (par_stats.c)

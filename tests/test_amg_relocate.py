@@ -65,7 +65,10 @@ def test_relocated_hierarchy_matches_plain_exactly():
     )
     assert isinstance(reloc.levels[1].P, ParityInterpOp)
     assert isinstance(reloc.levels[1].R, ParityRestrictOp)
-    assert isinstance(reloc.levels[2].A, DIAMatrix)
+    # large L2 -> lattice DIA; small L2 -> dense-MXU behind gather/scatter
+    from hypre_tpu.ops.dia import ScatterOp
+
+    assert isinstance(reloc.levels[2].A, (DIAMatrix, ScatterOp))
 
     sols = []
     for m in (plain, reloc):
