@@ -49,14 +49,14 @@ class DenseMatrix:
         return (self.num_rows, self.num_cols)
 
 
-def _dia_width(n: int, m: int, offsets) -> int:
+def _dia_width(n: int, m: int, offsets, itemsize: int = 4) -> int:
     """Stored diagonal width: pad square matrices to the Pallas kernel's
     block grid at freeze time so no per-matvec padding is needed."""
     if n == m and len(offsets):
         from .pallas_dia import padded_width
 
         span = int(offsets[-1]) - int(offsets[0])
-        return padded_width(n, len(offsets), span)
+        return padded_width(n, len(offsets), span, itemsize)
     return n
 
 
@@ -65,7 +65,8 @@ def csr_to_dia(A: CSRMatrix, dtype=None) -> DIAMatrix | None:
     rows = np.repeat(np.arange(n), A.row_nnz())
     offs = A.indices - rows
     uniq = np.unique(offs)
-    data = np.zeros((len(uniq), _dia_width(n, m, uniq)), dtype=dtype or A.data.dtype)
+    dt = np.dtype(dtype or A.data.dtype)
+    data = np.zeros((len(uniq), _dia_width(n, m, uniq, dt.itemsize)), dtype=dt)
     k = np.searchsorted(uniq, offs)
     data[k, rows] = A.data.astype(data.dtype)
     return DIAMatrix(
@@ -174,8 +175,8 @@ def build_embedded_dia(
     Mc = M.tocoo()
     offs = cpos[Mc.col] - rpos[Mc.row]
     uniq = np.unique(offs)
-    dt = dtype or Mc.data.dtype
-    data = np.zeros((len(uniq), _dia_width(n_emb, n_emb, uniq)), dtype=dt)
+    dt = np.dtype(dtype or Mc.data.dtype)
+    data = np.zeros((len(uniq), _dia_width(n_emb, n_emb, uniq, dt.itemsize)), dtype=dt)
     k = np.searchsorted(uniq, offs)
     data[k, rpos[Mc.row]] = Mc.data.astype(dt)
     return DIAMatrix(

@@ -40,17 +40,21 @@ _BLK_MIN = 2048
 _N_MIN = 16384  # below this the XLA path / dense MXU wins anyway
 
 
-def choose_block(noff: int, span: int = 0) -> int:
+def choose_block(noff: int, span: int = 0, itemsize: int = 4) -> int:
     """Row-block size: multiple of 2048 (Mosaic 1-D tiles at 1024), sized
-    so all VMEM-resident buffers fit the scoped budget."""
-    blk = (_VMEM_BUDGET - 4 * span - 4096) // (8 * max(noff, 7) + 12)
+    so all VMEM-resident buffers fit the scoped budget.  `itemsize` is
+    the DIAGONAL-data itemsize; bfloat16 storage halves the HBM traffic
+    but its in-kernel f32 cast temporaries still cost 4 bytes/elem of
+    stack, so the VMEM sizing term stays conservative."""
+    per_elem = 2 * itemsize + (4 if itemsize < 4 else 0)
+    blk = (_VMEM_BUDGET - 4 * span - 4096) // (per_elem * max(noff, 7) + 12)
     blk = blk // _BLK_MIN * _BLK_MIN
     return max(_BLK_MIN, min(blk, _BLK_MAX))
 
 
-def padded_width(n: int, noff: int, span: int = 0) -> int:
+def padded_width(n: int, noff: int, span: int = 0, itemsize: int = 4) -> int:
     """Diagonal-data width that makes the kernel grid exact for n rows."""
-    blk = choose_block(noff, span)
+    blk = choose_block(noff, span, itemsize)
     return -(-n // blk) * blk
 
 
@@ -60,7 +64,7 @@ def pallas_dia_ok(A, x) -> bool:
         return False
     if A.num_rows != A.num_cols or A.num_rows < _N_MIN:
         return False
-    if A.data.dtype != jnp.float32 or x.dtype != jnp.float32:
+    if A.data.dtype not in (jnp.float32, jnp.bfloat16) or x.dtype != jnp.float32:
         return False
     if jax.config.jax_enable_x64:  # Mosaic rejects 64-bit index types
         return False
@@ -72,9 +76,11 @@ def pallas_dia_ok(A, x) -> bool:
         return False
     noff = len(A.offsets)
     span = max(A.offsets) - min(A.offsets)
-    blk = choose_block(noff, span)
+    isz = A.data.dtype.itemsize
+    blk = choose_block(noff, span, isz)
+    per_elem = 2 * isz + (4 if isz < 4 else 0)
     # window must fit the budget alongside the data block
-    return 4 * (blk + span) <= _VMEM_BUDGET - 8 * noff * blk - 12 * blk
+    return 4 * (blk + span) <= _VMEM_BUDGET - per_elem * noff * blk - 12 * blk
 
 
 def pallas_dia_spmv(A, x: jax.Array, interpret: bool = False) -> jax.Array:
@@ -84,7 +90,7 @@ def pallas_dia_spmv(A, x: jax.Array, interpret: bool = False) -> jax.Array:
     noff = len(offs)
     lo = min(offs)
     span = max(offs) - lo
-    blk = choose_block(noff, span)
+    blk = choose_block(noff, span, A.data.dtype.itemsize)
     n_pad = -(-n // blk) * blk
     grid = n_pad // blk
     # Mosaic tiles 1-D VMEM buffers at 1024; slice/DMA shapes must align
@@ -101,19 +107,35 @@ def pallas_dia_spmv(A, x: jax.Array, interpret: bool = False) -> jax.Array:
     if data.shape[1] != n_pad:  # not pre-padded at freeze time
         data = jnp.pad(data, ((0, 0), (0, n_pad - data.shape[1])))
 
-    def kernel(xref, dref, yref, xwin, sem):
+    narrow = data.dtype != x.dtype
+
+    def kernel(xref, dref, yref, xwin, sem, *maybe_dcast):
         i = pl.program_id(0)
         cp = pltpu.make_async_copy(
             xref.at[pl.ds(i * blk + base, win)], xwin, sem
         )
         cp.start()
         cp.wait()
+        if narrow:
+            # one explicit widening pass into f32 scratch — per-offset
+            # .astype() temporaries would blow the Mosaic stack
+            maybe_dcast[0][...] = dref[...].astype(xwin.dtype)
+            dsrc = maybe_dcast[0]
+        else:
+            dsrc = dref
         acc = None
         for k, off in enumerate(offs):
             # xwin[w] = x[i*blk + lo + w]; row r needs x[i*blk + r + off]
-            t = dref[k, :] * xwin[pl.ds(off - lo, blk)]
+            t = dsrc[k, :] * xwin[pl.ds(off - lo, blk)]
             acc = t if acc is None else acc + t
         yref[...] = acc
+
+    scratch = [
+        pltpu.VMEM((win,), x.dtype),
+        pltpu.SemaphoreType.DMA,
+    ]
+    if narrow:
+        scratch.append(pltpu.VMEM((noff, blk), x.dtype))
 
     y = pl.pallas_call(
         kernel,
@@ -124,10 +146,7 @@ def pallas_dia_spmv(A, x: jax.Array, interpret: bool = False) -> jax.Array:
             pl.BlockSpec((noff, blk), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((blk,), lambda i: (i,), memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((win,), x.dtype),
-            pltpu.SemaphoreType.DMA,
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(xp, data)
     return y[:n]

@@ -93,6 +93,13 @@ class BoomerAMGOptions:
     # device precision for the frozen solve-phase hierarchy; setup math
     # stays float64 on host (the --enable-single analog, SURVEY §5)
     dtype: str = "float64"
+    # storage dtype for MATRIX data only (A/P/R diagonals, dense blocks);
+    # vectors, dinv/l1inv and all accumulation stay in `dtype`.  The
+    # cycle is HBM-bound on matrix bytes, so bfloat16 halves per-
+    # iteration time; the preconditioner quality loss is tiny (AMG
+    # V-cycles tolerate ~0.4% entry perturbations).  None = same as
+    # dtype.
+    mat_dtype: Optional[str] = None
     # lattice embedding of level 1 (gather-free coarse ops): when the
     # fine matrix is a lattice stencil, lift level-1 A/P/R onto the fine
     # lattice as DIA operators — trades padded bandwidth for eliminating
@@ -246,6 +253,13 @@ class BoomerAMG:
     def _freeze_level(self, A, P, R, cf) -> AMGLevel:
         o = self.opts
         dt = np.dtype(o.dtype)
+        # matrix-data storage dtype: the FINE operator keeps full `dtype`
+        # (it defines the residual the Krylov solver minimizes); coarse
+        # operators and all transfers live inside the preconditioner and
+        # may be stored narrower (mat_dtype)
+        fine = len(self.levels) == 0
+        mdt = dt if fine else np.dtype(o.mat_dtype or o.dtype)
+        pdt = np.dtype(o.mat_dtype or o.dtype)
         Ah = CSRMatrix.from_scipy(A)
         n = A.shape[0]
         diag = A.diagonal()
@@ -279,12 +293,12 @@ class BoomerAMG:
             )
 
         return AMGLevel(
-            A=freeze_auto(Ah, dtype=dt),
+            A=freeze_auto(Ah, dtype=mdt),
             dinv=jnp.asarray(dinv.astype(dt)),
             l1inv=jnp.asarray(l1inv.astype(dt)),
             cmask=jnp.asarray((cf > 0) if cf is not None else np.zeros(n, bool)),
-            P=None if P is None else freeze_auto(CSRMatrix.from_scipy(P), dtype=dt),
-            R=None if R is None else freeze_auto(CSRMatrix.from_scipy(R), dtype=dt),
+            P=None if P is None else freeze_auto(CSRMatrix.from_scipy(P), dtype=pdt),
+            R=None if R is None else freeze_auto(CSRMatrix.from_scipy(R), dtype=pdt),
             gs_fwd=gs_fwd,
             gs_bwd=gs_bwd,
             cheby=cheby,
@@ -307,6 +321,7 @@ class BoomerAMG:
         if {o.relax_down, o.relax_up} - {0, 7, 18}:
             return  # embedded smoothing implemented for Jacobi family only
         dt = np.dtype(o.dtype)
+        mdt = np.dtype(o.mat_dtype or o.dtype)
         n0 = self._host_A[0].shape[0]
         cpos0 = np.flatnonzero(self._cf[0] > 0).astype(np.int64)
         A1 = self._host_A[1]
@@ -318,8 +333,8 @@ class BoomerAMG:
         lvl0, lvl1 = self.levels[0], self.levels[1]
         lvl0 = dataclasses.replace(
             lvl0,
-            P=build_embedded_dia(P0, idx, cpos0, n0, dt),
-            R=build_embedded_dia(P0.T.tocsr(), cpos0, idx, n0, dt),
+            P=build_embedded_dia(P0, idx, cpos0, n0, mdt),
+            R=build_embedded_dia(P0.T.tocsr(), cpos0, idx, n0, mdt),
         )
 
         diag1 = A1.diagonal()
@@ -339,7 +354,7 @@ class BoomerAMG:
             new_R = GatherOp(inner=lvl1.R, pos=cpos_dev)
         lvl1 = dataclasses.replace(
             lvl1,
-            A=build_embedded_dia(A1, cpos0, cpos0, n0, dt),
+            A=build_embedded_dia(A1, cpos0, cpos0, n0, mdt),
             dinv=jnp.asarray(dinv_e),
             l1inv=jnp.asarray(l1inv_e),
             cmask=jnp.asarray(cmask_e),
@@ -405,6 +420,7 @@ class BoomerAMG:
             return
 
         dt = np.dtype(o.dtype)
+        mdt = np.dtype(o.mat_dtype or o.dtype)
         cpos1 = np.flatnonzero(self._cf[0] > 0).astype(np.int64)
 
         def pick_factors(lat_shape, npts):
@@ -445,19 +461,19 @@ class BoomerAMG:
             A_k = self._host_A[k]
 
             # --- build the relocated A_k ---------------------------------
-            itemsize = dt.itemsize
+            itemsize = mdt.itemsize
             if n_k > 6144:
                 cnt = embedded_offset_count(A_k, rcell, rcell)
                 if cnt > o.max_relocated_offsets or (
                     cnt * ncells * itemsize > o.relocate_max_bytes
                 ):
                     break
-                A_new = build_embedded_dia(A_k, rcell, rcell, ncells, dt)
+                A_new = build_embedded_dia(A_k, rcell, rcell, ncells, mdt)
             else:
                 # dense-MXU core behind tiny gather/scatter
                 rcell_dev32 = jnp.asarray(rcell.astype(np.int32))
                 dense = DenseMatrix(
-                    data=jnp.asarray(A_k.toarray().astype(dt)),
+                    data=jnp.asarray(A_k.toarray().astype(mdt)),
                     num_rows=n_k,
                     num_cols=n_k,
                 )
@@ -474,8 +490,8 @@ class BoomerAMG:
                 (Pk1.data, (pos_prev[Pk1.row], Pk1.col)),
                 shape=(ncells_prev, n_k),
             )
-            Pop = build_parity_interp(Pf, rcell, lat_shape, factors, dt)
-            Rop = build_parity_restrict(Pf.T.tocsr(), rcell, lat_shape, factors, dt)
+            Pop = build_parity_interp(Pf, rcell, lat_shape, factors, mdt)
+            Rop = build_parity_restrict(Pf.T.tocsr(), rcell, lat_shape, factors, mdt)
             pr_offs = max(parity_offset_count(Pop), parity_offset_count(Rop))
             if pr_offs > o.max_relocated_offsets or (
                 pr_offs * ncells * itemsize > o.relocate_max_bytes

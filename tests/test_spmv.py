@@ -125,3 +125,20 @@ def test_pallas_dia_interpret(offsets):
     ref = M @ x.astype(np.float64)
     err = np.abs(np.asarray(y) - ref).max() / np.abs(ref).max()
     assert err < 3e-6
+
+
+def test_pallas_dia_interpret_bf16_data():
+    """bfloat16 diagonal storage with f32 vectors (mat_dtype path)."""
+    from hypre_tpu.ops.csr import CSRMatrix as C
+    from hypre_tpu.ops.dia import csr_to_dia
+    from hypre_tpu.ops.pallas_dia import pallas_dia_spmv
+
+    n = 20000
+    M = banded(n, (-320, -1, 0, 1, 320), seed=11)
+    A = csr_to_dia(C.from_scipy(M), dtype=jnp.bfloat16)
+    x = np.random.default_rng(5).standard_normal(n).astype(np.float32)
+    y = pallas_dia_spmv(A, jnp.asarray(x), interpret=True)
+    assert y.dtype == jnp.float32
+    ref = M @ x.astype(np.float64)
+    err = np.abs(np.asarray(y) - ref).max() / np.abs(ref).max()
+    assert err < 2e-2  # bf16 entries: ~0.4% per-entry, stays small
