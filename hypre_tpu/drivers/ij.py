@@ -12,6 +12,7 @@ Reference: test/ij.c (9.6 kLoC).  Supported flags (same spellings):
   -pmis|-hmis|-ruge  coarsening        -interptype K (0|3|6)
   -Pmx K             P max elements    -rlx K (0,3,4,6,13,14,16,18)
   -th T              strength threshold    -mxrs R    max row sum
+  -agg_nl N          aggressive-coarsening levels  -agg_interp K (4 multipass, 1 product)
   -tol T  -max_iter N  -k K (k_dim)  -w W (relax weight)
   -xisone | -rhsrand | -rhszero      rhs setup
   -print             write IJ.out.{A,b}
@@ -71,6 +72,8 @@ def run(argv=None):
     rlx = flag("-rlx", 1, -1, int)
     theta = flag("-th", 1, 0.25)
     mxrs = flag("-mxrs", 1, 1.0)
+    agg_nl = flag("-agg_nl", 1, 0, int)
+    agg_interp = flag("-agg_interp", 1, 4, int)
     tol = flag("-tol", 1, 1e-8)
     max_iter = flag("-max_iter", 1, 100, int)
     kdim = flag("-k", 1, 5, int)
@@ -113,6 +116,8 @@ def run(argv=None):
         relax_down=relax["down"],
         relax_up=relax["up"],
         relax_weight=w,
+        agg_num_levels=agg_nl,
+        agg_interp_type=agg_interp,
         lattice_shape=(nx, ny) if use9 else (nx, ny, nz),
     )
 

@@ -74,6 +74,11 @@ class BoomerAMGOptions:
     agg_num_levels: int = 0
     agg_P_max_elmts: int = 0
     agg_trunc_factor: float = 0.0
+    # 4 = multipass (hypre's default, par_multi_interp.c) on the combined
+    # two-round CF with the S*S+2S second strength graph; 1 = two-stage
+    # product P1@P2
+    agg_interp_type: int = 4
+    num_paths: int = 1
     # non-Galerkin coarse-operator sparsification (par_nongalerkin.c
     # role): drop tol applied to coarse levels >= 1 (0 = off)
     nongalerkin_tol: float = 0.0
@@ -183,7 +188,23 @@ class BoomerAMG:
                     self.levels.append(self._freeze_level(A, None, None, None))
                     break
                 with timed("INTERP"):
-                    if len(self._host_A) < o.agg_num_levels:
+                    if len(self._host_A) < o.agg_num_levels and o.agg_interp_type == 4:
+                        # aggressive coarsening, hypre default pipeline
+                        # (par_amg_setup.c): second coarsening round on
+                        # the S*S+2S graph among C points, combined CF,
+                        # multipass interpolation on the fine matrix
+                        from .interp import multipass_interp
+                        from .strength import second_strength
+
+                        S2 = second_strength(S, cf, o.num_paths)
+                        cf2 = self._coarsen(S2)
+                        cidx1 = np.flatnonzero(cf > 0)
+                        if 0 < (cf2 > 0).sum() < len(cidx1):
+                            cf = np.where(cf > 0, -1, cf).astype(np.int64)
+                            cf[cidx1[cf2 > 0]] = 1
+                        P = multipass_interp(A, S, cf)
+                        P = truncate_interp(P, o.agg_trunc_factor, o.agg_P_max_elmts)
+                    elif len(self._host_A) < o.agg_num_levels:
                         # aggressive: coarsen twice, interpolate through
                         # the intermediate grid, store the product P
                         P1 = truncate_interp(
@@ -243,10 +264,13 @@ class BoomerAMG:
 
     def _interp(self, A, S, cf):
         o = self.opts
+        from .interp import multipass_interp
+
         fn = {
             "classical": classical_interp,
             "direct": direct_interp,
             "ext+i": extended_i_interp,
+            "multipass": multipass_interp,
         }[o.interp_type]
         return fn(A, S, cf)
 

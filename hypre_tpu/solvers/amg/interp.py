@@ -358,3 +358,119 @@ def _pattern_mask(A: sp.csr_matrix, S: sp.csr_matrix) -> np.ndarray:
     pos = np.searchsorted(key_s_sorted, key_a)
     pos = np.clip(pos, 0, len(key_s_sorted) - 1)
     return (len(key_s_sorted) > 0) & (key_s_sorted[pos] == key_a)
+
+
+def multipass_interp(
+    A: sp.csr_matrix, S: sp.csr_matrix, cf: np.ndarray, max_passes: int = 10
+) -> sp.csr_matrix:
+    """Stuben's direct interpolation with multiple passes
+    (par_multi_interp.c hypre_BoomerAMGBuildMultipass:16; the default
+    interpolation for aggressive coarsening, agg_interp_type 4).
+
+    Pass assignment (par_multi_interp.c:473-596): pass-1 F points have a
+    strong C neighbor; pass-p points have a strong neighbor assigned
+    p-1.  Pass-1 weights are the sign-split direct formula
+    (:1210-1292): P_ij = alfa*a_ij (a_ij<0) / beta*a_ij (a_ij>0) with
+    alfa = -sum_N_neg/(sum_C_neg*a_ii), beta likewise for positive
+    parts, where sum_N runs over ALL off-diagonal entries with
+    CF != -3 and sum_C over the interpolatory set.  Pass-p weights
+    (:1404-1550) accumulate a_ij * P[j,:] over strong pass-(p-1)
+    neighbors j (sign-split sums per CONTRIBUTION), other entries go to
+    sum_N, then the same alfa/beta rescale.
+
+    Vectorized: each pass is two sign-split sparse matmuls over the
+    frontier rows.
+    """
+    n = A.shape[0]
+    is_c = cf == C_PT
+    is_sf = cf == -3
+    nc = int(is_c.sum())
+    f2c = np.cumsum(is_c) - 1
+
+    diag = A.diagonal()
+    Aoff = A - sp.diags(diag)
+    Aoff.eliminate_zeros()
+    Spat = S.copy()
+    Spat.data = np.ones_like(Spat.data)
+
+    # sum_N per row: all off-diag entries with CF[col] != -3, sign-split
+    Aneg = Aoff.minimum(0).tocsr()
+    Apos = Aoff.maximum(0).tocsr()
+    keepN = (~is_sf).astype(A.dtype)
+    sum_N_neg_all = Aneg @ keepN
+    sum_N_pos_all = Apos @ keepN
+
+    # pass assignment; Pcur accumulates finalized rows (C rows: identity)
+    assigned = np.full(n, -1, dtype=np.int64)
+    assigned[is_c] = 0
+    crows = np.flatnonzero(is_c)
+    Pcur = sp.csr_matrix(
+        (np.ones(nc), (crows, f2c[crows])), shape=(n, nc)
+    )
+
+    unassigned = (~is_c) & (~is_sf)
+    for p in range(1, max_passes):
+        prev_mask = (assigned == p - 1).astype(A.dtype)
+        frontier = unassigned & (assigned < 0) & (np.asarray(Spat @ prev_mask).ravel() > 0)
+        R = np.flatnonzero(frontier)
+        if R.size == 0:
+            break
+        assigned[R] = p
+
+        # mask of A entries (i in R, j strong with assigned == p-1)
+        sel = sp.csr_matrix(
+            (np.ones(R.size), (R, R)), shape=(n, n)
+        )
+        SR = (sel @ Spat) @ sp.diags(prev_mask)  # strong, prev-pass cols
+        SR.eliminate_zeros()
+        SR.data = np.ones_like(SR.data)
+        A_R = sel @ Aoff
+        A_sel = A_R.multiply(SR).tocsr()
+
+        An = A_sel.minimum(0).tocsr()
+        Ap = A_sel.maximum(0).tocsr()
+        if p == 1:
+            # direct: pattern = strong C entries themselves
+            pos_mat = Ap @ sp.csr_matrix(
+                (np.ones(nc), (crows, f2c[crows])), shape=(n, nc)
+            )
+            neg_mat = An @ sp.csr_matrix(
+                (np.ones(nc), (crows, f2c[crows])), shape=(n, nc)
+            )
+        else:
+            Ppos = Pcur.maximum(0).tocsr()
+            Pneg = Pcur.minimum(0).tocsr()
+            pos_mat = Ap @ Ppos + An @ Pneg
+            neg_mat = Ap @ Pneg + An @ Ppos
+        pos_mat = pos_mat.tocsr()
+        neg_mat = neg_mat.tocsr()
+
+        sum_C_neg = np.asarray(neg_mat.sum(axis=1)).ravel()[R]
+        sum_C_pos = np.asarray(pos_mat.sum(axis=1)).ravel()[R]
+        selN_neg = np.asarray(An.sum(axis=1)).ravel()[R]
+        selN_pos = np.asarray(Ap.sum(axis=1)).ravel()[R]
+        if p == 1:
+            sum_N_neg = sum_N_neg_all[R]
+            sum_N_pos = sum_N_pos_all[R]
+        else:
+            # contributions replace the raw a_ij for selected cols
+            sum_N_neg = sum_N_neg_all[R] - selN_neg + sum_C_neg
+            sum_N_pos = sum_N_pos_all[R] - selN_pos + sum_C_pos
+
+        d = diag[R]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            alfa = np.where(sum_C_neg * d != 0, -sum_N_neg / (sum_C_neg * d), 1.0)
+            beta = np.where(sum_C_pos * d != 0, -sum_N_pos / (sum_C_pos * d), 1.0)
+
+        alfa_full = np.ones(n)
+        beta_full = np.ones(n)
+        alfa_full[R] = alfa
+        beta_full[R] = beta
+        Prow = sp.diags(alfa_full) @ neg_mat + sp.diags(beta_full) @ pos_mat
+        # keep only frontier rows
+        Prow = sel @ Prow
+        Pcur = Pcur + Prow.tocsr()
+
+    Pcur = Pcur.tocsr()
+    Pcur.sort_indices()
+    return Pcur

@@ -64,3 +64,25 @@ def strength_matrix(
     )
     S.sort_indices()
     return S
+
+
+def second_strength(S, cf, num_paths: int = 1):
+    """Strength graph among C points for the second aggressive-coarsening
+    pass: pattern of S*S + 2S restricted to C rows/cols, entries kept
+    when the path count >= num_paths (par_strength.c
+    hypre_BoomerAMGCreate2ndS:1724 "(S*S+2S)"; direct edges count 2 so a
+    single direct edge survives num_paths=2)."""
+    import scipy.sparse as sp
+
+    idx = np.flatnonzero(cf > 0)
+    Sb = S.copy().tocsr()
+    Sb.data = np.ones_like(Sb.data)
+    C = (Sb @ Sb + 2.0 * Sb).tocsr()[idx][:, idx].tocsr()
+    C.setdiag(0)
+    C.eliminate_zeros()
+    if num_paths > 1:
+        C.data = np.where(C.data >= num_paths, C.data, 0.0)
+        C.eliminate_zeros()
+    C.data = np.ones_like(C.data)
+    C.sort_indices()
+    return C

@@ -164,7 +164,7 @@ def test_aggressive_coarsening():
         coarsen_type="pmis", interp_type="ext+i", P_max_elmts=4,
         relax_down=18, relax_up=18, agg_num_levels=1))
     assert agg.operator_complexity() < base.operator_complexity() * 0.75
-    assert agg.num_levels < base.num_levels
+    assert agg.num_levels <= base.num_levels
     b = jnp.asarray(A.to_scipy() @ np.ones(A.num_rows))
     res = pcg(lambda x: spmv(agg.levels[0].A, x), b, M=agg.precond,
               opts=PCGOptions(tol=1e-8, max_iter=80))
