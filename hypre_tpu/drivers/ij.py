@@ -34,7 +34,10 @@ def run(argv=None):
     import jax.numpy as jnp
 
     import hypre_tpu  # noqa: F401
-    from ..models import difconv_7pt, laplacian_7pt, laplacian_9pt, laplacian_27pt
+    from ..models import (
+        difconv_7pt, laplacian_7pt, laplacian_9pt, laplacian_27pt,
+        sys_laplacian_7pt,
+    )
     from ..ops.dia import freeze_auto, spmv
     from ..solvers.amg import BoomerAMG, BoomerAMGOptions, AMGHybrid, AMGHybridOptions
     from ..solvers.krylov import (
@@ -73,6 +76,8 @@ def run(argv=None):
     theta = flag("-th", 1, 0.25)
     mxrs = flag("-mxrs", 1, 1.0)
     agg_nl = flag("-agg_nl", 1, 0, int)
+    sysl = flag("-sysL", 1, 0, int)
+    num_fun = flag("-nf", 1, 0, int) or sysl
     agg_interp = flag("-agg_interp", 1, 4, int)
     tol = flag("-tol", 1, 1e-8)
     max_iter = flag("-max_iter", 1, 100, int)
@@ -83,7 +88,9 @@ def run(argv=None):
     rhszero = flag("-rhszero")
     do_print = flag("-print")
 
-    if use9:
+    if sysl and sysl > 1:
+        A = sys_laplacian_7pt(nx, ny, nz, sysl)
+    elif use9:
         A = laplacian_9pt(nx, ny)
     elif use27:
         A = laplacian_27pt(nx, ny, nz)
@@ -118,7 +125,8 @@ def run(argv=None):
         relax_weight=w,
         agg_num_levels=agg_nl,
         agg_interp_type=agg_interp,
-        lattice_shape=(nx, ny) if use9 else (nx, ny, nz),
+        num_functions=max(num_fun, 1),
+        lattice_shape=None if (sysl and sysl > 1) else ((nx, ny) if use9 else (nx, ny, nz)),
     )
 
     needs_amg = solver_id in (0, 1, 3, 5, 9, 51, 61, 16)

@@ -4,5 +4,6 @@ from .laplacian import (
     laplacian_27pt,
     difconv_7pt,
     laplacian_5pt_2d,
+    sys_laplacian_7pt,
 )
 from .ij import IJMatrix, IJVector

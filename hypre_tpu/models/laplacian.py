@@ -172,3 +172,39 @@ def difconv_7pt(
     ]
     values = [diag, w, e, s, n_, d, u]
     return _stencil_matrix(nx, ny, nz, offsets, values)
+
+
+_SYS_MTRX = {
+    # test/ij.c BuildParSysLaplacian default inter-function coupling
+    # matrices (sys_opt == 0)
+    2: [[2.0, 1.0], [1.0, 2.0]],
+    3: [[2.0, 1.0, 0.0], [1.0, 2.0, 1.0], [0.0, 1.0, 2.0]],
+    4: [
+        [1.01, 1.0, 0.0, 0.0],
+        [1.0, 2.0, 1.0, 0.0],
+        [0.0, 1.0, 1.01, 0.0],
+        [2.0, 1.0, 0.0, 1.0],
+    ],
+}
+
+
+def sys_laplacian_7pt(
+    nx: int, ny: int, nz: int, num_fun: int, mtrx=None,
+    cx: float = 1.0, cy: float = 1.0, cz: float = 1.0,
+):
+    """Systems 7-pt Laplacian: A = L (x) M with interleaved unknowns
+    (row = grid_index * num_fun + function), matching
+    parcsr_ls/par_laplace.c GenerateSysLaplacian and the test/ij.c
+    -sysL default coupling matrices."""
+    import scipy.sparse as sp
+
+    from ..ops.csr import CSRMatrix
+
+    L = laplacian_7pt(nx, ny, nz, cx, cy, cz).to_scipy()
+    M = np.asarray(
+        mtrx if mtrx is not None else _SYS_MTRX.get(num_fun, np.eye(num_fun)),
+        dtype=np.float64,
+    )
+    A = sp.kron(L, M, format="csr")
+    A.sort_indices()
+    return CSRMatrix.from_scipy(A)

@@ -56,6 +56,10 @@ def _load():
     lib.gs_levels.restype = None
     lib.rs_coarsen.argtypes = [I64, I64, I64, I64, ctypes.c_int64, I64]
     lib.rs_coarsen.restype = None
+    U8 = ctypes.POINTER(ctypes.c_uint8)
+    F64 = ctypes.POINTER(ctypes.c_double)
+    lib.trunc_keep.argtypes = [I64, I64, F64, ctypes.c_int64, ctypes.c_int64, U8]
+    lib.trunc_keep.restype = None
     _lib = lib
     return lib
 
@@ -158,3 +162,25 @@ def ext_pi_interp(A, S, cf):
             return rows[:nnz], cols[:nnz], vals[:nnz]
         cap = int(nnz) + 16
     return None
+
+
+def trunc_keep(indptr, cols, vals, max_elmts: int):
+    """hypre-exact truncation keep-mask (qsort2_abs tie order); None if
+    no compiled kernels."""
+    dll = _load()
+    if dll is None:
+        return None
+    import ctypes
+
+    indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    cols = np.ascontiguousarray(cols, dtype=np.int64)
+    vals = np.ascontiguousarray(vals, dtype=np.float64)
+    n = len(indptr) - 1
+    keep = np.zeros(len(cols), dtype=np.uint8)
+    dll.trunc_keep(
+        _ptr(indptr), _ptr(cols),
+        vals.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        ctypes.c_int64(n), ctypes.c_int64(max_elmts),
+        keep.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return keep.astype(bool)

@@ -336,3 +336,61 @@ int64_t ext_pi_interp(const int64_t *A_indptr, const int64_t *A_indices,
     free(cmap); free(marker); free(cols); free(w); free(ftouch);
     return nnz;
 }
+
+/* hypre's exact interpolation-truncation tie order: middle-pivot
+ * quicksort, descending by |w|, strict comparison
+ * (utilities/hypre_qsort.c hypre_qsort2_abs:367; used by
+ * hypre_ParCSRMatrixTruncate par_csr_matrix.c).  Ties keep hypre's
+ * partition order, which a stable argsort does NOT reproduce. */
+static void qsort2_abs(int64_t *v, double *w, int64_t left, int64_t right)
+{
+    if (left >= right) return;
+    int64_t mid = (left + right) / 2;
+    int64_t tv = v[left]; v[left] = v[mid]; v[mid] = tv;
+    double tw = w[left]; w[left] = w[mid]; w[mid] = tw;
+    int64_t last = left;
+    double pa = w[left] < 0 ? -w[left] : w[left];
+    for (int64_t i = left + 1; i <= right; ++i) {
+        double ai = w[i] < 0 ? -w[i] : w[i];
+        if (ai > pa) {
+            ++last;
+            tv = v[last]; v[last] = v[i]; v[i] = tv;
+            tw = w[last]; w[last] = w[i]; w[i] = tw;
+        }
+    }
+    tv = v[left]; v[left] = v[last]; v[last] = tv;
+    tw = w[left]; w[left] = w[last]; w[last] = tw;
+    qsort2_abs(v, w, left, last - 1);
+    qsort2_abs(v, w, last + 1, right);
+}
+
+void trunc_keep(const int64_t *indptr, const int64_t *cols,
+                const double *vals, int64_t n, int64_t max_elmts,
+                uint8_t *keep)
+{
+    int64_t cap = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        int64_t len = indptr[i + 1] - indptr[i];
+        if (len > cap) cap = len;
+    }
+    int64_t *cbuf = (int64_t *)malloc(cap * sizeof(int64_t));
+    double *vbuf = (double *)malloc(cap * sizeof(double));
+    for (int64_t i = 0; i < n; ++i) {
+        int64_t s = indptr[i], e = indptr[i + 1], len = e - s;
+        if (len <= max_elmts) {
+            for (int64_t j = s; j < e; ++j) keep[j] = 1;
+            continue;
+        }
+        for (int64_t j = 0; j < len; ++j) { cbuf[j] = cols[s + j]; vbuf[j] = vals[s + j]; }
+        qsort2_abs(cbuf, vbuf, 0, len - 1);
+        for (int64_t j = s; j < e; ++j) keep[j] = 0;
+        for (int64_t k = 0; k < max_elmts; ++k) {
+            int64_t c = cbuf[k];
+            for (int64_t j = s; j < e; ++j) {
+                if (cols[j] == c && !keep[j]) { keep[j] = 1; break; }
+            }
+        }
+    }
+    free(cbuf);
+    free(vbuf);
+}

@@ -79,6 +79,13 @@ class BoomerAMGOptions:
     # product P1@P2
     agg_interp_type: int = 4
     num_paths: int = 1
+    # systems AMG, "unknown approach" (par_strength.c:254, par_interp.c
+    # dof_func guards): cross-function couplings are invisible to
+    # strength and interpolation (skipped entirely, NOT lumped); the
+    # Galerkin product and smoothers see the full matrix.  dof_func
+    # defaults to interleaved (i % num_functions).
+    num_functions: int = 1
+    dof_func: Optional[np.ndarray] = None
     # non-Galerkin coarse-operator sparsification (par_nongalerkin.c
     # role): drop tol applied to coarse levels >= 1 (0 = off)
     nongalerkin_tol: float = 0.0
@@ -164,18 +171,37 @@ class BoomerAMG:
     # ------------------------------------------------------------------
     # setup (host)
     # ------------------------------------------------------------------
+    @staticmethod
+    def _mask_cross_dof(A, dof):
+        """Zero couplings between different functions (the "unknown
+        approach": par_strength.c:254 and the dof_func guards in every
+        interpolation routine skip them entirely)."""
+        Ac = A.tocoo(copy=True)
+        keep = (dof[Ac.row] == dof[Ac.col]) | (Ac.row == Ac.col)
+        Ac.data = np.where(keep, Ac.data, 0.0)
+        M = Ac.tocsr()
+        M.eliminate_zeros()
+        M.sort_indices()
+        return M
+
     def _setup(self, A0: CSRMatrix) -> None:
         o = self.opts
         A = A0.to_scipy().tocsr()
         A.sort_indices()
+        nf = o.num_functions
+        if o.dof_func is not None:
+            dof = np.asarray(o.dof_func, dtype=np.int64)
+        else:
+            dof = np.arange(A.shape[0], dtype=np.int64) % max(nf, 1)
         with timed("SETUP"):
             while True:
                 n = A.shape[0]
+                A_si = A if nf <= 1 else self._mask_cross_dof(A, dof)
                 last = len(self._host_A) >= o.max_levels - 1 or n <= o.max_coarse_size
                 if not last:
                     with timed("STRENGTH"):
                         S = strength_matrix(
-                            CSRMatrix.from_scipy(A), o.strong_threshold, o.max_row_sum
+                            CSRMatrix.from_scipy(A_si), o.strong_threshold, o.max_row_sum
                         )
                     with timed("COARSEN"):
                         cf = self._coarsen(S)
@@ -202,13 +228,13 @@ class BoomerAMG:
                         if 0 < (cf2 > 0).sum() < len(cidx1):
                             cf = np.where(cf > 0, -1, cf).astype(np.int64)
                             cf[cidx1[cf2 > 0]] = 1
-                        P = multipass_interp(A, S, cf)
+                        P = multipass_interp(A_si, S, cf)
                         P = truncate_interp(P, o.agg_trunc_factor, o.agg_P_max_elmts)
                     elif len(self._host_A) < o.agg_num_levels:
                         # aggressive: coarsen twice, interpolate through
                         # the intermediate grid, store the product P
                         P1 = truncate_interp(
-                            self._interp(A, S, cf), o.trunc_factor, o.P_max_elmts
+                            self._interp(A_si, S, cf), o.trunc_factor, o.P_max_elmts
                         )
                         A_mid = galerkin_rap(A, P1)
                         S2 = strength_matrix(
@@ -234,7 +260,7 @@ class BoomerAMG:
                         else:
                             P = P1
                     else:
-                        P = self._interp(A, S, cf)
+                        P = self._interp(A_si, S, cf)
                         P = truncate_interp(P, o.trunc_factor, o.P_max_elmts)
                 with timed("RAP"):
                     Ac = galerkin_rap(A, P)
@@ -245,6 +271,8 @@ class BoomerAMG:
                 self._cf.append(cf)
                 self.levels.append(self._freeze_level(A, P, P.T.tocsr(), cf))
                 A = Ac
+                if nf > 1:
+                    dof = dof[cf > 0]
 
     def _coarsen(self, S):
         o = self.opts

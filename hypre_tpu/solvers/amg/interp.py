@@ -300,7 +300,20 @@ def truncate_interp(
         rows, cols, vals = _rescale_rows(rows, cols, vals, keep, n)
 
     if max_elmts > 0 and vals.size:
-        # rank entries within each row by descending |v| (stable)
+        # hypre's exact tie order: its middle-pivot qsort2_abs is NOT a
+        # stable sort, so equal-|v| entries survive in a specific
+        # partition order (native C replication; matters whenever rows
+        # carry equal weights, e.g. systems Laplacians)
+        from ... import native
+
+        indptr2 = np.zeros(n + 1, dtype=np.int64)
+        np.add.at(indptr2, rows + 1, 1)
+        np.cumsum(indptr2, out=indptr2)
+        keep_n = native.trunc_keep(indptr2, cols, vals, max_elmts)
+        if keep_n is not None:
+            rows, cols, vals = _rescale_rows(rows, cols, vals, keep_n, n)
+            return _coo(vals, rows, cols, P.shape)
+        # fallback: stable argsort (tie order may differ from hypre)
         order = np.lexsort((-np.abs(vals), rows))
         r_s = rows[order]
         first = np.zeros(len(r_s), dtype=np.int64)
