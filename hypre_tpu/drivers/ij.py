@@ -83,6 +83,7 @@ def run(argv=None):
     max_iter = flag("-max_iter", 1, 100, int)
     kdim = flag("-k", 1, 5, int)
     w = flag("-w", 1, 1.0)
+    cf_order = flag("-CF", 1, 0, int)
     xisone = flag("-xisone")
     rhsrand = flag("-rhsrand")
     rhszero = flag("-rhszero")
@@ -126,6 +127,7 @@ def run(argv=None):
         agg_num_levels=agg_nl,
         agg_interp_type=agg_interp,
         num_functions=max(num_fun, 1),
+        relax_order=cf_order,
         lattice_shape=None if (sysl and sysl > 1) else ((nx, ny) if use9 else (nx, ny, nz)),
     )
 

@@ -331,8 +331,21 @@ class BoomerAMG:
 
         gs_fwd = gs_bwd = None
         if need_gs and not coarsest:
-            gs_fwd = build_gs_schedule(Ah, forward=True, divisor=gs_div)
-            gs_bwd = build_gs_schedule(Ah, forward=False, divisor=gs_div)
+            if o.relax_order == 1 and cf is not None:
+                # CF-ordered sweeps (par_cycle.c:398): store (C, F)
+                # schedule pairs per direction
+                cm = cf > 0
+                gs_fwd = (
+                    build_gs_schedule(Ah, True, gs_div, mask=cm),
+                    build_gs_schedule(Ah, True, gs_div, mask=~cm),
+                )
+                gs_bwd = (
+                    build_gs_schedule(Ah, False, gs_div, mask=cm),
+                    build_gs_schedule(Ah, False, gs_div, mask=~cm),
+                )
+            else:
+                gs_fwd = build_gs_schedule(Ah, forward=True, divisor=gs_div)
+                gs_bwd = build_gs_schedule(Ah, forward=False, divisor=gs_div)
 
         cheby = None
         if 16 in relax_types and not coarsest:
@@ -641,16 +654,49 @@ class BoomerAMG:
         if relax_type in (1, 2, 3, 13):
             # sequential/hybrid forward GS (np=1: true GS; 13 = L1-GS
             # whose option-4 divisor degenerates to |diag|)
-            return gauss_seidel(lvl.gs_fwd, u, f, w)
+            return self._gs(lvl.gs_fwd, u, f, w, up)
         if relax_type in (4, 14):
-            return gauss_seidel(lvl.gs_bwd, u, f, w)
+            return self._gs(lvl.gs_bwd, u, f, w, up)
         if relax_type in (6, 8):
             # hybrid SSOR / L1-SSOR (same degenerate divisor at np=1)
-            u = gauss_seidel(lvl.gs_fwd, u, f, w)
-            return gauss_seidel(lvl.gs_bwd, u, f, w)
+            u = self._gs(lvl.gs_fwd, u, f, w, up)
+            return self._gs(lvl.gs_bwd, u, f, w, up)
         if relax_type == 16:
             return chebyshev(lvl.A, lvl.cheby, u, f)
+        if relax_type == 17:
+            # FCF-Jacobi (par_relax_more.c:661): weighted Jacobi on
+            # F, then C, then F points
+            for mask in (~lvl.cmask, lvl.cmask, ~lvl.cmask):
+                u = jacobi_cf(lvl.A, lvl.dinv, u, f, mask, w)
+            return u
+        if relax_type == 15:
+            # CG smoother (par_relax_more.c hypre_ParCSRRelax_CG): a few
+            # unpreconditioned CG iterations as the smoothing operator
+            r = f - spmv(lvl.A, u)
+            p = r
+            rr = jnp.vdot(r, r)
+            for _ in range(3):
+                Ap = spmv(lvl.A, p)
+                denom = jnp.vdot(p, Ap)
+                alpha = jnp.where(denom != 0, rr / jnp.where(denom == 0, 1, denom), 0.0)
+                u = u + alpha * p
+                r = r - alpha * Ap
+                rr_new = jnp.vdot(r, r)
+                beta = jnp.where(rr != 0, rr_new / jnp.where(rr == 0, 1, rr), 0.0)
+                p = r + beta * p
+                rr = rr_new
+            return u
         raise ValueError(f"relax_type {relax_type} not implemented")
+
+    def _gs(self, sched, u, f, w, up):
+        if isinstance(sched, tuple):
+            # CF-ordered: down C then F, up F then C (par_cycle.c:398)
+            sc, sf = sched
+            order = (sf, sc) if up else (sc, sf)
+            for sd in order:
+                u = gauss_seidel(sd, u, f, w)
+            return u
+        return gauss_seidel(sched, u, f, w)
 
     def cycle(self, f, u=None, levels=None):
         """One V-cycle.  Pass `levels` explicitly inside jits (see note

@@ -79,38 +79,59 @@ class GSSchedule:
 
 
 def build_gs_schedule(
-    A: CSRMatrix, forward: bool = True, divisor: np.ndarray | None = None
+    A: CSRMatrix,
+    forward: bool = True,
+    divisor: np.ndarray | None = None,
+    mask: np.ndarray | None = None,
 ) -> GSSchedule:
     """Host: compute wavefront levels of the (lower/upper) triangular
     dependency DAG (the par_relax.c:472-560 analog) and pack per-level
-    ELL slabs."""
+    ELL slabs.  With `mask` (CF-ordered GS, par_cycle.c:398 relax_order
+    sweeps), only mask rows are updated and only mask-row dependencies
+    order the wavefronts — non-mask values are constants for the sweep."""
     n = A.num_rows
     indptr, indices = A.indptr, A.indices
     from ... import native
 
-    level = native.gs_levels(indptr, indices, n, forward)
-    if level is None:  # no compiler: pure-python fallback
-        level = np.zeros(n, dtype=np.int64)
+    level = None
+    if mask is None:
+        level = native.gs_levels(indptr, indices, n, forward)
+    if level is None:  # masked, or no compiler: pure-python fallback
+        inmask = np.ones(n, bool) if mask is None else np.asarray(mask, bool)
+        level = np.full(n, -1, dtype=np.int64)
         order = range(n) if forward else range(n - 1, -1, -1)
         for i in order:
+            if not inmask[i]:
+                continue
             cols = indices[indptr[i] : indptr[i + 1]]
             deps = cols[cols < i] if forward else cols[cols > i]
-            if deps.size:
-                level[i] = level[deps].max() + 1
+            deps = deps[inmask[deps]] if mask is not None else deps
+            lv = level[deps]
+            lv = lv[lv >= 0]
+            level[i] = lv.max() + 1 if lv.size else 0
+        if mask is not None:
+            nlev = int(level.max()) + 1 if (level >= 0).any() else 1
+            buckets = [np.flatnonzero(level == l) for l in range(nlev)]
+            return _pack_gs(A, buckets, divisor)
 
     nlev = int(level.max()) + 1 if n else 1
     buckets = [np.flatnonzero(level == l) for l in range(nlev)]
-    W = max(len(b) for b in buckets)
+    return _pack_gs(A, buckets, divisor)
 
+
+def _pack_gs(A: CSRMatrix, buckets, divisor):
+    n = A.num_rows
+    nlev = len(buckets)
+    W = max((len(b) for b in buckets), default=1) or 1
     E = A.to_ell()
     cols_h = np.asarray(E.cols)
     data_h = np.asarray(E.data)
     width = E.width
+    div = divisor if divisor is not None else A.diagonal()
 
     rows = np.full((nlev, W), n, dtype=np.int32)
     acols = np.zeros((nlev, W, width), dtype=np.int32)
     adata = np.zeros((nlev, W, width), dtype=data_h.dtype)
-    div = divisor if divisor is not None else A.diagonal()
     dinv = np.zeros((nlev, W), dtype=data_h.dtype)
     for l, b in enumerate(buckets):
         rows[l, : len(b)] = b

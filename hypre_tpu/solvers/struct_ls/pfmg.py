@@ -178,7 +178,8 @@ class PFMG:
     def __init__(self, A: StructMatrix, opts: PFMGOptions = PFMGOptions()):
         self.opts = opts
         self.levels: list[_Level] = []
-        self._setup(A)
+        # setup scans .data per stencil entry; expand constant entries
+        self._setup(A.densify())
 
     # ------------------------------------------------------------------
     def _setup(self, A0: StructMatrix) -> None:

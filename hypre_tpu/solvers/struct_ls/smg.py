@@ -146,7 +146,8 @@ class SMG:
     def __init__(self, A: StructMatrix, opts: SMGOptions = SMGOptions()):
         self.opts = opts
         self.levels: list[_Level] = []
-        self._setup(A)
+        # setup scans .data per stencil entry; expand constant entries
+        self._setup(A.densify())
 
     def _setup(self, A0: StructMatrix):
         o = self.opts

@@ -193,3 +193,47 @@ def test_nongalerkin_sparsification():
     res = pcg(lambda x: spmv(ng.levels[0].A, x), b, M=ng.precond,
               opts=PCGOptions(tol=1e-8, max_iter=80))
     assert bool(res.converged)
+
+
+def test_smoother_variants_fcf_cg_cforder():
+    """relax 17 (FCF-Jacobi, par_relax_more.c:661), relax 15 (CG
+    smoother), and relax_order=1 CF-ordered GS (par_cycle.c:398)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hypre_tpu.models import laplacian_7pt
+    from hypre_tpu.solvers.amg import BoomerAMG, BoomerAMGOptions
+
+    A = laplacian_7pt(10, 10, 10)
+    b = jnp.asarray(A.to_scipy() @ np.ones(1000))
+    for rlx, order, max_it in [(17, 0, 20), (15, 0, 20), (13, 1, 20), (3, 1, 20)]:
+        amg = BoomerAMG(A, BoomerAMGOptions(
+            coarsen_type="pmis", interp_type="ext+i", P_max_elmts=4,
+            relax_down=rlx, relax_up={3: 4, 13: 14}.get(rlx, rlx),
+            relax_order=order, embed_level1=False))
+        res = amg.solve(b, tol=1e-8, max_iter=max_it)
+        assert bool(res.converged), f"relax {rlx} order {order}"
+
+
+def test_masked_gs_exact_vs_sequential():
+    import numpy as np
+    import scipy.sparse as sp
+    import jax.numpy as jnp
+
+    from hypre_tpu.ops.csr import CSRMatrix
+    from hypre_tpu.solvers.amg.relax import build_gs_schedule, gauss_seidel
+
+    rng = np.random.default_rng(3)
+    n = 80
+    B = sp.random(n, n, 0.07, random_state=rng)
+    M = (B + B.T + sp.diags(np.ones(n) * 9)).tocsr()
+    A = CSRMatrix.from_scipy(M)
+    f = jnp.asarray(rng.standard_normal(n))
+    mask = rng.random(n) < 0.4
+    u = gauss_seidel(build_gs_schedule(A, True, mask=mask), jnp.zeros(n), f)
+    Md = M.toarray()
+    ur = np.zeros(n)
+    for i in range(n):
+        if mask[i]:
+            ur[i] = (float(f[i]) - Md[i, :i] @ ur[:i] - Md[i, i + 1:] @ ur[i + 1:]) / Md[i, i]
+    np.testing.assert_allclose(np.asarray(u), ur, atol=1e-14)

@@ -108,3 +108,57 @@ def test_smg_solves_correctly():
     res = SMG(A, SMGOptions(tol=1e-10, max_iter=40)).solve(jnp.ones(shape))
     x_ref = spla.spsolve(A.to_scipy().tocsc(), np.ones(512)).reshape(shape)
     np.testing.assert_allclose(np.asarray(res.x), x_ref, rtol=1e-7)
+
+
+def test_constant_coefficient_matrix():
+    """struct_matrix.h constant_coefficient storage: scalar entries are
+    static constants folded into the fused stencil kernel."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from hypre_tpu.struct import StructGrid, StructMatrix
+    from hypre_tpu.struct.matrix import struct_matvec
+
+    g = StructGrid((8, 8, 8))
+    # all-constant 7-pt stencil
+    ent = {(0, 0, 0): 6.0}
+    for d in range(3):
+        for s in (-1, 1):
+            o = [0, 0, 0]
+            o[d] = s
+            ent[tuple(o)] = -1.0
+    A = StructMatrix.from_dict(ent, g)
+    assert A.data.shape[0] == 0 and len(A.const_offsets) == 7
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((8, 8, 8)))
+    y = struct_matvec(A, x)
+    # reference: same stencil with variable arrays
+    ones = np.ones((8, 8, 8))
+    Av = StructMatrix.from_dict({o: v * ones for o, v in ent.items()}, g)
+    yv = struct_matvec(Av, x)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(yv), rtol=1e-14)
+    # scipy equivalence (boundary truncation included)
+    np.testing.assert_allclose(
+        np.asarray(y).ravel(), A.to_scipy() @ np.asarray(x).ravel(), rtol=1e-12
+    )
+
+
+def test_mixed_constant_variable_pfmg():
+    import numpy as np
+
+    from hypre_tpu.struct import StructGrid, StructMatrix
+    from hypre_tpu.solvers.struct_ls import PFMG, PFMGOptions
+
+    g = StructGrid((12, 12, 12))
+    ones = np.ones((12, 12, 12))
+    ent = {(0, 0, 0): 6.0 * ones}  # variable diag, constant off-diags
+    for d in range(3):
+        for s in (-1, 1):
+            o = [0, 0, 0]
+            o[d] = s
+            ent[tuple(o)] = -1.0
+    A = StructMatrix.from_dict(ent, g)
+    import jax.numpy as jnp
+
+    b = jnp.asarray(np.ones((12, 12, 12)))
+    res = PFMG(A, PFMGOptions(tol=1e-6, max_iter=30, skip_relax=0)).solve(b)
+    assert bool(res.converged)
