@@ -27,7 +27,7 @@ import sys
 import numpy as np
 
 
-INTERP = {0: "classical", 3: "direct", 6: "ext+i"}
+INTERP = {0: "classical", 3: "direct", 4: "multipass", 6: "ext+i", 8: "standard", 9: "standard-sep"}
 
 
 def run(argv=None):

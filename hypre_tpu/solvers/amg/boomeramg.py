@@ -292,13 +292,15 @@ class BoomerAMG:
 
     def _interp(self, A, S, cf):
         o = self.opts
-        from .interp import multipass_interp
+        from .interp import multipass_interp, standard_interp
 
         fn = {
             "classical": classical_interp,
             "direct": direct_interp,
             "ext+i": extended_i_interp,
             "multipass": multipass_interp,
+            "standard": standard_interp,
+            "standard-sep": lambda A, S, cf: standard_interp(A, S, cf, sep_weight=True),
         }[o.interp_type]
         return fn(A, S, cf)
 

@@ -487,3 +487,89 @@ def multipass_interp(
     Pcur = Pcur.tocsr()
     Pcur.sort_indices()
     return Pcur
+
+
+def standard_interp(
+    A: sp.csr_matrix, S: sp.csr_matrix, cf: np.ndarray, sep_weight: bool = False
+) -> sp.csr_matrix:
+    """Standard interpolation (par_lr_interp.c
+    hypre_BoomerAMGBuildStdInterp:22, interp_type 8; sep_weight=True is
+    type 9).
+
+    For F point i, eliminate each strong-F neighbor j by distributing
+    a_ij/a_jj times row j (diagonal of j skipped), drop direct entries
+    to SF points, then
+       P_ik = -alfa * ahat_ik,  alfa = sum(ahat_i)/sum_C(ahat_i)/ahat_ii
+    over the distance-2 C pattern (strong C of i + strong C of strong-F
+    neighbors); sep_weight splits the sums by sign (types 9).
+    """
+    n = A.shape[0]
+    is_c = cf == C_PT
+    is_sf = cf == -3
+    nc = int(is_c.sum())
+    f2c = np.cumsum(is_c) - 1
+    f_rows = (~is_c) & (~is_sf)
+
+    diag = A.diagonal()
+    Spat = S.copy().tocsr()
+    Spat.data = np.ones_like(Spat.data)
+
+    # strong-F edge matrix with distribute weights a_ij / a_jj
+    SF = (Spat @ sp.diags((f_rows).astype(float))).tocsr()
+    SF.eliminate_zeros()
+    E = SF.multiply(A).tocsr()  # a_ij at strong-F positions
+    dsafe = np.where(diag == 0, 1.0, diag)
+    E = (E @ sp.diags(1.0 / dsafe)).tocsr()  # d_ij = a_ij/a_jj
+
+    Aoff = (A - sp.diags(diag)).tocsr()
+    # direct part: A row minus strong-F entries minus entries to SF cols
+    Adir = (A - SF.multiply(A)).tocsr()
+    keep_cols = sp.diags((~is_sf).astype(float))
+    Adir_off = ((Adir - sp.diags(Adir.diagonal())) @ keep_cols).tocsr()
+    Ahat_off = (Adir_off - E @ Aoff).tocsr()  # off-diagonal slots
+    # distributed contributions landing on column i belong to the
+    # diagonal slot (hypre's ihat[i] bucket): fold and strip them
+    Ahat_diag = diag + Ahat_off.diagonal()
+    Ahat_off = (Ahat_off - sp.diags(Ahat_off.diagonal())).tocsr()
+
+    # distance-2 C pattern
+    Cmask = sp.diags(is_c.astype(float))
+    SC = (Spat @ Cmask).tocsr()
+    pat = (SC + SF @ SC).tocsr()
+    pat.data = np.ones_like(pat.data)
+    Fsel = sp.diags(f_rows.astype(float))
+    pat = (Fsel @ pat).tocsr()
+
+    Wc = Ahat_off.multiply(pat).tocsr()  # pattern (C-slot) values
+    sum_all = np.asarray(Ahat_off.sum(axis=1)).ravel()
+    sum_C = np.asarray(Wc.sum(axis=1)).ravel()
+    dsafe2 = np.where(Ahat_diag == 0, 1.0, Ahat_diag)
+
+    if not sep_weight:
+        with np.errstate(divide="ignore", invalid="ignore"):
+            alfa = np.where(
+                (sum_C != 0) & (Ahat_diag != 0), sum_all / np.where(sum_C == 0, 1, sum_C) / dsafe2, 0.0
+            )
+        W = (sp.diags(-alfa) @ Wc).tocsr()
+    else:
+        Wp = Wc.maximum(0).tocsr()
+        Wn = Wc.minimum(0).tocsr()
+        pos_all = np.asarray(Ahat_off.maximum(0).sum(axis=1)).ravel()
+        neg_all = np.asarray(Ahat_off.minimum(0).sum(axis=1)).ravel()
+        pos_C = np.asarray(Wp.sum(axis=1)).ravel()
+        neg_C = np.asarray(Wn.sum(axis=1)).ravel()
+        with np.errstate(divide="ignore", invalid="ignore"):
+            beta = np.where((pos_C != 0) & (Ahat_diag != 0),
+                            pos_all / np.where(pos_C == 0, 1, pos_C) / dsafe2, 0.0)
+            alfa = np.where((neg_C != 0) & (Ahat_diag != 0),
+                            neg_all / np.where(neg_C == 0, 1, neg_C) / dsafe2, 0.0)
+        W = (sp.diags(-beta) @ Wp + sp.diags(-alfa) @ Wn).tocsr()
+
+    Wcoo = W.tocoo()
+    keep = f_rows[Wcoo.row] & is_c[Wcoo.col]
+    rows = np.concatenate([Wcoo.row[keep], np.flatnonzero(is_c)])
+    cols = np.concatenate([f2c[Wcoo.col[keep]], f2c[np.flatnonzero(is_c)]])
+    vals = np.concatenate([Wcoo.data[keep], np.ones(nc)])
+    P = _coo(vals, rows, cols, (n, nc))
+    P.sort_indices()
+    return P

