@@ -292,7 +292,7 @@ class BoomerAMG:
 
     def _interp(self, A, S, cf):
         o = self.opts
-        from .interp import multipass_interp, standard_interp
+        from .interp import ff_interp, multipass_interp, standard_interp
 
         fn = {
             "classical": classical_interp,
@@ -301,6 +301,8 @@ class BoomerAMG:
             "multipass": multipass_interp,
             "standard": standard_interp,
             "standard-sep": lambda A, S, cf: standard_interp(A, S, cf, sep_weight=True),
+            "ff": ff_interp,
+            "ff1": lambda A, S, cf: ff_interp(A, S, cf, ff1=True),
         }[o.interp_type]
         return fn(A, S, cf)
 

@@ -573,3 +573,107 @@ def standard_interp(
     P = _coo(vals, rows, cols, (n, nc))
     P.sort_indices()
     return P
+
+
+def ff_interp(
+    A: sp.csr_matrix, S: sp.csr_matrix, cf: np.ndarray, ff1: bool = False
+) -> sp.csr_matrix:
+    """F-F interpolation (par_lr_interp.c hypre_BoomerAMGBuildFFInterp
+    :2890, interp_type 12; ff1=True is BuildFF1Interp:3781, type 13).
+
+    Pattern: strong C of i; for each strong-F neighbor i1 WITHOUT a
+    common strong-C point with i, extend by i1's strong C points (FF1:
+    only i1's first such point).  Weights: extended-interp distribution
+    (sign-filtered sums over the row pattern, no "+i" term); strong-F
+    neighbors with zero distribution sum and weak entries (CF != -3)
+    lump into the diagonal.
+    """
+    n, rows, cols, data = _split(A)
+    diag = A.diagonal()
+    is_c = cf > 0
+    cmap = np.cumsum(is_c) - 1
+    nc = int(is_c.sum())
+    f_rows = (~is_c) & (cf != -3)
+
+    strong_pairs = _pattern_mask(A, S)
+    s_rows = np.repeat(np.arange(n), np.diff(S.indptr))
+    s_cols = S.indices
+    sc_sel = is_c[s_cols]
+    SC = _coo(np.ones(int(sc_sel.sum())), s_rows[sc_sel], s_cols[sc_sel], (n, n))
+    sf_sel = cf[s_cols] == F_PT
+    SF = _coo(np.ones(int(sf_sel.sum())), s_rows[sf_sel], s_cols[sf_sel], (n, n))
+
+    # common-C test per strong F-F edge: (SC @ SC^T)[i, i1] > 0
+    CC = (SC @ SC.T).tocsr()
+    CC.sort_indices()
+    e = SF.tocoo()
+    has_common = _csr_lookup(CC, e.row, e.col) > 0
+    E_nc = _coo(
+        np.ones(int((~has_common).sum())), e.row[~has_common], e.col[~has_common], (n, n)
+    )
+    if ff1:
+        # FF1 (BuildFF1Interp:3781): for each no-common-C F neighbor
+        # (in S row-scan order) add its FIRST strong-C point NOT already
+        # in the pattern — stateful per row, replicated exactly
+        Sp, Sj = S.indptr, S.indices
+        Ei = E_nc.tocsr()
+        ext_r, ext_c = [], []
+        scr = SC.tocsr()
+        for i in np.flatnonzero(f_rows):
+            fs = Ei.indices[Ei.indptr[i]:Ei.indptr[i + 1]]
+            if fs.size == 0:
+                continue
+            present = set(scr.indices[scr.indptr[i]:scr.indptr[i + 1]].tolist())
+            for i1 in fs:
+                for k1 in Sj[Sp[i1]:Sp[i1 + 1]]:
+                    if is_c[k1] and k1 not in present:
+                        present.add(int(k1))
+                        ext_r.append(i)
+                        ext_c.append(int(k1))
+                        break
+        ext = _coo(np.ones(len(ext_r)), np.array(ext_r, dtype=np.int64),
+                   np.array(ext_c, dtype=np.int64), (n, n)) if ext_r else sp.csr_matrix((n, n))
+        pat = (SC + ext).tocsr()
+    else:
+        pat = (SC + E_nc @ SC).tocsr()
+    pat.data = np.ones_like(pat.data)
+
+    # sign-filtered distribution rows (a_{i1,i2} with sgn(a_{i1,i1})*a < 0)
+    sgn = np.where(diag < 0, -1.0, 1.0)
+    keep = (sgn[rows] * data) < 0
+    Aneg = _coo(np.where(keep, data, 0.0), rows, cols, (n, n))
+
+    T = (pat @ Aneg.T).tocsr()
+    T.sort_indices()
+    e_i, e_k = rows[strong_pairs & (cf[cols] == F_PT)], cols[strong_pairs & (cf[cols] == F_PT)]
+    e_a = data[strong_pairs & (cf[cols] == F_PT)]
+    sums = _csr_lookup(T, e_i, e_k) if e_i.size else np.zeros(0)
+    lump = sums == 0.0
+    D = _coo(np.where(lump, 0.0, e_a / np.where(lump, 1.0, sums)), e_i, e_k, (n, n))
+    W2 = (D @ Aneg).tocsr().multiply(pat)
+
+    strongC = strong_pairs & is_c[cols]
+    Wdirect = _coo(np.where(strongC, data, 0.0), rows, cols, (n, n))
+    W = (Wdirect + W2).tocsr()
+
+    strongF = strong_pairs & (cf[cols] == F_PT)
+    offdiag = cols != rows
+    weak = offdiag & ~strongC & ~strongF & (cf[cols] != -3)
+    d = diag.copy()
+    np.add.at(d, rows[weak], data[weak])
+    lump_add = np.zeros(n)
+    np.add.at(lump_add, e_i[lump], e_a[lump])
+    d += lump_add
+
+    Wc = W.tocoo()
+    keep_f = f_rows[Wc.row] & is_c[Wc.col] & (Wc.data != 0)
+    c_idx = np.flatnonzero(is_c)
+    dsafe = np.where(d == 0, 1.0, d)
+    P = _coo(
+        np.concatenate([-Wc.data[keep_f] / dsafe[Wc.row[keep_f]], np.ones(nc)]),
+        np.concatenate([Wc.row[keep_f], c_idx]),
+        np.concatenate([cmap[Wc.col[keep_f]], cmap[c_idx]]),
+        (n, nc),
+    )
+    P.sort_indices()
+    return P

@@ -102,3 +102,23 @@ def test_standard_interp_oracle_bitwise():
         res = amg.solve(b, tol=1e-8, max_iter=40)
         # oracle (ij -interptype 8): 14 iterations
         assert int(res.num_iterations) <= 15, it
+
+
+def test_ff_ff1_interp_converge():
+    """interp 12 (FF) and 13 (FF1): both validated BITWISE (maxdiff 0.0)
+    vs the sequential oracle's dumped P0 (10^3 Laplacian, PMIS); this
+    pins solve behavior."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from hypre_tpu.models import laplacian_7pt
+    from hypre_tpu.solvers.amg import BoomerAMG, BoomerAMGOptions
+
+    A = laplacian_7pt(10, 10, 10)
+    b = jnp.asarray(A.to_scipy() @ np.ones(1000))
+    for it in ("ff", "ff1"):
+        amg = BoomerAMG(A, BoomerAMGOptions(
+            coarsen_type="pmis", interp_type=it, P_max_elmts=4,
+            max_row_sum=1.0, relax_down=18, relax_up=18, embed_level1=False))
+        res = amg.solve(b, tol=1e-8, max_iter=40)
+        assert bool(res.converged), it
