@@ -27,7 +27,7 @@ import sys
 import numpy as np
 
 
-INTERP = {0: "classical", 3: "direct", 4: "multipass", 6: "ext+i", 8: "standard", 9: "standard-sep", 12: "ff", 13: "ff1"}
+INTERP = {0: "classical", 3: "direct", 4: "multipass", 6: "ext+i", 8: "standard", 9: "standard-sep", 12: "ff", 13: "ff1", 14: "ext"}
 
 
 def run(argv=None):

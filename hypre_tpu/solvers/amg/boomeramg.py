@@ -292,7 +292,12 @@ class BoomerAMG:
 
     def _interp(self, A, S, cf):
         o = self.opts
-        from .interp import ff_interp, multipass_interp, standard_interp
+        from .interp import (
+            extended_interp,
+            ff_interp,
+            multipass_interp,
+            standard_interp,
+        )
 
         fn = {
             "classical": classical_interp,
@@ -303,6 +308,7 @@ class BoomerAMG:
             "standard-sep": lambda A, S, cf: standard_interp(A, S, cf, sep_weight=True),
             "ff": ff_interp,
             "ff1": lambda A, S, cf: ff_interp(A, S, cf, ff1=True),
+            "ext": extended_interp,
         }[o.interp_type]
         return fn(A, S, cf)
 

@@ -576,7 +576,11 @@ def standard_interp(
 
 
 def ff_interp(
-    A: sp.csr_matrix, S: sp.csr_matrix, cf: np.ndarray, ff1: bool = False
+    A: sp.csr_matrix,
+    S: sp.csr_matrix,
+    cf: np.ndarray,
+    ff1: bool = False,
+    common_c_gate: bool = True,
 ) -> sp.csr_matrix:
     """F-F interpolation (par_lr_interp.c hypre_BoomerAMGBuildFFInterp
     :2890, interp_type 12; ff1=True is BuildFF1Interp:3781, type 13).
@@ -607,7 +611,10 @@ def ff_interp(
     CC = (SC @ SC.T).tocsr()
     CC.sort_indices()
     e = SF.tocoo()
-    has_common = _csr_lookup(CC, e.row, e.col) > 0
+    if common_c_gate:
+        has_common = _csr_lookup(CC, e.row, e.col) > 0
+    else:  # extended classical interpolation (type 14): always extend
+        has_common = np.zeros(len(e.row), dtype=bool)
     E_nc = _coo(
         np.ones(int((~has_common).sum())), e.row[~has_common], e.col[~has_common], (n, n)
     )
@@ -677,3 +684,10 @@ def ff_interp(
     )
     P.sort_indices()
     return P
+
+
+def extended_interp(A, S, cf):
+    """Extended classical interpolation (par_lr_interp.c
+    hypre_BoomerAMGBuildExtInterp, interp_type 14): the FF distribution
+    with unconditional distance-2 extension (no common-C gate)."""
+    return ff_interp(A, S, cf, ff1=False, common_c_gate=False)
