@@ -86,6 +86,11 @@ class BoomerAMGOptions:
     # defaults to interleaved (i % num_functions).
     num_functions: int = 1
     dof_func: Optional[np.ndarray] = None
+    # Jacobi interpolation improvement steps applied after P is built
+    # (par_jacobi_interp.c, post_interp_type; threshold = hypre's
+    # jacobi_trunc_threshold default)
+    post_interp_type: int = 0
+    jacobi_trunc_threshold: float = 0.01
     # non-Galerkin coarse-operator sparsification (par_nongalerkin.c
     # role): drop tol applied to coarse levels >= 1 (0 = off)
     nongalerkin_tol: float = 0.0
@@ -262,6 +267,13 @@ class BoomerAMG:
                     else:
                         P = self._interp(A_si, S, cf)
                         P = truncate_interp(P, o.trunc_factor, o.P_max_elmts)
+                    if o.post_interp_type > 0:
+                        from .interp import jacobi_interp
+
+                        P = jacobi_interp(
+                            A_si, P, cf, o.post_interp_type,
+                            o.jacobi_trunc_threshold,
+                        )
                 with timed("RAP"):
                     Ac = galerkin_rap(A, P)
                     if o.nongalerkin_tol > 0:

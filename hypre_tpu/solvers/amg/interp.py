@@ -691,3 +691,41 @@ def extended_interp(A, S, cf):
     hypre_BoomerAMGBuildExtInterp, interp_type 14): the FF distribution
     with unconditional distance-2 extension (no common-C gate)."""
     return ff_interp(A, S, cf, ff1=False, common_c_gate=False)
+
+
+def jacobi_interp(
+    A: sp.csr_matrix,
+    P: sp.csr_matrix,
+    cf: np.ndarray,
+    num_steps: int = 1,
+    trunc_threshold: float = 0.01,
+) -> sp.csr_matrix:
+    """Jacobi interpolation improvement (par_jacobi_interp.c:48,
+    post_interp_type steps):
+        P_F <- P_F - D_FF^{-1} (A_F @ P)
+    followed by relative-threshold truncation (threshold for positive,
+    threshold/2 for negative entries) with row-sum-preserving rescale.
+    """
+    n, nc = P.shape
+    f_rows = cf < 0
+    diag = A.diagonal()
+    dsafe = np.where(diag == 0, 1.0, diag)
+    Dinv_F = sp.diags(np.where(f_rows, 1.0 / dsafe, 0.0))
+    for _ in range(num_steps):
+        upd = Dinv_F @ (A @ P)
+        P = (P - upd).tocsr()
+        # truncation (hypre_BoomerAMGTruncateInterp): drop entries
+        # relative to the row max, sign-asymmetric thresholds
+        Pc = P.tocoo()
+        rowmax = np.zeros(n)
+        np.maximum.at(rowmax, Pc.row, np.abs(Pc.data))
+        thr = np.where(Pc.data >= 0, trunc_threshold, 0.5 * trunc_threshold)
+        keep = np.abs(Pc.data) >= thr * rowmax[Pc.row]
+        row_sum = np.zeros(n)
+        np.add.at(row_sum, Pc.row, Pc.data)
+        kept_sum = np.zeros(n)
+        np.add.at(kept_sum, Pc.row[keep], Pc.data[keep])
+        scale = np.where(kept_sum != 0, row_sum / np.where(kept_sum == 0, 1, kept_sum), 1.0)
+        P = _coo(Pc.data[keep] * scale[Pc.row[keep]], Pc.row[keep], Pc.col[keep], (n, nc))
+    P.sort_indices()
+    return P
