@@ -91,6 +91,11 @@ class BoomerAMGOptions:
     # jacobi_trunc_threshold default)
     post_interp_type: int = 0
     jacobi_trunc_threshold: float = 0.01
+    # nodal-systems coarsening (par_nodal_systems.c): coarsen the nodal
+    # norm matrix (option = norm type) so all functions of a node share
+    # one CF decision; interpolation stays unknown-based
+    nodal: int = 0
+    nodal_diag: int = 0
     # non-Galerkin coarse-operator sparsification (par_nongalerkin.c
     # role): drop tol applied to coarse levels >= 1 (0 = off)
     nongalerkin_tol: float = 0.0
@@ -209,7 +214,26 @@ class BoomerAMG:
                             CSRMatrix.from_scipy(A_si), o.strong_threshold, o.max_row_sum
                         )
                     with timed("COARSEN"):
-                        cf = self._coarsen(S)
+                        if nf > 1 and o.nodal > 0:
+                            from .strength import (
+                                create_nodal_A,
+                                strength_matrix_abs,
+                            )
+
+                            AN = create_nodal_A(A, nf, o.nodal, o.nodal_diag)
+                            if o.nodal in (3, 6) or o.nodal_diag > 0:
+                                SN = strength_matrix(
+                                    CSRMatrix.from_scipy(AN),
+                                    o.strong_threshold, o.max_row_sum,
+                                )
+                            else:
+                                SN = strength_matrix_abs(
+                                    AN, o.strong_threshold, o.max_row_sum
+                                )
+                            cfN = self._coarsen(SN)
+                            cf = np.repeat(cfN, nf)
+                        else:
+                            cf = self._coarsen(S)
                     nc = int((cf > 0).sum())
                     if nc == 0 or nc == n:
                         last = True

@@ -86,3 +86,90 @@ def second_strength(S, cf, num_paths: int = 1):
     C.data = np.ones_like(C.data)
     C.sort_indices()
     return C
+
+
+def strength_matrix_abs(
+    A, theta: float = 0.25, max_row_sum: float = 0.9
+) -> sp.csr_matrix:
+    """Absolute-value strength (par_strength.c hypre_BoomerAMGCreateSabs):
+    j strong iff |a_ij| > theta * max_{k != i} |a_ik| (all-positive
+    nodal norm matrices)."""
+    M = A.to_scipy() if hasattr(A, "to_scipy") else A.tocsr()
+    n = M.shape[0]
+    diag = M.diagonal()
+    indptr, indices, data = M.indptr, M.indices, np.abs(M.data)
+    rows = np.repeat(np.arange(n), np.diff(indptr))
+    offdiag = indices != rows
+    row_max = np.zeros(n)
+    np.maximum.at(row_max, rows[offdiag], data[offdiag])
+    strong = (data > theta * row_max[rows]) & offdiag
+    if max_row_sum < 1.0:
+        # Sabs inverts the weak-row test: diagonally-DOMINANT rows go
+        # weak (|row_sum| < |diag|*(2 - max_row_sum), all terms |.|)
+        row_sum = np.zeros(n)
+        np.add.at(row_sum, rows, data)  # data already |.|
+        weak_row = row_sum < np.abs(diag) * (2.0 - max_row_sum)
+        strong &= ~weak_row[rows]
+    S = sp.csr_matrix(
+        (np.ones(int(strong.sum())), (rows[strong], indices[strong])), shape=(n, n)
+    )
+    S.sort_indices()
+    return S
+
+
+def create_nodal_A(
+    A: sp.csr_matrix, num_functions: int, option: int = 1, diag_option: int = 0
+) -> sp.csr_matrix:
+    """Nodal norm matrix for nodal-systems coarsening
+    (par_nodal_systems.c hypre_BoomerAMGCreateNodalA:38): collapse each
+    num_functions x num_functions block to a scalar norm.
+      option 1: frobenius   2: sum of |.|   3: largest |element|
+      4: row-sum norm       6: signed sum of all elements
+    diag_option 1: diagonal = -(sum of off-diagonal entries).
+    Interleaved unknowns (node = i // num_functions) assumed.
+    """
+    nf = num_functions
+    Ac = A.tocoo()
+    nn = A.shape[0] // nf
+    nr = Ac.row // nf
+    ncol = Ac.col // nf
+    mode = abs(option)
+    if mode == 1:
+        M = sp.csr_matrix((Ac.data**2, (nr, ncol)), shape=(nn, nn))
+        M.sum_duplicates()
+        M.data = np.sqrt(M.data)
+    elif mode == 2:
+        M = sp.csr_matrix((np.abs(Ac.data), (nr, ncol)), shape=(nn, nn))
+        M.sum_duplicates()
+    elif mode == 3:
+        M = sp.csr_matrix((np.abs(Ac.data), (nr, ncol)), shape=(nn, nn))
+        M = M.tocsr()
+        # max per (node-row, node-col) pair
+        Mc = sp.csr_matrix((np.abs(Ac.data), (nr, ncol)), shape=(nn, nn))
+        Mc.sum_duplicates()  # placeholder structure
+        # recompute via maximum.at over compact pattern
+        Mc.data[:] = 0.0
+        Mc.sort_indices()
+        from .interp import _csr_lookup  # sorted-key position lookup
+
+        # positions of each (nr, ncol) in the deduped pattern
+        key = nr.astype(np.int64) * nn + ncol
+        pat = sp.csr_matrix((np.ones_like(Mc.data), Mc.indices, Mc.indptr), shape=(nn, nn)).tocoo()
+        patkey = pat.row.astype(np.int64) * nn + pat.col
+        order = np.argsort(patkey)
+        pos = order[np.searchsorted(patkey[order], key)]
+        np.maximum.at(Mc.data, pos, np.abs(Ac.data))
+        M = Mc
+    elif mode == 6:
+        M = sp.csr_matrix((Ac.data, (nr, ncol)), shape=(nn, nn))
+        M.sum_duplicates()
+    else:  # mode 4: row-sum (inf) norm of each block row-wise
+        M = sp.csr_matrix((np.abs(Ac.data), (nr, ncol)), shape=(nn, nn))
+        M.sum_duplicates()
+        M.data /= nf
+    M = M.tocsr()
+    M.sort_indices()
+    if diag_option == 1:
+        off = M - sp.diags(M.diagonal())
+        M = (off + sp.diags(-np.asarray(off.sum(axis=1)).ravel())).tocsr()
+    return M

@@ -62,3 +62,23 @@ def test_dof_func_respected():
     b = jnp.asarray(A.to_scipy() @ np.ones(2 * 6**3))
     res = amg.solve(b, tol=1e-8, max_iter=60)
     assert bool(res.converged)
+
+
+def test_nodal_coarsening_variants():
+    """nodal > 0 (par_nodal_systems.c): all functions of a node share
+    one CF decision; AN norm options 1/2/4 and the Sabs strength
+    (inverted diagonal-dominance weak-row test) all converge."""
+    import jax.numpy as jnp
+
+    A = sys_laplacian_7pt(10, 10, 10, 2)
+    b = jnp.asarray(A.to_scipy() @ np.ones(2000))
+    for nodal in (1, 2, 4, 6):
+        amg = BoomerAMG(A, BoomerAMGOptions(
+            coarsen_type="pmis", interp_type="ext+i", P_max_elmts=4,
+            num_functions=2, nodal=nodal, relax_down=13, relax_up=14,
+            embed_level1=False))
+        # node-aligned CF: both functions of a node agree
+        cf = amg._cf[0]
+        assert (cf[0::2] == cf[1::2]).all()
+        res = amg.solve(b, tol=1e-8, max_iter=60)
+        assert bool(res.converged), nodal
