@@ -78,6 +78,7 @@ def run(argv=None):
     agg_nl = flag("-agg_nl", 1, 0, int)
     sysl = flag("-sysL", 1, 0, int)
     nodal = flag("-nodal", 1, 0, int)
+    gsmg = flag("-gsmg", 1, 0, int)
     num_fun = flag("-nf", 1, 0, int) or sysl
     agg_interp = flag("-agg_interp", 1, 4, int)
     tol = flag("-tol", 1, 1e-8)
@@ -129,6 +130,7 @@ def run(argv=None):
         agg_interp_type=agg_interp,
         num_functions=max(num_fun, 1),
         nodal=nodal,
+        gsmg=gsmg,
         relax_order=cf_order,
         lattice_shape=None if (sysl and sysl > 1) else ((nx, ny) if use9 else (nx, ny, nz)),
     )

@@ -96,6 +96,10 @@ class BoomerAMGOptions:
     # one CF decision; interpolation stays unknown-based
     nodal: int = 0
     nodal_diag: int = 0
+    # GSMG (par_gsmg.c): geometrically-smooth strength from relaxed
+    # random vectors replaces the classical strength test
+    gsmg: int = 0
+    num_samples: int = 5
     # non-Galerkin coarse-operator sparsification (par_nongalerkin.c
     # role): drop tol applied to coarse levels >= 1 (0 = off)
     nongalerkin_tol: float = 0.0
@@ -206,13 +210,22 @@ class BoomerAMG:
         with timed("SETUP"):
             while True:
                 n = A.shape[0]
+                self._cur_A = A
                 A_si = A if nf <= 1 else self._mask_cross_dof(A, dof)
                 last = len(self._host_A) >= o.max_levels - 1 or n <= o.max_coarse_size
                 if not last:
                     with timed("STRENGTH"):
-                        S = strength_matrix(
-                            CSRMatrix.from_scipy(A_si), o.strong_threshold, o.max_row_sum
-                        )
+                        if o.gsmg > 0:
+                            from .strength import gsmg_strength
+
+                            S = gsmg_strength(
+                                A_si, o.num_samples, seed=o.seed,
+                                dof_func=dof if nf > 1 else None,
+                            )
+                        else:
+                            S = strength_matrix(
+                                CSRMatrix.from_scipy(A_si), o.strong_threshold, o.max_row_sum
+                            )
                     with timed("COARSEN"):
                         if nf > 1 and o.nodal > 0:
                             from .strength import (
@@ -320,6 +333,10 @@ class BoomerAMG:
             return ruge_stuben_coarsen(S)
         if o.coarsen_type == "cljp":
             return cljp_coarsen(S, seed=o.seed)
+        if o.coarsen_type == "cr":
+            from .coarsen import cr_coarsen
+
+            return cr_coarsen(self._cur_A, seed=o.seed)
         if o.coarsen_type == "falgout":
             from .coarsen import falgout_coarsen
 

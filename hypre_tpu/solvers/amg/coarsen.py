@@ -237,3 +237,93 @@ def hmis_coarsen(S: sp.csr_matrix, seed: int = _PMIS_SEED) -> np.ndarray:
     # reset: unassigned (0) points go through PMIS rounds.
     cf_open = cf.copy()
     return pmis_coarsen(S, cf_init=cf_open, seed=seed)
+
+
+def cr_coarsen(
+    S_or_A,
+    A: "sp.csr_matrix" = None,
+    theta_cr: float = 0.7,
+    mu: int = 5,
+    omega: float = 1.0,
+    relax: str = "gs",
+    seed: int = 2747,
+    max_stages: int = 20,
+):
+    """Compatible-relaxation coarsening (par_cr.c hypre_cr:72).
+
+    Stages: run mu sweeps of F-point relaxation on the homogeneous
+    system (C values pinned to 0), measure the asymptotic factor
+    rho = ||e1||/||e0||; while rho > theta_cr, mark slow points
+    (|e_i|/max > 1 - rho, par_cr.c hypre_formu:450) as candidates and
+    promote a greedy independent set of them to C
+    (hypre_IndepSetGreedy:179: measure = 1 + #candidate neighbors).
+    F-point errors re-randomized each stage with the Park-Miller
+    stream (1 + 0.1*rand).
+    """
+    import scipy.sparse as sp
+
+    from ...utils.lcg import lcg_fill
+
+    M = (A if A is not None else S_or_A).tocsr()
+    n = M.shape[0]
+    diag = M.diagonal()
+    dsafe = np.where(diag == 0, 1.0, diag)
+    Aoff = (M - sp.diags(diag)).tocsr()
+    indptr, indices = M.indptr, M.indices
+    row_nnz = np.diff(indptr)
+
+    cf = np.full(n, F_PT, dtype=np.int64)
+    skip = 0
+    e1 = 1.0 + 0.1 * lcg_fill(seed, n, skip)
+    skip += n
+    e0 = np.zeros(n)
+
+    for stage in range(max_stages):
+        fmask = cf == F_PT
+        e0[~fmask] = 0.0
+        e1[~fmask] = 0.0
+        for _ in range(mu):
+            e0[fmask] = e1[fmask]
+            res = -(Aoff @ np.where(fmask, e0, 0.0))
+            if relax == "gs":
+                # hypre_fptgscr does a forward sweep; Jacobi-style
+                # simultaneous update is the parallel analog used here
+                e1 = np.where(fmask, res / dsafe, 0.0)
+            else:
+                e1 = np.where(
+                    fmask, (1 - omega) * e1 + omega * res / dsafe, 0.0
+                )
+        n0 = np.linalg.norm(e0)
+        rho = np.linalg.norm(e1) / (n0 if n0 > 0 else 1.0)
+        if rho <= theta_cr:
+            break
+        # candidate set
+        emax = np.abs(e1).max() or 1.0
+        cand = fmask & (np.abs(e1) / emax > (1.0 - rho)) & (row_nnz > 1)
+        # greedy independent set by candidate-neighbor count
+        cidx = np.flatnonzero(cand)
+        if cidx.size == 0:
+            break
+        is_cand = cand.copy()
+        measure = np.zeros(n, dtype=np.int64)
+        for i in cidx:
+            nbrs = indices[indptr[i] : indptr[i + 1]]
+            measure[i] = 1 + int(is_cand[nbrs].sum())
+        order = np.lexsort((np.arange(n)[cidx], -measure[cidx]))
+        alive = is_cand.copy()
+        for i in cidx[order]:
+            if not alive[i]:
+                continue
+            cf[i] = C_PT
+            alive[i] = False
+            nbrs = indices[indptr[i] : indptr[i + 1]]
+            alive[nbrs] = False
+        # re-randomize F errors
+        fmask = cf == F_PT
+        nf = int(fmask.sum())
+        fresh = 1.0 + 0.1 * lcg_fill(seed, nf, skip)
+        skip += nf
+        e0[fmask] = fresh
+        e1[fmask] = 1.0 + 0.1 * lcg_fill(seed, nf, skip)
+        skip += nf
+    return cf

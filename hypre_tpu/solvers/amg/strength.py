@@ -173,3 +173,69 @@ def create_nodal_A(
         off = M - sp.diags(M.diagonal())
         M = (off + sp.diags(-np.asarray(off.sum(axis=1)).ravel())).tocsr()
     return M
+
+
+def gsmg_strength(
+    A: sp.csr_matrix,
+    nsamples: int = 5,
+    nu: int = 5,
+    seed: int = 2747,
+    dof_func=None,
+) -> sp.csr_matrix:
+    """GSMG smoothed-vector strength (par_gsmg.c:54
+    hypre_ParCSRMatrixFillSmooth + ChooseThresh:250 + Threshold:287).
+
+    Relax nsamples random vectors on the homogeneous system, normalize
+    each to 1/nsamples, set S_ij = 1 / sum_k |p_k(i) - p_k(j)| on A's
+    off-diagonal pattern (same-function, nonzero entries), then keep
+    entries >= minimax threshold (the minimum over rows of the row max).
+    """
+    from ...utils.lcg import lcg_fill
+
+    M = A.tocsr() if not hasattr(A, "to_scipy") else A.to_scipy()
+    n = M.shape[0]
+    diag = M.diagonal()
+    dsafe = np.where(diag == 0, 1.0, diag)
+    Aoff = M - sp.diags(diag)
+
+    samples = np.empty((nsamples, n))
+    skip = 0
+    for k in range(nsamples):
+        e = 2.0 * lcg_fill(seed, n, skip) - 1.0
+        skip += n
+        for _ in range(nu):  # weighted-Jacobi smoothing of the error
+            e = e - (2.0 / 3.0) * ((M @ e) / dsafe)
+        samples[k] = e
+    nrm = np.linalg.norm(samples, axis=1)
+    samples /= np.where(nrm == 0, 1.0, nrm)[:, None] * nsamples
+
+    Mc = M.tocoo()
+    offd = Mc.row != Mc.col
+    same = (
+        np.ones(Mc.nnz, bool)
+        if dof_func is None
+        else np.asarray(dof_func)[Mc.row] == np.asarray(dof_func)[Mc.col]
+    )
+    sel = offd & same & (Mc.data != 0)
+    dsum = np.zeros(Mc.nnz)
+    for k in range(nsamples):
+        dsum[sel] += np.abs(samples[k][Mc.row[sel]] - samples[k][Mc.col[sel]])
+    vals = np.zeros(Mc.nnz)
+    ok = sel & (dsum > 0)
+    vals[ok] = 1.0 / dsum[ok]
+
+    Sv = sp.csr_matrix((vals, (Mc.row, Mc.col)), shape=(n, n))
+    Sv.eliminate_zeros()
+    # minimax threshold
+    rows = np.repeat(np.arange(n), np.diff(Sv.indptr))
+    rowmax = np.zeros(n)
+    if Sv.nnz:
+        np.maximum.at(rowmax, rows, Sv.data)
+    nzrows = rowmax > 0
+    thresh = rowmax[nzrows].min() if nzrows.any() else 0.0
+    keep = Sv.data >= thresh
+    S = sp.csr_matrix(
+        (np.ones(int(keep.sum())), (rows[keep], Sv.indices[keep])), shape=(n, n)
+    )
+    S.sort_indices()
+    return S

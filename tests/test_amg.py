@@ -237,3 +237,23 @@ def test_masked_gs_exact_vs_sequential():
         if mask[i]:
             ur[i] = (float(f[i]) - Md[i, :i] @ ur[:i] - Md[i, i + 1:] @ ur[i + 1:]) / Md[i, i]
     np.testing.assert_allclose(np.asarray(u), ur, atol=1e-14)
+
+
+def test_cr_and_gsmg_coarsening():
+    """CR coarsening (par_cr.c hypre_cr) and GSMG smoothed-vector
+    strength (par_gsmg.c) both drive convergent hierarchies."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hypre_tpu.models import laplacian_7pt
+    from hypre_tpu.solvers.amg import BoomerAMG, BoomerAMGOptions
+
+    A = laplacian_7pt(10, 10, 10)
+    b = jnp.asarray(A.to_scipy() @ np.ones(1000))
+    for kw in (dict(coarsen_type="cr"), dict(gsmg=1)):
+        amg = BoomerAMG(A, BoomerAMGOptions(
+            interp_type="ext+i", P_max_elmts=4,
+            relax_down=18, relax_up=18, embed_level1=False, **kw))
+        res = amg.solve(b, tol=1e-8, max_iter=60)
+        assert bool(res.converged), kw
+        assert amg.num_levels >= 3
