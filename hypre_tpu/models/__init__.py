@@ -5,5 +5,7 @@ from .laplacian import (
     difconv_7pt,
     laplacian_5pt_2d,
     sys_laplacian_7pt,
+    rotate_7pt,
+    vardifconv_7pt,
 )
 from .ij import IJMatrix, IJVector

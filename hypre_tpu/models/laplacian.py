@@ -208,3 +208,90 @@ def sys_laplacian_7pt(
     A = sp.kron(L, M, format="csr")
     A.sort_indices()
     return CSRMatrix.from_scipy(A)
+
+
+def rotate_7pt(nx: int, ny: int, alpha_deg: float, eps: float):
+    """2D rotated anisotropic Laplacian (parcsr_ls/par_rotate_7pt.c):
+    -div(K grad u) with K from rotation angle alpha and anisotropy eps,
+    discretized on a 7-point 2D stencil."""
+    import scipy.sparse as sp
+
+    from ..ops.csr import CSRMatrix
+
+    alpha = np.deg2rad(alpha_deg)
+    c, s = np.cos(alpha), np.sin(alpha)
+    cxx = c * c + eps * s * s
+    cyy = s * s + eps * c * c
+    cxy = 2.0 * (1.0 - eps) * c * s
+
+    n = nx * ny
+    idx = np.arange(n)
+    ix, iy = idx % nx, idx // nx
+    rows_l, cols_l, vals_l = [], [], []
+
+    def add(dx, dy, v):
+        ok = (ix + dx >= 0) & (ix + dx < nx) & (iy + dy >= 0) & (iy + dy < ny)
+        rows_l.append(idx[ok])
+        cols_l.append(idx[ok] + dx + nx * dy)
+        vals_l.append(np.full(int(ok.sum()), v))
+
+    # standard 7-pt (skew) stencil for mixed derivative
+    add(0, 0, 2 * cxx + 2 * cyy - 1.0 * cxy)
+    add(1, 0, -cxx + 0.5 * cxy)
+    add(-1, 0, -cxx + 0.5 * cxy)
+    add(0, 1, -cyy + 0.5 * cxy)
+    add(0, -1, -cyy + 0.5 * cxy)
+    add(1, 1, -0.5 * cxy)
+    add(-1, -1, -0.5 * cxy)
+    M = sp.csr_matrix(
+        (np.concatenate(vals_l), (np.concatenate(rows_l), np.concatenate(cols_l))),
+        shape=(n, n),
+    )
+    M.sum_duplicates()
+    M.sort_indices()
+    return CSRMatrix.from_scipy(M)
+
+
+def vardifconv_7pt(nx: int, ny: int, nz: int, eps: float = 1.0):
+    """Variable-coefficient diffusion-convection
+    (parcsr_ls/par_vardifconv.c): -div(a(x) grad u) + b(x).grad u with
+    a(x) = eps * (1 + sin-bump), first-order upwind convection."""
+    import scipy.sparse as sp
+
+    from ..ops.csr import CSRMatrix
+
+    n = nx * ny * nz
+    idx = np.arange(n)
+    ix = idx % nx
+    iy = (idx // nx) % ny
+    iz = idx // (nx * ny)
+    hx, hy, hz = 1.0 / (nx + 1), 1.0 / (ny + 1), 1.0 / (nz + 1)
+    x, y, z = (ix + 1) * hx, (iy + 1) * hy, (iz + 1) * hz
+    a = eps * (1.0 + 0.5 * np.sin(2 * np.pi * x) * np.sin(2 * np.pi * y))
+    bx, by, bz = y - 0.5, 0.5 - x, np.zeros_like(x)
+
+    rows_l, cols_l, vals_l = [], [], []
+
+    def add(dx, dy, dz, v):
+        ok = ((ix + dx >= 0) & (ix + dx < nx) & (iy + dy >= 0) & (iy + dy < ny)
+              & (iz + dz >= 0) & (iz + dz < nz))
+        rows_l.append(idx[ok])
+        cols_l.append(idx[ok] + dx + nx * (dy + ny * dz))
+        vals_l.append(np.asarray(v)[ok] if np.ndim(v) else np.full(int(ok.sum()), v))
+
+    dfx, dfy, dfz = a / hx**2, a / hy**2, a / hz**2
+    ux, uy = np.abs(bx) / hx, np.abs(by) / hy
+    add(0, 0, 0, 2 * dfx + 2 * dfy + 2 * dfz + ux + uy)
+    add(1, 0, 0, -dfx + np.where(bx < 0, bx / hx, 0.0))
+    add(-1, 0, 0, -dfx - np.where(bx > 0, bx / hx, 0.0))
+    add(0, 1, 0, -dfy + np.where(by < 0, by / hy, 0.0))
+    add(0, -1, 0, -dfy - np.where(by > 0, by / hy, 0.0))
+    add(0, 0, 1, -dfz)
+    add(0, 0, -1, -dfz)
+    M = sp.csr_matrix(
+        (np.concatenate(vals_l), (np.concatenate(rows_l), np.concatenate(cols_l))),
+        shape=(n, n),
+    )
+    M.sum_duplicates()
+    M.sort_indices()
+    return CSRMatrix.from_scipy(M)

@@ -100,6 +100,16 @@ class BoomerAMGOptions:
     # random vectors replaces the classical strength test
     gsmg: int = 0
     num_samples: int = 5
+    # AIR restriction (par_restr.c, restri_type 1): R = local ideal
+    # restriction instead of P^T; coarse grid = R A P.  For
+    # nonsymmetric problems (advection); pair with FCF/F relaxation.
+    restrict_type: int = 0
+    filter_threshold_r: float = 0.0
+    # additive cycling (par_add_cycle.c): levels >= `additive` smooth on
+    # simultaneously-restricted residuals and corrections sum up the
+    # hierarchy (one l1-Jacobi per level, coarsest direct) — fully
+    # parallel across levels, the mult_additive/simple family
+    additive: int = -1
     # non-Galerkin coarse-operator sparsification (par_nongalerkin.c
     # role): drop tol applied to coarse levels >= 1 (0 = off)
     nongalerkin_tol: float = 0.0
@@ -312,13 +322,21 @@ class BoomerAMG:
                             o.jacobi_trunc_threshold,
                         )
                 with timed("RAP"):
-                    Ac = galerkin_rap(A, P)
+                    if o.restrict_type > 0:
+                        from .interp import air_restriction
+
+                        R = air_restriction(A_si, S, cf, o.filter_threshold_r)
+                        Ac = (R @ (A @ P)).tocsr()
+                        Ac.sort_indices()
+                    else:
+                        R = P.T.tocsr()
+                        Ac = galerkin_rap(A, P)
                     if o.nongalerkin_tol > 0:
                         Ac = nongalerkin_filter(Ac, o.nongalerkin_tol)
                 self._host_A.append(A)
                 self._host_P.append(P)
                 self._cf.append(cf)
-                self.levels.append(self._freeze_level(A, P, P.T.tocsr(), cf))
+                self.levels.append(self._freeze_level(A, P, R, cf))
                 A = Ac
                 if nf > 1:
                     dof = dof[cf > 0]
@@ -767,7 +785,32 @@ class BoomerAMG:
         levels = self.levels if levels is None else levels
         if u is None:
             u = jnp.zeros_like(f)
+        if self.opts.additive >= 0:
+            return u + self._additive_cycle(levels, f - spmv(levels[0].A, u) if u is not f else f)
         return self._vcycle(levels, 0, u, f)
+
+    def _additive_cycle(self, levels, r):
+        """Additive correction (par_add_cycle.c hypre_BoomerAMGAdditiveCycle):
+        restrict the residual down the whole hierarchy, smooth every
+        level independently (l1-Jacobi; coarsest direct), sum the
+        prolongated corrections."""
+        o = self.opts
+        L = len(levels)
+        res = [r]
+        for l in range(L - 1):
+            res.append(spmv(levels[l].R, res[-1]))
+        cors = []
+        for l in range(L):
+            lvl = levels[l]
+            if l == L - 1 and lvl.coarse_inv is not None:
+                cors.append(lvl.coarse_inv @ res[l])
+            else:
+                div = lvl.l1inv if o.relax_down == 18 else lvl.dinv
+                cors.append(o.relax_weight * div * res[l])
+        e = cors[-1]
+        for l in range(L - 2, -1, -1):
+            e = cors[l] + spmv(levels[l].P, e)
+        return e
 
     def _vcycle(self, levels, l: int, u, f):
         """hypre's nonrecursive cycle state machine (par_cycle.c:255-621),

@@ -729,3 +729,80 @@ def jacobi_interp(
         P = _coo(Pc.data[keep] * scale[Pc.row[keep]], Pc.row[keep], Pc.col[keep], (n, nc))
     P.sort_indices()
     return P
+
+
+def air_restriction(
+    A: sp.csr_matrix,
+    S: sp.csr_matrix,
+    cf: np.ndarray,
+    filter_threshold: float = 0.0,
+) -> sp.csr_matrix:
+    """AIR: local approximate ideal restriction, distance 1
+    (par_restr.c hypre_BoomerAMGBuildRestrAIR:20, restri_type 1).
+
+    For each C point i with strong F neighborhood N_i (via S), solve the
+    local transposed system  A[N_i, N_i]^T x = -A[i, N_i]^T  and set
+    R[c(i), j] = x_j for j in N_i, R[c(i), i] = 1 — the row-local
+    Z = -A_CF A_FF^{-1} of ideal restriction.  Optional relative
+    filtering drops |r| < threshold * max|row| (filter_thresholdR).
+    Pairs with F-relaxation; built for nonsymmetric problems
+    (advection), where R != P^T matters.
+    """
+    n = A.shape[0]
+    is_c = cf > 0
+    nc = int(is_c.sum())
+    f2c = np.cumsum(is_c) - 1
+    Ad = A.tocsr()
+    Sp, Sj = S.indptr, S.indices
+
+    rows_out, cols_out, vals_out = [], [], []
+    c_pts = np.flatnonzero(is_c)
+    # group by neighborhood size for batched solves
+    neighborhoods = []
+    for i in c_pts:
+        nb = Sj[Sp[i]:Sp[i + 1]]
+        nb = nb[~is_c[nb] & (cf[nb] != -3)]
+        neighborhoods.append(nb)
+    sizes = np.array([len(nb) for nb in neighborhoods])
+    for sz in np.unique(sizes):
+        idx = np.flatnonzero(sizes == sz)
+        if sz == 0:
+            continue
+        batch = len(idx)
+        Mats = np.zeros((batch, sz, sz))
+        rhs = np.zeros((batch, sz))
+        for b, q in enumerate(idx):
+            i = c_pts[q]
+            nb = neighborhoods[q]
+            Mats[b] = Ad[np.ix_(nb, nb)].toarray()
+            rhs[b] = -np.asarray(Ad[i, nb].todense()).ravel()
+        # solve A_loc^T x = -A[i, N]^T
+        try:
+            X = np.linalg.solve(np.transpose(Mats, (0, 2, 1)),
+                                rhs[:, :, None])[:, :, 0]
+        except np.linalg.LinAlgError:
+            X = np.stack([
+                np.linalg.lstsq(Mats[b].T, rhs[b], rcond=None)[0]
+                for b in range(batch)
+            ])
+        for b, q in enumerate(idx):
+            i = c_pts[q]
+            nb = neighborhoods[q]
+            rows_out.append(np.full(sz, f2c[i]))
+            cols_out.append(nb)
+            vals_out.append(X[b])
+    rows_out.append(f2c[c_pts])
+    cols_out.append(c_pts)
+    vals_out.append(np.ones(nc))
+    R = _coo(
+        np.concatenate(vals_out), np.concatenate(rows_out),
+        np.concatenate(cols_out), (nc, n),
+    )
+    if filter_threshold > 0 and R.nnz:
+        Rc = R.tocoo()
+        rowmax = np.zeros(nc)
+        np.maximum.at(rowmax, Rc.row, np.abs(Rc.data))
+        keep = np.abs(Rc.data) >= filter_threshold * rowmax[Rc.row]
+        R = _coo(Rc.data[keep], Rc.row[keep], Rc.col[keep], (nc, n))
+    R.sort_indices()
+    return R

@@ -257,3 +257,36 @@ def test_cr_and_gsmg_coarsening():
         res = amg.solve(b, tol=1e-8, max_iter=60)
         assert bool(res.converged), kw
         assert amg.num_levels >= 3
+
+
+def test_air_additive_and_generators():
+    """AIR restriction (par_restr.c), additive cycles (par_add_cycle.c),
+    rotated-anisotropy and variable-coefficient generators."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hypre_tpu.models import difconv_7pt, rotate_7pt, vardifconv_7pt
+    from hypre_tpu.ops.dia import freeze_auto, spmv
+    from hypre_tpu.solvers.amg import BoomerAMG, BoomerAMGOptions
+    from hypre_tpu.solvers.krylov import GMRESOptions, gmres
+
+    A = difconv_7pt(8, 8, 8, 1.0, 1.0, 1.0, 10.0, 10.0, 10.0, 0)
+    b = jnp.asarray(A.to_scipy() @ np.ones(512))
+    amg = BoomerAMG(A, BoomerAMGOptions(
+        coarsen_type="pmis", interp_type="direct", P_max_elmts=4,
+        relax_down=17, relax_up=17, restrict_type=1, embed_level1=False))
+    # R != P^T with AIR
+    import scipy.sparse as sp
+    assert abs(amg._host_P[0].T - sp.csr_matrix(
+        np.zeros(amg._host_P[0].T.shape))).max() > 0  # nonempty
+    res = amg.solve(b, tol=1e-8, max_iter=60)
+    assert bool(res.converged)
+
+    for M in (rotate_7pt(20, 20, 45.0, 0.01), vardifconv_7pt(8, 8, 8, 0.1)):
+        bb = jnp.asarray(M.to_scipy() @ np.ones(M.num_rows))
+        amg2 = BoomerAMG(M, BoomerAMGOptions(
+            coarsen_type="pmis", interp_type="ext+i", P_max_elmts=4,
+            relax_down=18, relax_up=18, embed_level1=False))
+        r = gmres(lambda x, E=freeze_auto(M): spmv(E, x), bb, M=amg2.precond,
+                  opts=GMRESOptions(tol=1e-8, max_iter=100))
+        assert bool(r.converged)
