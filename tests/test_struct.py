@@ -162,3 +162,30 @@ def test_mixed_constant_variable_pfmg():
     b = jnp.asarray(np.ones((12, 12, 12)))
     res = PFMG(A, PFMGOptions(tol=1e-6, max_iter=30, skip_relax=0)).solve(b)
     assert bool(res.converged)
+
+
+def test_sparse_msg_anisotropic():
+    """SparseMSG (struct_ls/sparse_msg*.c): multiple semicoarsened grids
+    with restrict_count averaging and visit-weight (lambda_d partition)
+    correction filtering; robust on strong anisotropy."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from hypre_tpu.struct import StructGrid, StructMatrix
+    from hypre_tpu.solvers.struct_ls import SparseMSG, SparseMSGOptions
+
+    nx = 16
+    g = StructGrid((nx, nx, nx))
+    ones = np.ones((nx, nx, nx))
+    cx, cy, cz = 1.0, 10.0, 100.0
+    ent = {(0, 0, 0): 2 * (cx + cy + cz) * ones}
+    for d, c in enumerate((cx, cy, cz)):
+        for s in (-1, 1):
+            o = [0, 0, 0]
+            o[d] = s
+            ent[tuple(o)] = -c * ones
+    A = StructMatrix.from_dict(ent, g)
+    b = jnp.asarray(np.ones((nx, nx, nx)))
+    res = SparseMSG(A, SparseMSGOptions(tol=1e-6, max_iter=40)).solve(b)
+    assert bool(res.converged)
+    assert int(res.num_iterations) <= 15
