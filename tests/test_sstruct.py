@@ -104,3 +104,37 @@ def test_split_preconditioned_pcg():
 
 
 import jax  # noqa: E402  (used in test_split_preconditioned_pcg)
+
+
+def test_fac_composite_amr():
+    """FAC (sstruct_ls/fac*.c): composite AMR operator with flux-matched
+    CF interfaces; patch-solve + coarse-correction cycle converges."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from hypre_tpu.solvers.sstruct_ls import FAC, FACOptions, build_composite_poisson
+
+    A, cidx, fidx, nc = build_composite_poisson((12, 12, 12), (3, 3, 3), (6, 6, 6))
+    assert A.shape[0] == nc + 12**3
+    fac = FAC(A, nc, FACOptions(tol=1e-6, max_iter=40))
+    res = fac.solve(jnp.asarray(np.ones(A.shape[0])))
+    assert bool(res.converged)
+
+
+def test_sstruct_maxwell():
+    """SStruct Maxwell (maxwell_*.c): grid-topology discrete gradient +
+    auxiliary-space cycles on the assembled multi-part edge system."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from hypre_tpu.models.maxwell import curlcurl_matrix
+    from hypre_tpu.solvers.sstruct_ls import SStructMaxwell
+
+    shape = (6, 6, 6)
+    A1, _G, _xyz = curlcurl_matrix(*shape, alpha=1.0, beta=1.0)
+    mx = SStructMaxwell([shape, shape], [A1, A1])
+    rng = np.random.default_rng(0)
+    b = jnp.asarray(mx.A.to_scipy() @ rng.standard_normal(mx.A.num_rows))
+    res = mx.solve(b)
+    assert bool(res.converged)
+    assert int(res.num_iterations) <= 15
