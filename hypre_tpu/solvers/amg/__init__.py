@@ -4,3 +4,4 @@ from .interp import classical_interp, direct_interp, extended_i_interp, truncate
 from .boomeramg import BoomerAMG, BoomerAMGOptions
 from .hybrid import AMGHybrid, AMGHybridOptions
 from .ams import AMS, AMSOptions
+from .amgdd import AMGDD, AMGDDOptions

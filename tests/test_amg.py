@@ -290,3 +290,24 @@ def test_air_additive_and_generators():
         r = gmres(lambda x, E=freeze_auto(M): spmv(E, x), bb, M=amg2.precond,
                   opts=GMRESOptions(tol=1e-8, max_iter=100))
         assert bool(r.converged)
+
+
+def test_amgdd_composite_grids():
+    """AMG-DD (par_amgdd*.c): per-domain composite hierarchies with
+    distance-padding rings; one residual exchange per iteration, local
+    FAC cycles.  1 domain == plain FAC-AMG; more domains with enough
+    padding still converge."""
+    import numpy as np
+
+    from hypre_tpu.models import laplacian_7pt
+    from hypre_tpu.solvers.amg import AMGDD, AMGDDOptions, BoomerAMG, BoomerAMGOptions
+
+    A = laplacian_7pt(12, 12, 12)
+    amg = BoomerAMG(A, BoomerAMGOptions(
+        coarsen_type="pmis", interp_type="ext+i", P_max_elmts=4,
+        relax_down=18, relax_up=18, embed_level1=False))
+    b = A.to_scipy() @ np.ones(12**3)
+    r1 = AMGDD(amg, AMGDDOptions(num_domains=1)).solve(b, tol=1e-8, max_iter=30)
+    r4 = AMGDD(amg, AMGDDOptions(num_domains=4, padding=2)).solve(b, tol=1e-8, max_iter=40)
+    assert bool(r1.converged) and int(r1.num_iterations) <= 8
+    assert bool(r4.converged)
