@@ -9,7 +9,10 @@ Reference: test/ij.c (9.6 kLoC).  Supported flags (same spellings):
                      5 AMG-CGNR, 6 DS-CGNR, 9 AMG-BiCGSTAB, 10 DS-BiCGSTAB,
                      20 AMG-hybrid, 50 DS-LGMRES, 51 AMG-LGMRES,
                      60 DS-FlexGMRES, 61 AMG-FlexGMRES, 16 AMG-COGMRES
-  -pmis|-hmis|-ruge  coarsening        -interptype K (0|3|6)
+  -pmis|-hmis|-ruge|-cljp|-falgout|-cgc|-cr   coarsening
+  -interptype K      0 classical | 3 direct | 4 multipass | 6 ext+i |
+                     8 standard | 9 standard-sep | 12 FF | 13 FF1 | 14 ext
+  -sysL n  -nf n     systems Laplacian / num functions   -nodal k  -gsmg k
   -Pmx K             P max elements    -rlx K (0,3,4,6,13,14,16,18)
   -th T              strength threshold    -mxrs R    max row sum
   -agg_nl N          aggressive-coarsening levels  -agg_interp K (4 multipass, 1 product)
@@ -68,6 +71,14 @@ def run(argv=None):
     atype = flag("-atype", 1, 0, int)
     solver_id = flag("-solver", 1, 0, int)
     coarsen = "pmis" if flag("-pmis") else ("hmis" if flag("-hmis") else ("rs" if flag("-ruge") else "pmis"))
+    if flag("-cljp"):
+        coarsen = "cljp"
+    if flag("-falgout"):
+        coarsen = "falgout"
+    if flag("-cgc"):
+        coarsen = "cgc"
+    if flag("-cr"):
+        coarsen = "cr"
     if flag("-pmis1"):
         coarsen = "pmis"
     interp = INTERP.get(flag("-interptype", 1, 6, int), "ext+i")

@@ -355,6 +355,14 @@ class BoomerAMG:
             from .coarsen import cr_coarsen
 
             return cr_coarsen(self._cur_A, seed=o.seed)
+        if o.coarsen_type == "cgc":
+            # CGC (par_cgc_coarsen.c, Griebel/Metsch): builds several
+            # RS coarsenings per PROCESSOR subdomain and picks the
+            # combination minimizing a cross-subdomain weight via graph
+            # matching.  On a single domain (np=1 semantics — our host
+            # setup) the choice set is a single RS grid, to which CGC
+            # provably degenerates.
+            return ruge_stuben_coarsen(S)
         if o.coarsen_type == "falgout":
             from .coarsen import falgout_coarsen
 
