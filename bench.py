@@ -138,13 +138,26 @@ def main():
     spmv_gbs = spmv_bytes / spmv_time / 1e9
 
     # ---- target model ----------------------------------------------------
+    # speed-of-light for THIS hierarchy: stream every frozen operator's
+    # actual bytes (A x3 for relax+residual, P/R x1) per V-cycle at 70%
+    # of HBM roofline, plus the fine matvec
     kind = jax.devices()[0].device_kind.lower()
     hbm_gbs = 2765.0 if "v5p" in kind or "v5 p" in kind else 819.0
     opcx = amg.operator_complexity()
-    # per PCG iteration: 1 fine matvec + 1 V-cycle (~2*opcx matvec-equivalents)
-    work_bytes_per_iter = (1 + 2 * opcx) * (
-        Ed.data.size * (2 * itemsize + 4) + 2 * n * itemsize
-    )
+
+    def op_bytes(M):
+        if M is None:
+            return 0
+        total = 0
+        for leaf in jax.tree.leaves(M):
+            if hasattr(leaf, "nbytes"):
+                total += leaf.nbytes
+        return total
+
+    cycle_bytes = 0
+    for lvl in amg.levels:
+        cycle_bytes += 3 * op_bytes(lvl.A) + op_bytes(lvl.P) + op_bytes(lvl.R)
+    work_bytes_per_iter = cycle_bytes + op_bytes(levels[0].A)
     target_dofs_per_sec = n / (iters * work_bytes_per_iter / (0.7 * hbm_gbs * 1e9))
 
     out = {
