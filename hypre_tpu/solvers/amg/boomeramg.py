@@ -157,7 +157,7 @@ class BoomerAMGOptions:
     # streaming kernel pays, and deeper levels afford many more offsets
     # on their smaller lattices.  A sanity cap on total offsets guards
     # the host-side build.
-    relocate_max_bytes: int = 1 << 30
+    relocate_max_bytes: int = 3 << 30
     max_relocated_offsets: int = 8192
 
 
