@@ -88,7 +88,12 @@ def run(argv=None):
 
         res = SMG(A, SMGOptions(tol=tol, max_iter=max_iter,
                                 num_pre_relax=n_pre, num_post_relax=n_post)).solve(b)
-    elif solver_id in (1, 2, 3, 4):  # PFMG family
+    elif solver_id == 2:  # SparseMSG (struct.c solver 2)
+        from ..solvers.struct_ls import SparseMSG, SparseMSGOptions
+
+        res = SparseMSG(A, SparseMSGOptions(tol=tol, max_iter=max_iter,
+                                            num_pre=n_pre, num_post=n_post)).solve(b)
+    elif solver_id in (1, 3, 4):  # PFMG family
         res = PFMG(A, pf_opts).solve(b)
     elif solver_id == 8:
         res = StructJacobi(A, StructJacobiOptions(tol=tol, max_iter=max_iter)).solve(b)

@@ -87,6 +87,19 @@ class SparseMSG:
                     if cshape == tuple(self.grids[child].shape):
                         self.Pmat[(g, d)] = (P, cshape)
         self.keys = sorted(self.grids, key=lambda g: (sum(g), g))
+        # device transfer operators (frozen ELL) so the whole cycle is
+        # device-side and jittable — one dispatch per cycle instead of
+        # per-grid host round-trips
+        from ...ops.csr import CSRMatrix as _CSR
+        from ...ops.dia import freeze_auto as _freeze
+
+        self.Pdev = {}
+        self.Rdev = {}
+        self.cshapes = {}
+        for (g, d), (P, cshape) in self.Pmat.items():
+            self.Pdev[(g, d)] = _freeze(_CSR.from_scipy(P.tocsr()))
+            self.Rdev[(g, d)] = _freeze(_CSR.from_scipy(P.T.tocsr()))
+            self.cshapes[(g, d)] = cshape
         # visit weights (sparse_msg_filter.c FilterSetup): per point,
         # lambda_d = (sum of +a over offsets with zero d-component,
         # -a otherwise)^2; visit_d = lambda_d / sum(lambda) partitions
@@ -136,14 +149,16 @@ class SparseMSG:
                 if count[g] > 1:
                     F[g] = F[g] / count[g]
                 U[g] = self._relax(g, U[g], F[g], o.num_pre)
-                r = np.asarray(F[g] - struct_matvec(self.grids[g], U[g]))
+                r = F[g] - struct_matvec(self.grids[g], U[g])
                 for d in range(len(g)):
                     key = (g, d)
                     child = self._edge(g, d)
                     if key not in self.Pmat or child not in self.grids:
                         continue
-                    P, cshape = self.Pmat[key]
-                    rc = jnp.asarray((P.T @ r.ravel()).reshape(cshape))
+                    from ...ops.dia import spmv as _spmv
+
+                    cshape = self.cshapes[key]
+                    rc = _spmv(self.Rdev[key], r.ravel())[: int(np.prod(cshape))].reshape(cshape)
                     if child in F:
                         F[child] = F[child] + rc
                         count[child] += 1
@@ -158,20 +173,25 @@ class SparseMSG:
                     p = self._edge(g, d, -1)
                     if p not in U or (p, d) not in self.Pmat:
                         continue
-                    P, _ = self.Pmat[(p, d)]
-                    up = (P @ np.asarray(U[g]).ravel()).reshape(self.grids[p].shape)
-                    U[p] = U[p] + self.visit[p][d] * jnp.asarray(up)
+                    from ...ops.dia import spmv as _spmv
+
+                    pshape = tuple(self.grids[p].shape)
+                    up = _spmv(self.Pdev[(p, d)], U[g].ravel())[: int(np.prod(pshape))].reshape(pshape)
+                    U[p] = U[p] + self.visit[p][d] * up
         return self._relax(self.root, U[self.root], F[self.root], o.num_post)
 
     def solve(self, b, x0=None) -> SolverResult:
+        import jax
+
         o = self.opts
         A = self.grids[self.root]
         x = jnp.zeros_like(b) if x0 is None else x0
         bnorm = float(jnp.linalg.norm(b.ravel())) or 1.0
         norms = [float(jnp.linalg.norm((b - struct_matvec(A, x)).ravel()))]
+        cyc = jax.jit(self.cycle)
         it = 0
         while it < o.max_iter:
-            x = self.cycle(b, x)
+            x = cyc(b, x)
             it += 1
             rn = float(jnp.linalg.norm((b - struct_matvec(A, x)).ravel()))
             norms.append(rn)
