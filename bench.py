@@ -40,7 +40,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    import hypre_tpu  # noqa: F401  (enables x64)
+    import hypre_tpu  # noqa: F401
     from hypre_tpu.models import laplacian_7pt
     from hypre_tpu.ops.dia import spmv
     from hypre_tpu.solvers.amg import BoomerAMG, BoomerAMGOptions

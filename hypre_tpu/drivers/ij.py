@@ -34,6 +34,13 @@ INTERP = {0: "classical", 3: "direct", 4: "multipass", 6: "ext+i", 8: "standard"
 
 
 def run(argv=None):
+    import jax
+
+    # reference-parity drivers compare against f64 oracle outputs; enable
+    # x64 here (NOT at package import — see hypre_tpu/__init__.py)
+    import os
+    if not os.environ.get("HYPRE_TPU_NO_X64"):
+        jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
 
     import hypre_tpu  # noqa: F401
