@@ -50,6 +50,10 @@ def main():
     nx = args.size
     n = nx**3
 
+    # backend/client init (~10 s through a remote-device tunnel) is not
+    # AMG setup — warm it before the timers
+    jax.block_until_ready(jax.device_put(np.zeros(8, dtype=dt)))
+
     # ---- problem + setup -------------------------------------------------
     t0 = time.perf_counter()
     A = laplacian_7pt(nx, nx, nx)

@@ -83,6 +83,7 @@ class CSRMatrix:
         width_pad: int = 1,
         dtype=None,
         min_width: int = 1,
+        device: bool = True,
     ) -> "ELLMatrix":
         n, m = self.shape
         rn = self.row_nnz()
@@ -101,8 +102,8 @@ class CSRMatrix:
         if dtype is not None:
             vals = vals.astype(dtype)
         return ELLMatrix(
-            cols=jnp.asarray(cols),
-            data=jnp.asarray(vals),
+            cols=jnp.asarray(cols) if device else cols,
+            data=jnp.asarray(vals) if device else vals,
             num_rows=n,
             num_cols=m,
             nnz=self.nnz,

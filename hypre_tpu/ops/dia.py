@@ -60,17 +60,19 @@ def _dia_width(n: int, m: int, offsets, itemsize: int = 4) -> int:
     return n
 
 
-def csr_to_dia(A: CSRMatrix, dtype=None) -> DIAMatrix | None:
+def csr_to_dia(A: CSRMatrix, dtype=None, device: bool = True) -> DIAMatrix | None:
+    """device=False leaves `data` as numpy for callers that batch the
+    whole hierarchy into one jax.device_put (setup-time transfer RTTs
+    through remote-device tunnels otherwise dominate)."""
     n, m = A.shape
     rows = np.repeat(np.arange(n), A.row_nnz())
     offs = A.indices - rows
-    uniq = np.unique(offs)
+    uniq, k = np.unique(offs, return_inverse=True)
     dt = np.dtype(dtype or A.data.dtype)
     data = np.zeros((len(uniq), _dia_width(n, m, uniq, dt.itemsize)), dtype=dt)
-    k = np.searchsorted(uniq, offs)
     data[k, rows] = A.data.astype(data.dtype)
     return DIAMatrix(
-        data=jnp.asarray(data),
+        data=jnp.asarray(data) if device else data,
         offsets=tuple(int(o) for o in uniq),
         num_rows=n,
         num_cols=m,
@@ -116,12 +118,14 @@ def freeze_auto(
     # 6144^2 f32 = 151MB, one spmv = ~0.2ms at roofline — still ~10x
     # cheaper than the equivalent XLA HBM gather for typical AMG widths
     dense_max_rows: int = 6144,
+    device: bool = True,
 ):
     """Pick the fastest device format for this matrix."""
     n, m = A.shape
     if n <= dense_max_rows and m <= dense_max_rows:
+        dense = A.to_scipy().toarray().astype(dtype or A.data.dtype)
         return DenseMatrix(
-            data=jnp.asarray(A.to_scipy().toarray().astype(dtype or A.data.dtype)),
+            data=jnp.asarray(dense) if device else dense,
             num_rows=n,
             num_cols=m,
         )
@@ -129,8 +133,8 @@ def freeze_auto(
         rows = np.repeat(np.arange(n), A.row_nnz())
         noff = len(np.unique(A.indices - rows))
         if noff <= dia_max_offsets:
-            return csr_to_dia(A, dtype)
-    return A.to_ell(dtype=dtype)
+            return csr_to_dia(A, dtype, device=device)
+    return A.to_ell(dtype=dtype, device=device)
 
 
 @jax.tree_util.register_dataclass
@@ -161,7 +165,8 @@ class ScatterOp:
 
 
 def build_embedded_dia(
-    M, rpos: np.ndarray, cpos: np.ndarray, n_emb: int, dtype=None
+    M, rpos: np.ndarray, cpos: np.ndarray, n_emb: int, dtype=None,
+    device: bool = True,
 ) -> DIAMatrix:
     """Lift a compressed sparse operator onto a lattice embedding.
 
@@ -174,24 +179,28 @@ def build_embedded_dia(
     """
     Mc = M.tocoo()
     offs = cpos[Mc.col] - rpos[Mc.row]
-    uniq = np.unique(offs)
+    uniq, k = np.unique(offs, return_inverse=True)
     dt = np.dtype(dtype or Mc.data.dtype)
     data = np.zeros((len(uniq), _dia_width(n_emb, n_emb, uniq, dt.itemsize)), dtype=dt)
-    k = np.searchsorted(uniq, offs)
     data[k, rpos[Mc.row]] = Mc.data.astype(dt)
     return DIAMatrix(
-        data=jnp.asarray(data),
+        data=jnp.asarray(data) if device else data,
         offsets=tuple(int(o) for o in uniq),
         num_rows=n_emb,
         num_cols=n_emb,
     )
 
 
-def embedded_offset_count(M, rpos, cpos) -> int:
+def embedded_offsets(M, rpos, cpos) -> np.ndarray:
+    """Sorted distinct lattice offsets of the embedded form of M."""
     Mc = M.tocoo()
     if Mc.nnz == 0:
-        return 0
-    return len(np.unique(cpos[Mc.col] - rpos[Mc.row]))
+        return np.zeros(0, dtype=np.int64)
+    return np.unique(cpos[Mc.col] - rpos[Mc.row])
+
+
+def embedded_offset_count(M, rpos, cpos) -> int:
+    return len(embedded_offsets(M, rpos, cpos))
 
 
 # ---------------------------------------------------------------------------
@@ -290,20 +299,37 @@ def _cells_of_fine(idx, fine_shape, factors):
     return cells, _parity_index(px, py, pz, factors)
 
 
-def _per_parity_dia(rows_cell, cols_cell, parity, vals, ncells, nparity, dtype):
-    import scipy.sparse as _sp
+def dia_from_coo(rows, cols, vals, n, m, dtype=None, device=True) -> DIAMatrix:
+    """DIA directly from UNIQUE (row, col) coordinate entries — skips the
+    scipy CSR roundtrip (sort + dedup) the setup path doesn't need."""
+    offs = cols - rows
+    uniq, k = np.unique(offs, return_inverse=True)
+    dt = np.dtype(dtype or vals.dtype)
+    data = np.zeros((len(uniq), _dia_width(n, m, uniq, dt.itemsize)), dtype=dt)
+    data[k, rows] = vals.astype(dt)
+    return DIAMatrix(
+        data=jnp.asarray(data) if device else data,
+        offsets=tuple(int(o) for o in uniq),
+        num_rows=n,
+        num_cols=m,
+    )
 
+
+def _per_parity_dia(rows_cell, cols_cell, parity, vals, ncells, nparity, dtype,
+                    device=True):
+    # fine index <-> (cell, parity) is a bijection, so entries within one
+    # parity class are unique (row, col) pairs — no dedup needed
     mats = []
     for p in range(nparity):
         m = parity == p
-        Mp = _sp.csr_matrix(
-            (vals[m], (rows_cell[m], cols_cell[m])), shape=(ncells, ncells)
-        )
-        mats.append(csr_to_dia(CSRMatrix.from_scipy(Mp), dtype))
+        mats.append(dia_from_coo(
+            rows_cell[m], cols_cell[m], vals[m], ncells, ncells, dtype,
+            device=device,
+        ))
     return tuple(mats)
 
 
-def build_parity_restrict(M, rcell, fine_shape, factors, dtype=None):
+def build_parity_restrict(M, rcell, fine_shape, factors, dtype=None, device=True):
     """M: scipy sparse (n_pts x n_fine) with rows = coarse points, cols =
     fine lattice indices; rcell[i] = assigned cell of point i."""
     nx, ny, nz = fine_shape
@@ -313,12 +339,12 @@ def build_parity_restrict(M, rcell, fine_shape, factors, dtype=None):
     ccell, par = _cells_of_fine(Mc.col.astype(np.int64), fine_shape, factors)
     mats = _per_parity_dia(
         rcell[Mc.row], ccell, par, Mc.data, ncells, fx * fy * fz,
-        dtype or Mc.data.dtype,
+        dtype or Mc.data.dtype, device=device,
     )
     return ParityRestrictOp(mats=mats, fine_shape=tuple(fine_shape), factors=tuple(factors))
 
 
-def build_parity_interp(M, ccol, fine_shape, factors, dtype=None):
+def build_parity_interp(M, ccol, fine_shape, factors, dtype=None, device=True):
     """M: scipy sparse (n_fine x n_pts) with rows = fine lattice indices,
     cols = coarse points; ccol[j] = assigned cell of point j."""
     nx, ny, nz = fine_shape
@@ -328,13 +354,36 @@ def build_parity_interp(M, ccol, fine_shape, factors, dtype=None):
     rcell, par = _cells_of_fine(Mc.row.astype(np.int64), fine_shape, factors)
     mats = _per_parity_dia(
         rcell, ccol[Mc.col], par, Mc.data, ncells, fx * fy * fz,
-        dtype or Mc.data.dtype,
+        dtype or Mc.data.dtype, device=device,
     )
     return ParityInterpOp(mats=mats, fine_shape=tuple(fine_shape), factors=tuple(factors))
 
 
 def parity_offset_count(ops) -> int:
     return sum(len(m.offsets) for m in ops.mats)
+
+
+def parity_offset_count_plan(
+    M, point_cell, fine_shape, factors, restrict: bool
+) -> int:
+    """Total DIA offsets a parity restrict/interp build would produce,
+    WITHOUT building it (setup planning).  restrict=True: M rows are
+    points (cells via point_cell), cols are fine lattice indices;
+    restrict=False: the transpose convention (build_parity_interp)."""
+    Mc = M.tocoo()
+    if Mc.nnz == 0:
+        return 0
+    nx, ny, nz = fine_shape
+    fx, fy, fz = factors
+    ncells = (nx // fx) * (ny // fy) * (nz // fz)
+    if restrict:
+        ccell, par = _cells_of_fine(Mc.col.astype(np.int64), fine_shape, factors)
+        r, c = point_cell[Mc.row], ccell
+    else:
+        rcell, par = _cells_of_fine(Mc.row.astype(np.int64), fine_shape, factors)
+        r, c = rcell, point_cell[Mc.col]
+    key = par.astype(np.int64) * (2 * ncells + 1) + (c - r + ncells)
+    return len(np.unique(key))
 
 
 def relocate_to_cells(pos, fine_shape, factors, max_load=0.9):

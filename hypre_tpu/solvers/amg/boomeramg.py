@@ -159,6 +159,12 @@ class BoomerAMGOptions:
     # the host-side build.
     relocate_max_bytes: int = 3 << 30
     max_relocated_offsets: int = 8192
+    # compute the level-1 embedded operator ON DEVICE from A0 and the
+    # embedded P (ops/device_rap.py) instead of building + transferring
+    # the ~97%-zeros dense-diagonal array from the host — the largest
+    # single setup cost through a remote-device tunnel.  The hierarchy
+    # PATTERN (offsets, filter decisions) stays host-computed.
+    device_rap: bool = True
 
 
 @jax.tree_util.register_dataclass
@@ -185,12 +191,12 @@ class BoomerAMG:
         self.levels: list[AMGLevel] = []
         self._host_A: list[sp.csr_matrix] = []
         self._host_P: list[sp.csr_matrix] = []
+        self._host_R: list = []  # None => R = P^T
         self._cf: list[np.ndarray] = []
-        self._setup(A)
-        if opts.embed_level1:
-            self._try_embed_level1()
-        if opts.relocate_level2 and opts.lattice_shape is not None:
-            self._try_relocate_level2()
+        self._host_A1_unf = None
+        self._pending_rap = None
+        self._setup(A)  # host-only: numpy/scipy hierarchy, nothing frozen
+        self._freeze_hierarchy()
 
     # ------------------------------------------------------------------
     # setup (host)
@@ -263,7 +269,6 @@ class BoomerAMG:
                 if last:
                     self._host_A.append(A)
                     self._cf.append(np.zeros(A.shape[0], dtype=np.int64))
-                    self.levels.append(self._freeze_level(A, None, None, None))
                     break
                 with timed("INTERP"):
                     if len(self._host_A) < o.agg_num_levels and o.agg_interp_type == 4:
@@ -329,14 +334,18 @@ class BoomerAMG:
                         Ac = (R @ (A @ P)).tocsr()
                         Ac.sort_indices()
                     else:
-                        R = P.T.tocsr()
+                        R = None  # R = P^T, built at freeze time
                         Ac = galerkin_rap(A, P)
+                    if len(self._host_A) == 0:
+                        # unfiltered level-1 pattern, needed by the
+                        # device-RAP plan (dropped offsets lump on device)
+                        self._host_A1_unf = Ac
                     if o.nongalerkin_tol > 0:
                         Ac = nongalerkin_filter(Ac, o.nongalerkin_tol)
                 self._host_A.append(A)
                 self._host_P.append(P)
+                self._host_R.append(R)
                 self._cf.append(cf)
-                self.levels.append(self._freeze_level(A, P, R, cf))
                 A = Ac
                 if nf > 1:
                     dof = dof[cf > 0]
@@ -391,7 +400,75 @@ class BoomerAMG:
         }[o.interp_type]
         return fn(A, S, cf)
 
-    def _freeze_level(self, A, P, R, cf) -> AMGLevel:
+    def _freeze_hierarchy(self) -> None:
+        """Plan lattice embedding/relocation, freeze every level ONCE into
+        its final form with numpy leaves, then ship the whole hierarchy in
+        a single batched jax.device_put.  (Round-1 shape: freeze-then-
+        replace built large ELL/DIA forms that embedding immediately threw
+        away, and issued ~100 individual host->device transfers whose
+        per-call RTT through remote-device tunnels dominated setup.)"""
+        L = len(self._host_A)
+        cpos0 = self._plan_embed()
+        reloc = self._plan_reloc(cpos0) if cpos0 is not None else []
+        skip_A = set([1] if cpos0 is not None else [])
+        skip_PR = set([0] if cpos0 is not None else [])
+        for ent in reloc:
+            skip_A.add(ent["k"])
+            skip_PR.add(ent["k"] - 1)
+        for k in range(L):
+            A = self._host_A[k]
+            P = self._host_P[k] if k < L - 1 else None
+            R = (self._host_R[k] if k < L - 1 else None)
+            cf = self._cf[k]
+            self.levels.append(
+                self._freeze_level(
+                    A, P, R, cf if k < L - 1 else None,
+                    skip_A=k in skip_A, skip_PR=k in skip_PR,
+                )
+            )
+        if cpos0 is not None:
+            will_reloc_l2 = any(ent["k"] == 2 for ent in reloc)
+            self._build_embed_level1(cpos0, will_reloc_l2)
+        if reloc:
+            self._build_relocated(cpos0, reloc)
+        self.levels = list(jax.device_put(tuple(self.levels)))
+        if self._pending_rap is not None:
+            self._run_device_rap()
+
+    def _run_device_rap(self) -> None:
+        """Materialize the level-1 embedded operator on device (see
+        ops/device_rap.py) from the already-transferred A0 and embedded
+        P0 — replaces shipping the ~97%-zeros diagonal array."""
+        from ...ops.device_rap import embedded_rap_device
+        from ...ops.dia import DIAMatrix
+
+        p = self._pending_rap
+        self._pending_rap = None
+        data, _, _ = embedded_rap_device(
+            self.levels[0].P, self.levels[0].A,
+            p["plan"], p["tol"], p["width"], p["mdt"],
+        )
+        n0 = self.levels[0].A.num_rows
+        self.levels[1] = dataclasses.replace(
+            self.levels[1],
+            A=DIAMatrix(
+                data=data, offsets=p["offsets"], num_rows=n0, num_cols=n0
+            ),
+        )
+
+    @staticmethod
+    def _l1_norms(A) -> np.ndarray:
+        """Row-wise sum of |a_ij| (reduceat — ufunc.at is ~20x slower)."""
+        n = A.shape[0]
+        if A.nnz == 0:
+            return np.zeros(n)
+        starts = np.minimum(A.indptr[:-1], A.nnz - 1)
+        red = np.add.reduceat(np.abs(A.data), starts)
+        return np.where(np.diff(A.indptr) > 0, red, 0.0)
+
+    def _freeze_level(
+        self, A, P, R, cf, skip_A: bool = False, skip_PR: bool = False
+    ) -> AMGLevel:
         o = self.opts
         dt = np.dtype(o.dtype)
         # matrix-data storage dtype: the FINE operator keeps full `dtype`
@@ -406,10 +483,10 @@ class BoomerAMG:
         diag = A.diagonal()
         safe = np.where(diag == 0, 1.0, diag)
         dinv = np.where(diag == 0, 0.0, 1.0 / safe)
-        l1 = np.zeros(n)
-        rows = np.repeat(np.arange(n), np.diff(A.indptr))
-        np.add.at(l1, rows, np.abs(A.data))
+        l1 = self._l1_norms(A)
         l1inv = np.where(l1 == 0, 0.0, 1.0 / np.where(l1 == 0, 1.0, l1))
+        if R is None and P is not None and not skip_PR:
+            R = P.T.tocsr()
 
         coarsest = P is None
         relax_types = {o.relax_down, o.relax_up} if not coarsest else {o.relax_coarse}
@@ -442,140 +519,167 @@ class BoomerAMG:
 
         coarse_inv = None
         if coarsest:
-            coarse_inv = jnp.asarray(
-                np.linalg.pinv(A.toarray(), rcond=1e-12).astype(dt)
-            )
+            coarse_inv = np.linalg.pinv(A.toarray(), rcond=1e-12).astype(dt)
 
+        # numpy leaves throughout — _freeze_hierarchy ships the whole
+        # hierarchy to device in one batched put
         return AMGLevel(
-            A=freeze_auto(Ah, dtype=mdt),
-            dinv=jnp.asarray(dinv.astype(dt)),
-            l1inv=jnp.asarray(l1inv.astype(dt)),
-            cmask=jnp.asarray((cf > 0) if cf is not None else np.zeros(n, bool)),
-            P=None if P is None else freeze_auto(CSRMatrix.from_scipy(P), dtype=pdt),
-            R=None if R is None else freeze_auto(CSRMatrix.from_scipy(R), dtype=pdt),
+            A=None if skip_A else freeze_auto(Ah, dtype=mdt, device=False),
+            dinv=dinv.astype(dt),
+            l1inv=l1inv.astype(dt),
+            cmask=(cf > 0) if cf is not None else np.zeros(n, bool),
+            P=None if (P is None or skip_PR)
+            else freeze_auto(CSRMatrix.from_scipy(P), dtype=pdt, device=False),
+            R=None if (R is None or skip_PR)
+            else freeze_auto(CSRMatrix.from_scipy(R), dtype=pdt, device=False),
             gs_fwd=gs_fwd,
             gs_bwd=gs_bwd,
             cheby=cheby,
             coarse_inv=coarse_inv,
         )
 
-    def _try_embed_level1(self) -> None:
-        """Lift level-1 ops onto the fine lattice (gather-free DIA)."""
-        from ...ops.dia import (
-            DIAMatrix,
-            GatherOp,
-            ScatterOp,
-            build_embedded_dia,
-            embedded_offset_count,
-        )
+    def _plan_embed(self):
+        """Return cpos0 (level-1 point positions on the fine lattice) if
+        the level-1 embedding applies, else None.  Pure planning — gating
+        conditions mirror what the build would need, nothing is built."""
+        from ...ops.dia import embedded_offset_count
 
         o = self.opts
-        if self.num_levels < 2 or not isinstance(self.levels[0].A, DIAMatrix):
-            return
+        if not o.embed_level1 or len(self._host_A) < 3:
+            return None
         if {o.relax_down, o.relax_up} - {0, 7, 18}:
-            return  # embedded smoothing implemented for Jacobi family only
+            return None  # embedded smoothing implemented for Jacobi family only
+        # fine operator must itself freeze to DIA (freeze_auto's criteria:
+        # square, above the dense threshold, few distinct diagonals)
+        A0 = self._host_A[0]
+        n0, m0 = A0.shape
+        if n0 != m0 or n0 <= 6144 or A0.nnz == 0:
+            return None
+        rows = np.repeat(np.arange(n0), np.diff(A0.indptr))
+        if len(np.unique(A0.indices - rows)) > 48:
+            return None
+        cpos0 = np.flatnonzero(self._cf[0] > 0).astype(np.int64)
+        if embedded_offset_count(self._host_A[1], cpos0, cpos0) > o.max_embedded_offsets:
+            return None
+        return cpos0
+
+    def _build_embed_level1(self, cpos0, will_reloc_l2: bool = False) -> None:
+        """Lift level-1 ops onto the fine lattice (gather-free DIA)."""
+        from ...ops.dia import GatherOp, ScatterOp, build_embedded_dia
+
+        o = self.opts
         dt = np.dtype(o.dtype)
         mdt = np.dtype(o.mat_dtype or o.dtype)
+        pdt = mdt
         n0 = self._host_A[0].shape[0]
-        cpos0 = np.flatnonzero(self._cf[0] > 0).astype(np.int64)
         A1 = self._host_A[1]
-        if embedded_offset_count(A1, cpos0, cpos0) > o.max_embedded_offsets:
-            return
         P0 = self._host_P[0]
         idx = np.arange(n0, dtype=np.int64)
 
         lvl0, lvl1 = self.levels[0], self.levels[1]
         lvl0 = dataclasses.replace(
             lvl0,
-            P=build_embedded_dia(P0, idx, cpos0, n0, mdt),
-            R=build_embedded_dia(P0.T.tocsr(), cpos0, idx, n0, mdt),
+            P=build_embedded_dia(P0, idx, cpos0, n0, mdt, device=False),
+            R=build_embedded_dia(P0.T.tocsr(), cpos0, idx, n0, mdt, device=False),
         )
 
         diag1 = A1.diagonal()
         dinv_e = np.zeros(n0, dtype=dt)
         dinv_e[cpos0] = np.where(diag1 == 0, 0.0, 1.0 / np.where(diag1 == 0, 1, diag1))
-        l1 = np.abs(A1).sum(axis=1).A1 if hasattr(np.abs(A1).sum(axis=1), "A1") else np.asarray(np.abs(A1).sum(axis=1)).ravel()
+        l1 = self._l1_norms(A1)
         l1inv_e = np.zeros(n0, dtype=dt)
         l1inv_e[cpos0] = np.where(l1 == 0, 0.0, 1.0 / np.where(l1 == 0, 1, l1))
         cmask_e = np.zeros(n0, dtype=bool)
         cmask_e[cpos0[self._cf[1] > 0]] = True
 
-        cpos_dev = jnp.asarray(cpos0.astype(np.int32))
-        new_P = lvl1.P
-        new_R = lvl1.R
-        if new_P is not None:
-            new_P = ScatterOp(inner=lvl1.P, pos=cpos_dev, n_out=n0)
-            new_R = GatherOp(inner=lvl1.R, pos=cpos_dev)
+        # level-1 transfers: wrap the compact frozen P1/R1 in embed-aware
+        # Scatter/Gather ops.  Skipped entirely when relocation of level 2
+        # will overwrite levels[1].P/R with parity mats.
+        new_P = new_R = None
+        if self._host_P[1:] and not will_reloc_l2:
+            innerP, innerR = lvl1.P, lvl1.R
+            if innerP is None:  # was skipped in the freeze loop
+                P1 = self._host_P[1]
+                R1 = self._host_R[1]
+                if R1 is None:
+                    R1 = P1.T.tocsr()
+                innerP = freeze_auto(CSRMatrix.from_scipy(P1), dtype=pdt, device=False)
+                innerR = freeze_auto(CSRMatrix.from_scipy(R1), dtype=pdt, device=False)
+            cpos_i32 = cpos0.astype(np.int32)
+            new_P = ScatterOp(inner=innerP, pos=cpos_i32, n_out=n0)
+            new_R = GatherOp(inner=innerR, pos=cpos_i32)
+        # _host_A1_unf is set exactly when level 1 came from the
+        # R = P^T Galerkin branch — the product the device re-derives
+        use_device_rap = o.device_rap and self._host_A1_unf is not None
+        if use_device_rap:
+            # level-1 operator VALUES come from the device (A0 and the
+            # embedded P are on device anyway); only the symbolic plan is
+            # host work.  dinv/l1inv/cmask stay host-exact (f64).
+            from ...ops.device_rap import plan_embedded_rap
+            from ...ops.dia import _dia_width, embedded_offsets
+
+            idx64 = np.arange(n0, dtype=np.int64)
+            offs_P = embedded_offsets(P0, idx64, cpos0)
+            A0h = self._host_A[0]
+            offs_A = embedded_offsets(A0h, idx64, idx64)
+            offs_unf = embedded_offsets(self._host_A1_unf, cpos0, cpos0)
+            offs_filt = embedded_offsets(A1, cpos0, cpos0)
+            plan = plan_embedded_rap(offs_P, offs_A, offs_unf, offs_filt)
+            width = _dia_width(n0, n0, offs_filt, mdt.itemsize)
+            self._pending_rap = dict(
+                plan=plan, tol=float(o.nongalerkin_tol), width=width,
+                mdt=mdt, offsets=tuple(int(x) for x in offs_filt),
+            )
+            A_emb = None  # materialized in _run_device_rap after transfer
+        else:
+            A_emb = build_embedded_dia(A1, cpos0, cpos0, n0, mdt, device=False)
         lvl1 = dataclasses.replace(
             lvl1,
-            A=build_embedded_dia(A1, cpos0, cpos0, n0, mdt),
-            dinv=jnp.asarray(dinv_e),
-            l1inv=jnp.asarray(l1inv_e),
-            cmask=jnp.asarray(cmask_e),
+            A=A_emb,
+            dinv=dinv_e,
+            l1inv=l1inv_e,
+            cmask=cmask_e,
             P=new_P,
             R=new_R,
         )
         self.levels[0] = lvl0
         self.levels[1] = lvl1
 
-    def _try_relocate_level2(self) -> None:
-        """Relocate coarse levels onto per-level compact lattices (see
-        BoomerAMGOptions.relocate_level2).  Recursively, level k's points
-        (an irregular algebraic subset of level k-1's) are assigned
-        DISTINCT cells of level k-1's lattice coarsened by per-axis
-        factors — a pure permutation, so AMG convergence is unchanged.
-        The payoff chain:
-          * A_k becomes a DIA operator on its compact lattice (Pallas
-            streaming) while n_k is large, or a dense-MXU op wrapped in
-            small gather/scatter while n_k <= dense threshold;
-          * P_{k-1}/R_{k-1} become parity-factored DIA sums (pure
-            reshape splits — never an x/lane split, which is a
-            catastrophic XLA relayout);
-          * no XLA HBM gather survives anywhere above the dense tail.
-        Recursion stops at the coarsest level, at tiny levels, or at the
-        first level whose offset budget would blow up; the level below a
-        stop keeps compressed forms behind one small gather/scatter."""
+    def _plan_reloc(self, cpos0) -> list:
+        """Plan the relocation chain (see _build_relocated): per level k,
+        the distinct-cell assignment rcell and lattice/factor geometry,
+        with all offset-budget gates evaluated — but no DIA data built.
+        Returns a list of dicts (possibly empty)."""
         import scipy.sparse as _sp
 
         from ...ops.dia import (
-            DIAMatrix,
-            DenseMatrix,
-            GatherOp,
-            ScatterOp,
-            build_embedded_dia,
-            build_parity_interp,
-            build_parity_restrict,
             embedded_offset_count,
-            parity_offset_count,
+            parity_offset_count_plan,
             relocate_to_cells,
         )
 
         o = self.opts
+        if not o.relocate_level2 or o.lattice_shape is None or cpos0 is None:
+            return []
         shape = tuple(int(s) for s in o.lattice_shape)
         if len(shape) == 2:
             shape = (*shape, 1)
         if len(shape) != 3:
-            return
+            return []
+        L = len(self._host_A)
         n0 = self._host_A[0].shape[0]
         if int(np.prod(shape)) != n0:
-            return
-        if self.num_levels < 4 or self.levels[2].P is None:
-            return
+            return []
+        if L < 4:
+            return []
         # small level-2 ops are already dense-MXU (freeze_auto) — faster
         # than any lattice form
         if self._host_A[2].shape[0] <= o.relocate_min_n2:
-            return
-        # requires the level-1 embedding (fine-lattice vectors at level 1)
-        if not isinstance(self.levels[1].A, DIAMatrix) or not isinstance(
-            self.levels[1].P, ScatterOp
-        ):
-            return
+            return []
         if {o.relax_down, o.relax_up} - {0, 7, 18}:
-            return
+            return []
 
-        dt = np.dtype(o.dtype)
         mdt = np.dtype(o.mat_dtype or o.dtype)
-        cpos1 = np.flatnonzero(self._cf[0] > 0).astype(np.int64)
 
         def pick_factors(lat_shape, npts):
             # NEVER split the x axis unless forced: x is the minor (lane)
@@ -597,9 +701,11 @@ class BoomerAMG:
 
         # state: level k-1 lives on `lat_shape` with its points at
         # `pos_prev` (fine level-1 points sit at their true positions)
+        plan = []
         lat_shape = shape
-        pos_prev = cpos1
-        for k in range(2, self.num_levels - 1):
+        pos_prev = cpos0
+        itemsize = mdt.itemsize
+        for k in range(2, L - 1):
             n_k = self._host_A[k].shape[0]
             if n_k <= 64:
                 break
@@ -613,78 +719,147 @@ class BoomerAMG:
             if rcell is None:
                 break
             A_k = self._host_A[k]
-
-            # --- build the relocated A_k ---------------------------------
-            itemsize = mdt.itemsize
             if n_k > 6144:
                 cnt = embedded_offset_count(A_k, rcell, rcell)
                 if cnt > o.max_relocated_offsets or (
                     cnt * ncells * itemsize > o.relocate_max_bytes
                 ):
                     break
-                A_new = build_embedded_dia(A_k, rcell, rcell, ncells, mdt)
-            else:
-                # dense-MXU core behind tiny gather/scatter
-                rcell_dev32 = jnp.asarray(rcell.astype(np.int32))
-                dense = DenseMatrix(
-                    data=jnp.asarray(A_k.toarray().astype(mdt)),
-                    num_rows=n_k,
-                    num_cols=n_k,
-                )
-                A_new = ScatterOp(
-                    inner=GatherOp(inner=dense, pos=rcell_dev32),
-                    pos=rcell_dev32,
-                    n_out=ncells,
-                )
-
-            # --- parity transfer ops between lattice k-1 and k -----------
+            # parity transfer budget, counted without building the data
             Pk1 = self._host_P[k - 1].tocoo()
             ncells_prev = int(np.prod(lat_shape))
             Pf = _sp.csr_matrix(
                 (Pk1.data, (pos_prev[Pk1.row], Pk1.col)),
                 shape=(ncells_prev, n_k),
             )
-            Pop = build_parity_interp(Pf, rcell, lat_shape, factors, mdt)
-            Rop = build_parity_restrict(Pf.T.tocsr(), rcell, lat_shape, factors, mdt)
-            pr_offs = max(parity_offset_count(Pop), parity_offset_count(Rop))
+            pr_offs = max(
+                parity_offset_count_plan(Pf, rcell, lat_shape, factors, False),
+                parity_offset_count_plan(
+                    Pf.T.tocsr(), rcell, lat_shape, factors, True
+                ),
+            )
             if pr_offs > o.max_relocated_offsets or (
                 pr_offs * ncells * itemsize > o.relocate_max_bytes
             ):
                 break
+            plan.append(dict(
+                k=k, rcell=rcell, lat_shape=lat_shape, factors=factors,
+                cell_shape=cell_shape, ncells=ncells, Pf=Pf,
+            ))
+            lat_shape = cell_shape
+            pos_prev = rcell
+        return plan
 
-            # --- commit level k ------------------------------------------
+    def _build_relocated(self, cpos0, plan: list) -> None:
+        """Relocate coarse levels onto per-level compact lattices (see
+        BoomerAMGOptions.relocate_level2).  Recursively, level k's points
+        (an irregular algebraic subset of level k-1's) are assigned
+        DISTINCT cells of level k-1's lattice coarsened by per-axis
+        factors — a pure permutation, so AMG convergence is unchanged.
+        The payoff chain:
+          * A_k becomes a DIA operator on its compact lattice (Pallas
+            streaming) while n_k is large, or a dense-MXU op wrapped in
+            small gather/scatter while n_k <= dense threshold;
+          * P_{k-1}/R_{k-1} become parity-factored DIA sums (pure
+            reshape splits — never an x/lane split, which is a
+            catastrophic XLA relayout);
+          * no XLA HBM gather survives anywhere above the dense tail.
+        The chain stops where _plan_reloc stopped (tiny levels / offset
+        budgets); the level below a stop keeps compressed forms behind
+        one small gather/scatter."""
+        from ...ops.dia import (
+            DenseMatrix,
+            GatherOp,
+            ScatterOp,
+            build_embedded_dia,
+            build_parity_interp,
+            build_parity_restrict,
+        )
+
+        o = self.opts
+        dt = np.dtype(o.dtype)
+        mdt = np.dtype(o.mat_dtype or o.dtype)
+        relocated_ks = {ent["k"] for ent in plan}
+        for ent in plan:
+            k = ent["k"]
+            rcell = ent["rcell"]
+            lat_shape = ent["lat_shape"]
+            factors = ent["factors"]
+            ncells = ent["ncells"]
+            Pf = ent["Pf"]
+            A_k = self._host_A[k]
+            n_k = A_k.shape[0]
+
+            # --- the relocated A_k ----------------------------------------
+            if n_k > 6144:
+                A_new = build_embedded_dia(
+                    A_k, rcell, rcell, ncells, mdt, device=False
+                )
+            else:
+                # dense-MXU core behind tiny gather/scatter
+                rcell_i32 = rcell.astype(np.int32)
+                dense = DenseMatrix(
+                    data=A_k.toarray().astype(mdt), num_rows=n_k, num_cols=n_k
+                )
+                A_new = ScatterOp(
+                    inner=GatherOp(inner=dense, pos=rcell_i32),
+                    pos=rcell_i32,
+                    n_out=ncells,
+                )
+
+            # --- parity transfer ops between lattice k-1 and k ------------
+            Pop = build_parity_interp(
+                Pf, rcell, lat_shape, factors, mdt, device=False
+            )
+            Rop = build_parity_restrict(
+                Pf.T.tocsr(), rcell, lat_shape, factors, mdt, device=False
+            )
+
+            # --- commit level k --------------------------------------------
             diag = A_k.diagonal()
             dinv_e = np.zeros(ncells, dtype=dt)
             dinv_e[rcell] = np.where(diag == 0, 0.0, 1.0 / np.where(diag == 0, 1, diag))
-            l1 = np.asarray(np.abs(A_k).sum(axis=1)).ravel()
+            l1 = self._l1_norms(A_k)
             l1inv_e = np.zeros(ncells, dtype=dt)
             l1inv_e[rcell] = np.where(l1 == 0, 0.0, 1.0 / np.where(l1 == 0, 1, l1))
             cmask_e = np.zeros(ncells, dtype=bool)
             cmask_e[rcell[self._cf[k] > 0]] = True
 
-            rcell_dev = jnp.asarray(rcell.astype(np.int32))
             lvl_k = self.levels[k]
             new_P = lvl_k.P
             new_R = lvl_k.R
-            if new_P is not None:
-                # compressed forms below; replaced by parity mats if the
-                # next iteration relocates level k+1 too
-                new_P = ScatterOp(inner=lvl_k.P, pos=rcell_dev, n_out=ncells)
-                new_R = GatherOp(inner=lvl_k.R, pos=rcell_dev)
+            if k + 1 in relocated_ks:
+                # the next chain step overwrites levels[k].P/R with parity
+                # mats — leave the (never-frozen) compact forms out
+                new_P = new_R = None
+            elif k < len(self._host_P):
+                innerP, innerR = lvl_k.P, lvl_k.R
+                if innerP is None:  # was skipped in the freeze loop
+                    Pk = self._host_P[k]
+                    Rk = self._host_R[k]
+                    if Rk is None:
+                        Rk = Pk.T.tocsr()
+                    innerP = freeze_auto(
+                        CSRMatrix.from_scipy(Pk), dtype=mdt, device=False
+                    )
+                    innerR = freeze_auto(
+                        CSRMatrix.from_scipy(Rk), dtype=mdt, device=False
+                    )
+                rcell_i32 = rcell.astype(np.int32)
+                new_P = ScatterOp(inner=innerP, pos=rcell_i32, n_out=ncells)
+                new_R = GatherOp(inner=innerR, pos=rcell_i32)
             self.levels[k - 1] = dataclasses.replace(
                 self.levels[k - 1], P=Pop, R=Rop
             )
             self.levels[k] = dataclasses.replace(
                 lvl_k,
                 A=A_new,
-                dinv=jnp.asarray(dinv_e),
-                l1inv=jnp.asarray(l1inv_e),
-                cmask=jnp.asarray(cmask_e),
+                dinv=dinv_e,
+                l1inv=l1inv_e,
+                cmask=cmask_e,
                 P=new_P,
                 R=new_R,
             )
-            lat_shape = cell_shape
-            pos_prev = rcell
 
     # ------------------------------------------------------------------
     # stats (par_stats.c)

@@ -37,8 +37,7 @@ _PMIS_SEED = 2747  # par_indepset.c:46
 
 def _measures(S: sp.csr_matrix, seed: int = _PMIS_SEED, first_row: int = 0) -> np.ndarray:
     n = S.shape[0]
-    col_count = np.zeros(n)
-    np.add.at(col_count, S.indices, 1.0)
+    col_count = np.bincount(S.indices, minlength=n).astype(np.float64)
     return col_count + lcg_fill(seed, n, skip=first_row)
 
 
@@ -98,6 +97,13 @@ def pmis_coarsen(
 
     # symmetric adjacency for IS comparisons (S u S^T)
     U = ((S + ST) > 0).tocsr()
+    U.sort_indices()
+    # reduceat machinery: CSR entries are row-grouped, so per-row max is
+    # a reduceat over row starts (ufunc.at is ~30x slower)
+    U_starts = np.minimum(U.indptr[:-1], max(U.nnz - 1, 0))
+    U_nonempty = np.diff(U.indptr) > 0
+    S_starts = np.minimum(S.indptr[:-1], max(S.nnz - 1, 0))
+    S_nonempty = np.diff(S.indptr) > 0
 
     it = 0
     while in_graph.any():
@@ -105,13 +111,13 @@ def pmis_coarsen(
             # pick candidates and remove dominated ones
             cand = in_graph & (measure > 1)
             # i removed iff exists adjacent cand j with m[j] > m[i]
-            # compute max adjacent candidate measure via masked SpMV-ish pass
             m_cand = np.where(cand, measure, 0.0)
             # per-row max over U of m_cand
-            maxadj = np.zeros(n)
-            rows = np.repeat(np.arange(n), np.diff(U.indptr))
-            vals = m_cand[U.indices]
-            np.maximum.at(maxadj, rows, vals)
+            if U.nnz:
+                maxadj = np.maximum.reduceat(m_cand[U.indices], U_starts)
+                maxadj = np.where(U_nonempty, maxadj, 0.0)
+            else:
+                maxadj = np.zeros(n)
             in_is = cand & ~(maxadj > measure)
             cf = np.where(in_is, 1, cf)
         it += 1
@@ -120,7 +126,10 @@ def pmis_coarsen(
         newly_f = in_graph & (measure < 1)
         is_c = cf > 0
         # i -> F if any strong influencer j (S row of i) has cf[j] > 0
-        infl_c = _any_col_true(S, is_c)
+        if S.nnz:
+            infl_c = np.bitwise_or.reduceat(is_c[S.indices], S_starts) & S_nonempty
+        else:
+            infl_c = np.zeros(n, dtype=bool)
         newly_f |= in_graph & ~is_c & infl_c
 
         cf = np.where(in_graph & is_c, C_PT, cf)

@@ -36,26 +36,49 @@ def nongalerkin_filter(A: sp.csr_matrix, tol: float) -> sp.csr_matrix:
     if tol <= 0:
         return A
     A = A.tocsr()
+    A.sort_indices()
     n = A.shape[0]
     d = np.sqrt(np.abs(A.diagonal()))
     d[d == 0] = 1.0
-    Ac = A.tocoo()
-    small = np.abs(Ac.data) < tol * d[Ac.row] * d[Ac.col]
-    keep = ~small | (Ac.row == Ac.col)
-    # symmetrize the drop pattern to preserve symmetry
-    key = Ac.row.astype(np.int64) * n + Ac.col
-    keyT = Ac.col.astype(np.int64) * n + Ac.row
-    order = np.argsort(key)
-    kept_sorted = np.sort(key[keep])
-    posT = np.searchsorted(kept_sorted, keyT)
-    posT = np.clip(posT, 0, max(len(kept_sorted) - 1, 0))
-    kept_T = (len(kept_sorted) > 0) & (kept_sorted[posT] == keyT)
-    keep = keep | kept_T
-    dropped_sum = np.zeros(n)
-    np.add.at(dropped_sum, Ac.row[~keep], Ac.data[~keep])
-    out = sp.coo_matrix(
-        (Ac.data[keep], (Ac.row[keep], Ac.col[keep])), shape=A.shape
-    ).tocsr()
+    rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(A.indptr))
+    cols = A.indices
+    small = np.abs(A.data) < tol * d[rows] * d[cols]
+    keep = ~small | (rows == cols)
+
+    # symmetrize the drop pattern to preserve symmetry: keep (i,j) if
+    # (j,i) is kept.  When the PATTERN is symmetric (canonical CSR of a
+    # Galerkin RAP of a symmetric A), the CSC view of A is entrywise
+    # aligned with the CSR of A^T sharing indptr/indices — the transpose
+    # permutation comes from one scipy conversion, no 64-bit key sort.
+    AT = A.T.tocsr()
+    AT.sort_indices()
+    if AT.indptr.shape == A.indptr.shape and np.array_equal(
+        AT.indptr, A.indptr
+    ) and np.array_equal(AT.indices, A.indices):
+        smallT = np.abs(AT.data) < tol * d[rows] * d[cols]
+        keep = keep | ~smallT  # (j,i) kept at the aligned entry
+    else:  # nonsymmetric pattern: sorted-key search (rare path)
+        key = rows * n + cols
+        keyT = cols.astype(np.int64) * n + rows
+        kept_sorted = np.sort(key[keep])
+        posT = np.searchsorted(kept_sorted, keyT)
+        posT = np.clip(posT, 0, max(len(kept_sorted) - 1, 0))
+        kept_T = (len(kept_sorted) > 0) & (kept_sorted[posT] == keyT)
+        keep = keep | kept_T
+
+    dropped = ~keep
+    dropped_sum = np.bincount(
+        rows[dropped], weights=A.data[dropped], minlength=n
+    )
+    # rebuild CSR in place of the kept entries (rows stay sorted)
+    new_indptr = np.zeros(n + 1, dtype=A.indptr.dtype)
+    kept_per_row = np.add.reduceat(
+        keep.astype(np.int64), np.minimum(A.indptr[:-1], max(A.nnz - 1, 0))
+    ) * (np.diff(A.indptr) > 0)
+    np.cumsum(kept_per_row, out=new_indptr[1:])
+    out = sp.csr_matrix(
+        (A.data[keep], cols[keep], new_indptr), shape=A.shape
+    )
     out = out + sp.diags(dropped_sum)
     out.sort_indices()
     return out.tocsr()
