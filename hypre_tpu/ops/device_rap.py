@@ -167,6 +167,40 @@ def _embedded_rap_run(
     return out, diag, lump
 
 
+@partial(jax.jit, static_argnames=("offs_p", "n", "width"))
+def _dia_transpose_run(P_data, *, offs_p, n, width):
+    """Row-aligned DIA transpose: R_data[kr, x] = P_data[kp, x + or]
+    with or = -op (sorted ascending).  Pure static shifts — bitwise the
+    values of the host-built transpose, no arithmetic."""
+    span = max(abs(int(o)) for o in offs_p) if offs_p else 0
+    Pp = jnp.pad(P_data[:, :n], ((0, 0), (span, span)))
+    # R offsets sorted ascending = negated P offsets reversed
+    rows = []
+    for kr, op in enumerate(reversed(offs_p)):
+        orr = -int(op)
+        kp = len(offs_p) - 1 - kr
+        row = jax.lax.slice(Pp, (kp, span + orr), (kp + 1, span + orr + n))[0]
+        rows.append(jnp.pad(row, (0, width - n)))
+    return jnp.stack(rows)
+
+
+def dia_transpose_device(P_emb, width: int):
+    """Transpose a square embedded DIAMatrix on device."""
+    from .dia import DIAMatrix
+
+    n = P_emb.num_rows
+    data = _dia_transpose_run(
+        P_emb.data, offs_p=tuple(int(o) for o in P_emb.offsets),
+        n=n, width=width,
+    )
+    return DIAMatrix(
+        data=data,
+        offsets=tuple(-int(o) for o in reversed(P_emb.offsets)),
+        num_rows=n,
+        num_cols=n,
+    )
+
+
 def embedded_rap_device(
     P_emb, A0, plan, tol, width_out, out_dtype
 ):

@@ -439,13 +439,18 @@ class BoomerAMG:
         """Materialize the level-1 embedded operator on device (see
         ops/device_rap.py) from the already-transferred A0 and embedded
         P0 — replaces shipping the ~97%-zeros diagonal array."""
-        from ...ops.device_rap import embedded_rap_device
+        from ...ops.device_rap import dia_transpose_device, embedded_rap_device
         from ...ops.dia import DIAMatrix
 
         p = self._pending_rap
         self._pending_rap = None
+        P0emb = self.levels[0].P
+        self.levels[0] = dataclasses.replace(
+            self.levels[0],
+            R=dia_transpose_device(P0emb, P0emb.data.shape[1]),
+        )
         data, _, _ = embedded_rap_device(
-            self.levels[0].P, self.levels[0].A,
+            P0emb, self.levels[0].A,
             p["plan"], p["tol"], p["width"], p["mdt"],
         )
         n0 = self.levels[0].A.num_rows
@@ -576,11 +581,16 @@ class BoomerAMG:
         P0 = self._host_P[0]
         idx = np.arange(n0, dtype=np.int64)
 
+        use_device_rap = o.device_rap and self._host_A1_unf is not None
         lvl0, lvl1 = self.levels[0], self.levels[1]
         lvl0 = dataclasses.replace(
             lvl0,
             P=build_embedded_dia(P0, idx, cpos0, n0, mdt, device=False),
-            R=build_embedded_dia(P0.T.tocsr(), cpos0, idx, n0, mdt, device=False),
+            # R = P^T is a pure diagonal permutation — derived on device
+            # (bitwise the host values) when the device-RAP path is on
+            R=None if use_device_rap else build_embedded_dia(
+                P0.T.tocsr(), cpos0, idx, n0, mdt, device=False
+            ),
         )
 
         diag1 = A1.diagonal()
@@ -610,7 +620,6 @@ class BoomerAMG:
             new_R = GatherOp(inner=innerR, pos=cpos_i32)
         # _host_A1_unf is set exactly when level 1 came from the
         # R = P^T Galerkin branch — the product the device re-derives
-        use_device_rap = o.device_rap and self._host_A1_unf is not None
         if use_device_rap:
             # level-1 operator VALUES come from the device (A0 and the
             # embedded P are on device anyway); only the symbolic plan is
