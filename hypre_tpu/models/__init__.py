@@ -1,5 +1,6 @@
 from .laplacian import (
     laplacian_7pt,
+    laplacian_7pt_row_block,
     laplacian_9pt,
     laplacian_27pt,
     difconv_7pt,

@@ -55,6 +55,51 @@ def _stencil_matrix(nx, ny, nz, offsets, values) -> CSRMatrix:
     return CSRMatrix(indptr, cols.ravel()[flat], vals.ravel()[flat], (n, n))
 
 
+def laplacian_7pt_row_block(nx, ny, nz, lo, hi, cx=1.0, cy=1.0, cz=1.0):
+    """Rows [lo, hi) of the 3D 7-pt Laplacian as a scipy CSR block with
+    GLOBAL columns — the distributed-generation path (reference:
+    par_laplace.c GenerateLaplacian builds only the local rows per rank;
+    no rank ever holds the global matrix).  Feed the per-shard blocks to
+    ParCSR.from_row_blocks."""
+    import scipy.sparse as _sp
+
+    n = nx * ny * nz
+    diag = 0.0
+    if nx > 1:
+        diag += 2.0 * cx
+    if ny > 1:
+        diag += 2.0 * cy
+    if nz > 1:
+        diag += 2.0 * cz
+    live = [((0, 0, 0), diag), ((-1, 0, 0), -cx), ((1, 0, 0), -cx),
+            ((0, -1, 0), -cy), ((0, 1, 0), -cy),
+            ((0, 0, -1), -cz), ((0, 0, 1), -cz)]
+    live = [(o, v) for o, v in live if v != 0.0]
+    order = np.argsort([dx + nx * (dy + ny * dz) for (dx, dy, dz), _ in live])
+    idx = np.arange(lo, hi, dtype=np.int64)
+    ix = idx % nx
+    iy = (idx // nx) % ny
+    iz = idx // (nx * ny)
+    k = len(live)
+    nr = hi - lo
+    cols = np.empty((nr, k), dtype=np.int64)
+    vals = np.empty((nr, k))
+    valid = np.empty((nr, k), dtype=bool)
+    for slot, oi in enumerate(order):
+        (dx, dy, dz), v = live[oi]
+        jx, jy, jz = ix + dx, iy + dy, iz + dz
+        ok = (jx >= 0) & (jx < nx) & (jy >= 0) & (jy < ny) & (jz >= 0) & (jz < nz)
+        valid[:, slot] = ok
+        cols[:, slot] = jx + nx * (jy + ny * jz)
+        vals[:, slot] = v
+    flat = valid.ravel()
+    indptr = np.zeros(nr + 1, dtype=np.int64)
+    np.cumsum(valid.sum(axis=1), out=indptr[1:])
+    return _sp.csr_matrix(
+        (vals.ravel()[flat], cols.ravel()[flat], indptr), shape=(nr, n)
+    )
+
+
 def _stencil_matrix_coo(nx, ny, nz, live) -> CSRMatrix:
     n = nx * ny * nz
     idx = np.arange(n, dtype=np.int64)

@@ -28,24 +28,39 @@ from ..ops.dia import spmv
 from ..solvers.amg.boomeramg import BoomerAMG
 from .mesh import AXIS
 from .par_csr import ParCSR
+from .par_dia import ParDIA
 from .partition import block_partition
 
 
 @dataclasses.dataclass
 class _ParLevel:
-    A: ParCSR
+    A: object  # ParCSR | ParDIA
     P: ParCSR | None
     R: ParCSR | None
     l1inv: jax.Array  # sharded, padded by rows
     dinv: jax.Array
+    cmask: jax.Array  # sharded bool (CF_marker > 0), for relax_order=1
+
+
+# relax types whose distributed semantics degenerate to a diagonal-
+# scaled simultaneous sweep.  hypre's hybrid GS family (3/4/6) is GS
+# within a rank + Jacobi across ranks; on a data-parallel machine the
+# rank is a lane, so the across-rank behavior (weighted Jacobi) is the
+# faithful limit.  l1 variants (8/13/14/18) keep their l1 divisor —
+# hypre's own massively-parallel recommendation (par_relax.c).
+_L1_TYPES = frozenset({8, 13, 14, 18})
+_DIAG_TYPES = frozenset({0, 1, 2, 3, 4, 5, 6, 7})
 
 
 class ParAMG:
     """Wrap a (host-setup) BoomerAMG hierarchy for mesh execution.
 
-    Smoothing on sharded levels is l1-Jacobi (hypre's recommended
-    massively-parallel smoother); replicated tail levels run whatever
-    the base hierarchy was configured with.
+    Honors the hierarchy's smoother options (relax_down/up, weight,
+    sweeps, CF ordering) and cycle_type on the sharded levels (round-1
+    hardcoded one l1-Jacobi sweep); replicated tail levels run the full
+    base cycle machinery unchanged.  Lattice-stencil levels shard as
+    ParDIA (strip-halo streaming — no gathers); general levels as
+    ParCSR ELL.
     """
 
     def __init__(
@@ -55,12 +70,14 @@ class ParAMG:
         axis: str = AXIS,
         repl_threshold: int = 8192,
         dtype=None,
+        dia_max_offsets: int = 48,
     ):
         self.amg = amg
         self.mesh = mesh
         self.axis = axis
         self.repl_threshold = repl_threshold
         dt = dtype or np.dtype(amg.opts.dtype)
+        S = mesh.shape[axis]
 
         self.par_levels: list[_ParLevel] = []
         self.split = 0
@@ -70,11 +87,12 @@ class ParAMG:
             if n < repl_threshold or l == L - 1:
                 break
             self.split = l + 1
-            Al = CSRMatrix.from_scipy(amg._host_A[l])
+            Ah = amg._host_A[l]
+            Al = CSRMatrix.from_scipy(Ah)
+            Ap = self._shard_operator(Al, mesh, axis, dt, dia_max_offsets, S)
             Pl = amg._host_P[l]
-            Ap = ParCSR(Al, mesh, axis, dtype=dt)
             nc = Pl.shape[1]
-            cpart = block_partition(nc, mesh.shape[axis])
+            cpart = block_partition(nc, S)
             Pp = ParCSR(
                 CSRMatrix.from_scipy(Pl), mesh, axis, col_part=cpart, dtype=dt
             )
@@ -85,8 +103,8 @@ class ParAMG:
                 col_part=Ap.part,
                 dtype=dt,
             )
-            diag = amg._host_A[l].diagonal()
-            l1 = np.asarray(np.abs(amg._host_A[l]).sum(axis=1)).ravel()
+            diag = Ah.diagonal()
+            l1 = np.asarray(np.abs(Ah).sum(axis=1)).ravel()
             self.par_levels.append(
                 _ParLevel(
                     A=Ap,
@@ -98,6 +116,7 @@ class ParAMG:
                     dinv=Ap.pad_vec(
                         np.where(diag == 0, 0.0, 1.0 / np.where(diag == 0, 1, diag)).astype(dt)
                     ),
+                    cmask=Ap.pad_vec(amg._cf[l] > 0),
                 )
             )
 
@@ -111,29 +130,86 @@ class ParAMG:
                 tail.append(amg._freeze_level(Ah, Ph, Ph.T.tocsr(), amg._cf[l]))
             else:
                 tail.append(amg._freeze_level(Ah, None, None, None))
-        self.tail_levels = tuple(tail)
+        # freeze produces numpy leaves — ship once (jaxpr constants would
+        # re-upload per call through remote-device runtimes)
+        self.tail_levels = jax.device_put(tuple(tail))
+
+    @staticmethod
+    def _shard_operator(Al, mesh, axis, dt, dia_max_offsets, S):
+        """ParDIA when the operator is a lattice stencil whose diagonals
+        stay within one shard of halo; ParCSR ELL otherwise."""
+        from ..ops.dia import csr_to_dia
+
+        n, m = Al.shape
+        per = block_partition(n, S).rows_per_shard
+        if n == m and Al.nnz:
+            rows = np.repeat(np.arange(n), Al.row_nnz())
+            offs = np.unique(Al.indices - rows)
+            if len(offs) <= dia_max_offsets and (
+                int(np.abs(offs).max(initial=0)) <= per
+            ):
+                D = csr_to_dia(Al, dtype=dt, device=False)
+                return ParDIA(D.data, D.offsets, n, mesh, axis)
+        return ParCSR(Al, mesh, axis, dtype=dt)
 
     # ------------------------------------------------------------------
     def cycle(self, f, u=None):
-        """One V-cycle on mesh-sharded vectors (f padded+sharded)."""
+        """One multigrid cycle on mesh-sharded vectors (f padded+sharded),
+        honoring the base hierarchy's cycle_type (1 = V, 2 = W)."""
         return self._vc(0, jnp.zeros_like(f) if u is None else u, f)
 
+    def _smooth_par(self, lvl: _ParLevel, relax_type: int, u, f, up: bool):
+        """Distributed smoother dispatch (see _L1_TYPES note above).
+        relax_order=1 runs C-then-F down / F-then-C up (par_cycle.c:398)."""
+        o = self.amg.opts
+        w = jnp.asarray(o.relax_weight, f.dtype)
+        div = lvl.l1inv if relax_type in _L1_TYPES else lvl.dinv
+        mv = lvl.A.matvec_fn
+
+        def sweep(u, mask=None):
+            with jax.named_scope("RELAX"):
+                upd = w * div * (f - mv(u))
+                if mask is not None:
+                    upd = jnp.where(mask, upd, 0)
+                return u + upd
+
+        for _ in range(max(1, o.num_sweeps)):
+            if o.relax_order == 1:
+                order = (~lvl.cmask, lvl.cmask) if up else (lvl.cmask, ~lvl.cmask)
+                for m in order:
+                    u = sweep(u, m)
+            else:
+                u = sweep(u)
+        return u
+
     def _vc(self, l, u, f):
+        o = self.amg.opts
         if l == self.split:
             # replicated tail: slice to true size, run the base cycle
+            # (full option machinery) with the incoming guess.  The tail
+            # top is a MID-hierarchy level when sharded levels sit above
+            # it, so a W-cycle descends cycle_type times there.
             lvl_n = self.tail_levels[0].A.num_rows
             f_r = f[:lvl_n]
-            u_r = self.amg._vcycle(self.tail_levels, 0, jnp.zeros(lvl_n, f.dtype), f_r)
+            top = max(1, o.cycle_type) if self.split > 0 else None
+            u_r = self.amg._vcycle(
+                self.tail_levels, 0, u[:lvl_n], f_r, top_counter=top
+            )
             return jnp.pad(u_r, (0, f.shape[0] - lvl_n))
         lvl = self.par_levels[l]
         mv = lvl.A.matvec_fn
-        # pre-smooth: l1-Jacobi
-        u = u + lvl.l1inv * (f - mv(u))
-        r = f - mv(u)
-        fc = lvl.R.matvec_fn(r)
-        uc = self._vc(l + 1, jnp.zeros_like(fc), fc)
-        u = u + lvl.P.matvec_fn(uc)
-        u = u + lvl.l1inv * (f - mv(u))
+        u = self._smooth_par(lvl, o.relax_down, u, f, up=False)
+        # par_cycle.c lev_counter semantics, traced statically: every
+        # level below the finest descends cycle_type times, recomputing
+        # the residual from the improved u and re-smoothing between
+        # visits (coarse guess restarts at zero each visit)
+        visits = 1 if l == 0 else max(1, o.cycle_type)
+        for v in range(visits):
+            r = f - mv(u)
+            fc = lvl.R.matvec_fn(r)
+            uc = self._vc(l + 1, jnp.zeros_like(fc), fc)
+            u = u + lvl.P.matvec_fn(uc)
+            u = self._smooth_par(lvl, o.relax_up, u, f, up=True)
         return u
 
     @property

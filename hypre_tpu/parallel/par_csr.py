@@ -51,32 +51,79 @@ class ParCSR:
         transfers in a distributed AMG hierarchy) pass `col_part`, the
         partition of the INPUT vector; the diag block then holds columns
         in the shard's own input block (par_csr_matrix.h diag/offd with
-        separate row/col starts)."""
-        self.mesh = mesh or default_mesh()
+        separate row/col starts).
+
+        This convenience constructor slices a replicated host matrix;
+        scalable setup paths (one where no rank ever holds the global
+        matrix, par_laplace.c-style local generation) should use
+        `ParCSR.from_row_blocks` with locally-generated row blocks.
+        """
+        mesh = mesh or default_mesh()
+        S = mesh.shape[axis]
+        part = block_partition(A.num_rows, S)
+        M = A.to_scipy().tocsr()
+        per = part.rows_per_shard
+        blocks = [
+            M[min(s * per, A.num_rows): min(s * per + per, A.num_rows)]
+            for s in range(S)
+        ]
+        self._init_from_blocks(
+            blocks, (A.num_rows, A.num_cols), mesh, axis, max_offsets,
+            col_part, dtype,
+        )
+
+    @classmethod
+    def from_row_blocks(
+        cls,
+        blocks,
+        shape,
+        mesh: Mesh | None = None,
+        axis: str = AXIS,
+        max_offsets: int = 8,
+        col_part: BlockPartition | None = None,
+        dtype=None,
+    ) -> "ParCSR":
+        """Build from per-shard row blocks (scipy CSR, local rows x
+        GLOBAL columns) WITHOUT ever materializing the global matrix —
+        the scalable-setup entry point (reference: each MPI rank
+        assembles only its own rows; par_csr_matrix.h row_starts).
+        blocks[s] holds the rows of shard s's block partition."""
+        self = cls.__new__(cls)
+        self._init_from_blocks(blocks, shape, mesh or default_mesh(),
+                               axis, max_offsets, col_part, dtype)
+        return self
+
+    def _init_from_blocks(self, blocks, shape, mesh, axis, max_offsets,
+                          col_part, dtype=None):
+        self.mesh = mesh
         self.axis = axis
-        self.n = A.num_rows
-        self.m = A.num_cols
-        S = self.mesh.shape[axis]
+        self.n, self.m = int(shape[0]), int(shape[1])
+        S = mesh.shape[axis]
+        if len(blocks) != S:
+            raise ValueError(f"need {S} row blocks, got {len(blocks)}")
         self.part = block_partition(self.n, S)
         self.col_part = col_part or (
-            self.part if A.num_cols == A.num_rows else block_partition(A.num_cols, S)
+            self.part if self.m == self.n else block_partition(self.m, S)
         )
         per = self.part.rows_per_shard
         cper = self.col_part.rows_per_shard
 
-        M = A.to_scipy().tocsr()
-        if dtype is not None:
-            M = M.astype(dtype)
         # per-shard diag/offd split (the par_csr_matrix.h:40-44 layout)
         col_maps = []
         wd = wo = 1
         rows_struct = []
         for s in range(S):
-            lo = s * per
+            lo = min(s * per, self.n)
             hi = min(lo + per, self.n)
             clo = s * cper
             chi = min(clo + cper, self.m)
-            blk = M[lo:hi]
+            blk = blocks[s].tocsr()
+            if dtype is not None:
+                blk = blk.astype(dtype)
+            if blk.shape[0] != hi - lo:
+                raise ValueError(
+                    f"shard {s}: expected {hi - lo} rows, got {blk.shape[0]}"
+                )
             r = np.repeat(np.arange(hi - lo), np.diff(blk.indptr))
             c = blk.indices
             v = blk.data
@@ -92,10 +139,12 @@ class ParCSR:
         self.plan: HaloPlan = build_halo_plan(col_maps, self.col_part, max_offsets)
         gw = self.plan.ghost_width
 
+        vdt = (np.dtype(dtype) if dtype is not None
+               else np.result_type(*(b.data.dtype for b in blocks)))
         dc = np.zeros((S, per, wd), dtype=np.int32)
-        dv = np.zeros((S, per, wd), dtype=M.data.dtype)
+        dv = np.zeros((S, per, wd), dtype=vdt)
         oc = np.full((S, per, wo), gw, dtype=np.int32)  # pad -> zero sink slot
-        ov = np.zeros((S, per, wo), dtype=M.data.dtype)
+        ov = np.zeros((S, per, wo), dtype=vdt)
         for s, (r, c, v, is_diag, lo, hi, clo, cm) in enumerate(rows_struct):
             rd, cd, vd = r[is_diag], c[is_diag] - clo, v[is_diag]
             k = _slot_counter(rd)

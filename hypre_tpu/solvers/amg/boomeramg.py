@@ -1004,11 +1004,14 @@ class BoomerAMG:
             e = cors[l] + spmv(levels[l].P, e)
         return e
 
-    def _vcycle(self, levels, l: int, u, f):
+    def _vcycle(self, levels, l: int, u, f, top_counter: int | None = None):
         """hypre's nonrecursive cycle state machine (par_cycle.c:255-621),
         traced statically: lev_counter controls V/W revisits, fcycle_lev
         drives the F-cycle.  With cycle_type=1, fcycle=False this is the
-        classic V-cycle."""
+        classic V-cycle.  `top_counter` overrides the finest level's
+        descent count — used when these levels are the replicated TAIL of
+        a distributed hierarchy whose top is a mid-hierarchy level (a
+        W-cycle descends cycle_type times there, not once)."""
         assert l == 0
         o = self.opts
         L = len(levels)
@@ -1018,7 +1021,9 @@ class BoomerAMG:
         U: list = [None] * L
         F: list = [None] * L
         U[0], F[0] = u, f
-        lev_counter = [1] + [1 if o.fcycle else o.cycle_type] * (L - 1)
+        lev_counter = [top_counter if top_counter is not None else 1] + [
+            1 if o.fcycle else o.cycle_type
+        ] * (L - 1)
         fcycle_lev = L - 2
         level = 0
         cycle_param = 0

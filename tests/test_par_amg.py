@@ -56,3 +56,63 @@ def test_par_amg_pcg_iteration_invariance(problem):
         assert bool(res.converged)
         iters[ns] = int(res.num_iterations)
     assert iters[1] == iters[4] == iters[8]
+
+
+def test_par_amg_honors_smoother_and_cycle_options():
+    """Round-1 gap: ParAMG hardcoded one l1-Jacobi sweep.  The sharded
+    cycle must now track relax type/weight/sweeps and cycle_type — same
+    answer as the serial cycle for every option combination."""
+    A = laplacian_7pt(12, 12, 12)
+    f_host = np.random.default_rng(1).standard_normal(A.num_rows)
+    mesh = make_mesh(4)
+    for opts in (
+        dict(relax_down=0, relax_up=0, relax_weight=0.8, num_sweeps=2),
+        dict(relax_down=18, relax_up=18, cycle_type=2),  # W-cycle
+        dict(relax_down=18, relax_up=18, relax_order=1),  # CF ordering
+    ):
+        amg = BoomerAMG(
+            A,
+            BoomerAMGOptions(
+                coarsen_type="pmis", interp_type="ext+i", P_max_elmts=4,
+                embed_level1=False, **opts,
+            ),
+        )
+        z_serial = np.asarray(amg.cycle(jnp.asarray(f_host)))
+        pamg = ParAMG(amg, mesh, repl_threshold=400)
+        z = pamg.fine.unpad(pamg.cycle(pamg.fine.pad_vec(f_host)))
+        np.testing.assert_allclose(z, z_serial, rtol=1e-10, atol=1e-12,
+                                   err_msg=str(opts))
+
+
+def test_par_dia_fine_level_and_row_blocks():
+    """Lattice fine levels shard as ParDIA (strip halos, no gathers) and
+    the from_row_blocks constructor (no global matrix) agrees with the
+    sliced-matrix constructor."""
+    from hypre_tpu.models import laplacian_7pt_row_block
+    from hypre_tpu.parallel import ParCSR
+    from hypre_tpu.parallel.par_dia import ParDIA
+    from hypre_tpu.parallel.partition import block_partition
+
+    nx = ny = nz = 16
+    n = nx * ny * nz
+    A = laplacian_7pt(nx, ny, nz)
+    mesh = make_mesh(8)
+    part = block_partition(n, 8)
+    per = part.rows_per_shard
+    blocks = [
+        laplacian_7pt_row_block(nx, ny, nz, min(s * per, n), min(s * per + per, n))
+        for s in range(8)
+    ]
+    Ab = ParCSR.from_row_blocks(blocks, (n, n), mesh)
+    Ad = ParDIA.from_dia(
+        __import__("hypre_tpu.ops.dia", fromlist=["csr_to_dia"]).csr_to_dia(
+            A, device=False
+        ),
+        mesh,
+    )
+    x = np.random.default_rng(2).standard_normal(n)
+    y_ref = A.to_scipy() @ x
+    np.testing.assert_allclose(Ab.unpad(Ab.matvec(Ab.pad_vec(x))), y_ref,
+                               rtol=1e-10)
+    np.testing.assert_allclose(Ad.unpad(Ad.matvec(Ad.pad_vec(x))), y_ref,
+                               rtol=1e-10)
