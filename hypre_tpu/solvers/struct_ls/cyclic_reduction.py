@@ -22,22 +22,24 @@ def pcr_solve_batched(lower, diag, upper, rhs):
     """Solve tridiagonal systems along the LAST axis via PCR.
 
     lower/diag/upper/rhs: [..., n]; lower[...,0] and upper[...,n-1]
-    ignored (out of band).
+    ignored (out of band).  The log2(n) elimination sweeps run in a
+    fori_loop with dynamic shifts (an unrolled version bloats the
+    surrounding SMG graphs ~7x and blows up compile time).
     """
     n = rhs.shape[-1]
-    a = jnp.concatenate([jnp.zeros_like(lower[..., :1]), lower[..., 1:]], -1)
-    b = diag
-    c = jnp.concatenate([upper[..., :-1], jnp.zeros_like(upper[..., :1])], -1)
-    d = rhs
+    a0 = jnp.concatenate([jnp.zeros_like(lower[..., :1]), lower[..., 1:]], -1)
+    c0 = jnp.concatenate([upper[..., :-1], jnp.zeros_like(upper[..., :1])], -1)
 
     steps = max(1, int(np.ceil(np.log2(max(n, 2)))))
-    for s in range(steps):
-        k = 1 << s
+    idx = jnp.arange(n)
+
+    def body(s, state):
+        a, b, c, d = state
+        k = jnp.left_shift(jnp.int32(1), s.astype(jnp.int32))
 
         def sh(x, off):
             return jnp.roll(x, off, axis=-1)
 
-        idx = jnp.arange(n)
         ok_m = idx - k >= 0
         ok_p = idx + k < n
         bm = jnp.where(sh(b, k) == 0, 1.0, sh(b, k))
@@ -49,6 +51,9 @@ def pcr_solve_batched(lower, diag, upper, rhs):
         d = d + alpha * sh(d, k) + gamma * sh(d, -k)
         a = alpha * sh(a, k)
         c = gamma * sh(c, -k)
+        return a, b, c, d
+
+    a, b, c, d = jax.lax.fori_loop(0, steps, body, (a0, diag, c0, rhs))
     return d / jnp.where(b == 0, 1.0, b)
 
 

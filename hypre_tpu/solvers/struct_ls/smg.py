@@ -7,12 +7,13 @@ cdir offset differs from the P entry's, x=1 elsewhere, relax the target
 planes), smg_relax.c (relaxation = solving plane systems; hypre uses a
 recursive (d-1)-dimensional SMG as the plane solver), smg_solve.c.
 
-TPU design: plane systems are solved EXACTLY via per-plane dense
-factorizations precomputed at setup — each relax sweep is one batched
-[nplanes, np, np] x [nplanes, np] matmul on the MXU, replacing the
-reference's recursive inexact plane solves (documented deviation: our
-cycles are at least as strong per iteration; the recursive variant is
-the planned path for planes too large to densify).
+TPU design: small planes (<= 4096 points) are solved EXACTLY via
+per-plane dense factorizations — each relax sweep is one batched
+[nplanes, np, np] x [nplanes, np] matmul on the MXU, at least as strong
+per iteration as the reference's inexact recursion.  Larger planes use
+the reference's recursive structure, batched: a 2-D SMG over ALL planes
+at once whose line systems are solved exactly with parallel cyclic
+reduction (smg_plane.py; reference smg_relax.c + cyclic_reduction.c).
 """
 
 from __future__ import annotations
@@ -47,9 +48,59 @@ class SMGOptions:
 class _Level:
     A: StructMatrix
     cdir: int
-    plane_inv: jax.Array  # [nplanes, np, np] inverses of in-plane systems
+    planes: object  # _DensePlanes | _RecursivePlanes
     p_lo: Optional[jax.Array] = None
     p_hi: Optional[jax.Array] = None
+
+
+class _DensePlanes:
+    """Exact plane solves: batched dense inverses (planes <= 4096 pts)."""
+
+    def __init__(self, inv: np.ndarray):
+        self.inv = jnp.asarray(inv)
+
+    def solve(self, rm, cycles: int = 1):
+        return jnp.einsum("zij,zj->zi", self.inv, rm)
+
+
+class _RecursivePlanes:
+    """hypre's recursive plane solver, batched: one 2-D SMG V-cycle over
+    all planes per relax (smg_relax.c)."""
+
+    def __init__(self, A: StructMatrix, cdir: int):
+        from .smg_plane import BatchedSMG2D
+
+        shape = tuple(A.shape)
+        self.pshape = tuple(s for d, s in enumerate(shape) if d != cdir)
+        data = np.asarray(A.data)
+        other = [d for d in range(len(shape)) if d != cdir]
+        entries = {}
+        for k, off in enumerate(A.offsets):
+            if off[cdir] != 0:
+                continue
+            # batched [B, n_a1, n_a2] -> semicoarsen LAST remaining axis
+            # (hypre 2-D cdir), lines along the first remaining axis:
+            # BatchedSMG2D wants [B, coarse_dir, line_dir]
+            arr = np.moveaxis(data[k], cdir, 0)
+            entries[(int(off[other[1]]), int(off[other[0]]))] = np.ascontiguousarray(
+                np.swapaxes(arr, 1, 2)
+            )
+        self.smg2 = BatchedSMG2D(entries)
+
+    def solve(self, rm, cycles: int = 1):
+        nz = rm.shape[0]
+        r3 = rm.reshape((nz,) + self.pshape)          # [B, a1, a2]
+        r3 = jnp.swapaxes(r3, 1, 2)                    # [B, a2, a1]
+        x3 = self.smg2.solve(r3, cycles=cycles)
+        return jnp.swapaxes(x3, 1, 2).reshape(nz, -1)
+
+
+def _build_planes(A: StructMatrix, cdir: int):
+    shape = tuple(A.shape)
+    npl = int(np.prod([s for d, s in enumerate(shape) if d != cdir]))
+    if npl > _PLANE_DENSE_MAX:
+        return _RecursivePlanes(A, cdir)
+    return _DensePlanes(_plane_inverses(A, cdir))
 
 
 def _plane_inverses(A: StructMatrix, cdir: int) -> np.ndarray:
@@ -59,11 +110,6 @@ def _plane_inverses(A: StructMatrix, cdir: int) -> np.ndarray:
     nz = shape[cdir]
     pshape = tuple(s for d, s in enumerate(shape) if d != cdir)
     npl = int(np.prod(pshape))
-    if npl > _PLANE_DENSE_MAX:
-        raise NotImplementedError(
-            f"SMG plane size {npl} > {_PLANE_DENSE_MAX}: recursive plane "
-            "solver not yet implemented — use PFMG for large grids"
-        )
     data = np.asarray(A.data)
     inv = np.zeros((nz, npl, npl))
     # assemble each plane's 2D stencil matrix
@@ -97,7 +143,7 @@ def _plane_inverses(A: StructMatrix, cdir: int) -> np.ndarray:
     return inv
 
 
-def _smg_interp_weights(A: StructMatrix, cdir: int, plane_inv: np.ndarray):
+def _smg_interp_weights(A: StructMatrix, cdir: int, planes):
     """P weights at every fine point via the masked plane solves
     (smg_setup_interp.c): for P entry with cdir offset o, solve the
     in-plane system against the SUM of couplings with cdir offset -o
@@ -129,7 +175,7 @@ def _smg_interp_weights(A: StructMatrix, cdir: int, plane_inv: np.ndarray):
             if off[cdir] == -o:
                 mv = np.moveaxis(data[k], cdir, 0).reshape(nz, npl)
                 rhs -= mv * inbounds_mask(off)[None, :]
-        w = np.einsum("zij,zj->zi", plane_inv, rhs)
+        w = np.asarray(planes.solve(jnp.asarray(rhs), cycles=6))
         out[o] = np.moveaxis(w.reshape((nz,) + pshape), 0, cdir)
     # weight to the LOWER coarse donor comes from the -1-side response
     # (couplings with cdir offset -1), i.e. the o=+1 masked solve
@@ -159,16 +205,14 @@ class SMG:
             max_levels = min(max_levels, o.max_levels)
 
         for l in range(max_levels):
-            plane_inv = _plane_inverses(A, cdir)
+            planes = _build_planes(A, cdir)
             if A.shape[cdir] <= 1 or l == max_levels - 1:
-                self.levels.append(
-                    _Level(A=A, cdir=cdir, plane_inv=jnp.asarray(plane_inv))
-                )
+                self.levels.append(_Level(A=A, cdir=cdir, planes=planes))
                 break
             # interp weights at odd planes; hypre swaps lo/hi roles:
             # at fine plane 2k+1, weight to coarse k is the response from
             # the -1 side
-            p_lo_full, p_hi_full = _smg_interp_weights(A, cdir, plane_inv)
+            p_lo_full, p_hi_full = _smg_interp_weights(A, cdir, planes)
             nf = A.shape[cdir]
             odd = np.arange(1, nf, 2)
             p_lo = _take(p_lo_full, odd, cdir)
@@ -182,7 +226,7 @@ class SMG:
                 _Level(
                     A=A,
                     cdir=cdir,
-                    plane_inv=jnp.asarray(plane_inv),
+                    planes=planes,
                     p_lo=jnp.asarray(p_lo),
                     p_hi=jnp.asarray(p_hi),
                 )
@@ -203,7 +247,7 @@ class SMG:
         r = b - struct_matvec(lvl.A, x)
         rm = jnp.moveaxis(r, a, 0).reshape(nz, -1)
         xm = jnp.moveaxis(x, a, 0).reshape(nz, -1)
-        e = jnp.einsum("zij,zj->zi", lvl.plane_inv, rm)
+        e = lvl.planes.solve(rm)
         idx = jnp.arange(nz)
         mask = (idx % 2 == parity)[:, None]
         xm = xm + jnp.where(mask, e, 0.0)

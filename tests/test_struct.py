@@ -189,3 +189,28 @@ def test_sparse_msg_anisotropic():
     res = SparseMSG(A, SparseMSGOptions(tol=1e-6, max_iter=40)).solve(b)
     assert bool(res.converged)
     assert int(res.num_iterations) <= 15
+
+
+@pytest.mark.slow
+def test_smg_recursive_plane_solver():
+    """Planes above the dense cap use the batched 2-D SMG recursion
+    (smg_relax.c analog) — the round-1 NotImplementedError cliff."""
+    import hypre_tpu.solvers.struct_ls.smg as smg_mod
+    from hypre_tpu.models import laplacian_7pt
+    from hypre_tpu.solvers.struct_ls.smg import SMG, SMGOptions
+    from hypre_tpu.struct import StructMatrix
+
+    n = 24
+    old = smg_mod._PLANE_DENSE_MAX
+    smg_mod._PLANE_DENSE_MAX = 128  # force recursion at every level
+    try:
+        A_csr = laplacian_7pt(n, n, n).to_scipy()
+        A = StructMatrix.from_scipy(A_csr, (n, n, n), periodic=(0, 0, 0))
+        smg = SMG(A, SMGOptions(tol=1e-6, max_iter=60))
+        b = jnp.asarray(np.asarray(A_csr @ np.ones(n**3)).reshape(n, n, n))
+        res = smg.solve(b)
+        assert bool(res.converged)
+        assert int(res.num_iterations) <= 8  # 4 with exact planes
+        assert np.allclose(np.asarray(res.x).ravel(), 1.0, atol=1e-4)
+    finally:
+        smg_mod._PLANE_DENSE_MAX = old
