@@ -28,7 +28,7 @@ def _build() -> bool:
     for cc in ("cc", "gcc", "clang"):
         try:
             r = subprocess.run(
-                [cc, "-O3", "-shared", "-fPIC", "-o", _SO, _SRC],
+                [cc, "-O3", "-shared", "-fPIC", "-o", _SO, _SRC, "-lm"],
                 capture_output=True,
                 timeout=120,
             )
@@ -184,3 +184,76 @@ def trunc_keep(indptr, cols, vals, max_elmts: int):
         keep.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
     )
     return keep.astype(bool)
+
+
+def _ilu_bind(lib, name, extra):
+    import ctypes as _ct
+
+    I64 = _ct.POINTER(_ct.c_int64)
+    F64 = _ct.POINTER(_ct.c_double)
+    PI = _ct.POINTER(I64)
+    PF = _ct.POINTER(F64)
+    fn = getattr(lib, name)
+    fn.argtypes = [I64, I64, F64, _ct.c_int64] + extra + [PI, PI, PF, PI, PI, PF]
+    fn.restype = _ct.c_int
+    lib.ilu_free_ptr.argtypes = [_ct.c_void_p]
+    lib.ilu_free_ptr.restype = None
+    return fn
+
+
+def _ilu_collect(lib, n, Lp, Li, Lx, Up, Ui, Ux):
+    import ctypes as _ct
+
+    def take(ptr, count, np_dt, ct):
+        arr = np.ctypeslib.as_array(
+            _ct.cast(ptr, _ct.POINTER(ct)), shape=(count,)
+        ).copy()
+        lib.ilu_free_ptr(ptr)
+        return arr.astype(np_dt, copy=False)
+
+    lp = take(Lp, n + 1, np.int64, _ct.c_int64)
+    li = take(Li, int(lp[-1]), np.int64, _ct.c_int64)
+    lx = take(Lx, int(lp[-1]), np.float64, _ct.c_double)
+    up = take(Up, n + 1, np.int64, _ct.c_int64)
+    ui = take(Ui, int(up[-1]), np.int64, _ct.c_int64)
+    ux = take(Ux, int(up[-1]), np.float64, _ct.c_double)
+    return (lp, li, lx), (up, ui, ux)
+
+
+def iluk_factor(indptr, indices, data, n: int, fill: int):
+    """Native ILU(k) level-of-fill factorization (Euclid's role).
+    Returns ((Lp,Li,Lx),(Up,Ui,Ux)) with unit-diag L implicit, or None."""
+    import ctypes as _ct
+
+    lib = _load()
+    if lib is None:
+        return None
+    fn = _ilu_bind(lib, "iluk_factor", [_ct.c_int])
+    ip = np.ascontiguousarray(indptr, dtype=np.int64)
+    ix = np.ascontiguousarray(indices, dtype=np.int64)
+    dx = np.ascontiguousarray(data, dtype=np.float64)
+    I64 = _ct.POINTER(_ct.c_int64)
+    F64 = _ct.POINTER(_ct.c_double)
+    outs = [I64(), I64(), F64(), I64(), I64(), F64()]
+    fn(_ptr(ip), _ptr(ix), dx.ctypes.data_as(F64), n, int(fill),
+       *[_ct.byref(o) for o in outs])
+    return _ilu_collect(lib, n, *outs)
+
+
+def ilut_factor(indptr, indices, data, n: int, droptol: float, maxrow: int):
+    """Native dual-threshold ILUT (Saad; par_ilu_setup.c ILUT role)."""
+    import ctypes as _ct
+
+    lib = _load()
+    if lib is None:
+        return None
+    fn = _ilu_bind(lib, "ilut_factor", [_ct.c_double, _ct.c_int64])
+    ip = np.ascontiguousarray(indptr, dtype=np.int64)
+    ix = np.ascontiguousarray(indices, dtype=np.int64)
+    dx = np.ascontiguousarray(data, dtype=np.float64)
+    I64 = _ct.POINTER(_ct.c_int64)
+    F64 = _ct.POINTER(_ct.c_double)
+    outs = [I64(), I64(), F64(), I64(), I64(), F64()]
+    fn(_ptr(ip), _ptr(ix), dx.ctypes.data_as(F64), n, float(droptol),
+       int(maxrow), *[_ct.byref(o) for o in outs])
+    return _ilu_collect(lib, n, *outs)

@@ -25,7 +25,8 @@ from .relax import GSSchedule, build_gs_schedule, gauss_seidel
 
 @dataclasses.dataclass(frozen=True)
 class ILUOptions:
-    type: int = 0  # 0 = ILU(0); 1 = ILUT (threshold)
+    type: int = 0  # 0 = ILU(k) (fill_level; k=0 default); 1 = ILUT
+    fill_level: int = 0  # ILU(k) level of fill (hypre ilu_lfil)
     droptol: float = 0.01  # ILUT drop tolerance (ilu_droptol default)
     max_row_nnz: int = 20  # ILUT fill cap (ilu_max_row_nnz default)
 
@@ -71,18 +72,53 @@ def ilu0_factor(A: sp.csr_matrix):
     return L.tocsr(), U.tocsr()
 
 
+def iluk_factor(A: sp.csr_matrix, fill: int):
+    """ILU(k) with level-of-fill via the native row-merge kernel (the
+    Euclid ilu_mpi_pilu.c role — no external factorization library)."""
+    from ... import native
+
+    A = A.tocsr()
+    A.sort_indices()
+    n = A.shape[0]
+    out = native.iluk_factor(A.indptr, A.indices, A.data, n, fill)
+    if out is None:  # no C compiler: ILU(0) python fallback only
+        if fill == 0:
+            return ilu0_factor(A)
+        raise RuntimeError("ILU(k>0) requires the native kernel")
+    (lp, li, lx), (up, ui, ux) = out
+    L = sp.csr_matrix((lx, li, lp), shape=(n, n)) + sp.eye(n, format="csr")
+    U = sp.csr_matrix((ux, ui, up), shape=(n, n))
+    L.sort_indices()
+    U.sort_indices()
+    return L.tocsr(), U.tocsr()
+
+
 def ilut_factor(A: sp.csr_matrix, droptol=0.01, max_row_nnz=20):
-    """scipy's spilu (SuperLU ILUTP) as the ILUT engine (par_ilu type 1)."""
-    import scipy.sparse.linalg as spla
+    """Dual-threshold ILUT (Saad) via the native row-merge kernel
+    (par_ilu_setup.c hypre_ILUSetupILUT role).  Falls back to scipy's
+    spilu (SuperLU ILUTP) only when no C compiler exists."""
+    A = A.tocsr()
+    A.sort_indices()
+    n = A.shape[0]
+    from ... import native
+
+    out = native.ilut_factor(
+        A.indptr, A.indices, A.data, n, droptol, max_row_nnz
+    )
+    if out is not None:
+        (lp, li, lx), (up, ui, ux) = out
+        L = sp.csr_matrix((lx, li, lp), shape=(n, n)) + sp.eye(n, format="csr")
+        U = sp.csr_matrix((ux, ui, up), shape=(n, n))
+        L.sort_indices()
+        U.sort_indices()
+        return L.tocsr(), U.tocsr(), None, None
+
+    import scipy.sparse.linalg as spla  # pragma: no cover - fallback
 
     B = spla.spilu(
         A.tocsc(), drop_tol=droptol, fill_factor=max(1, max_row_nnz // 2)
     )
-    n = A.shape[0]
-    L = B.L.tocsr()
-    U = B.U.tocsr()
-    # spilu permutes rows/cols; fold the permutations into the solve
-    return L, U, B.perm_r, B.perm_c
+    return B.L.tocsr(), B.U.tocsr(), B.perm_r, B.perm_c
 
 
 class ILU:
@@ -93,7 +129,10 @@ class ILU:
         As = A.to_scipy()
         self.perm_r = self.perm_c = None
         if opts.type == 0:
-            L, U = ilu0_factor(As)
+            if opts.fill_level == 0:
+                L, U = ilu0_factor(As)
+            else:
+                L, U = iluk_factor(As, opts.fill_level)
         else:
             L, U, self.perm_r, self.perm_c = ilut_factor(
                 As, opts.droptol, opts.max_row_nnz

@@ -69,7 +69,7 @@ def nongalerkin_filter(A: sp.csr_matrix, tol: float) -> sp.csr_matrix:
     dropped = ~keep
     dropped_sum = np.bincount(
         rows[dropped], weights=A.data[dropped], minlength=n
-    )
+    ).astype(A.data.dtype)
     # rebuild CSR in place of the kept entries (rows stay sorted)
     new_indptr = np.zeros(n + 1, dtype=A.indptr.dtype)
     kept_per_row = np.add.reduceat(

@@ -59,3 +59,43 @@ def test_ilut_gmres_nonsymmetric():
     assert bool(res.converged)
     x_ref = spla.spsolve(A.to_scipy().tocsc(), np.ones(n))
     np.testing.assert_allclose(np.asarray(res.x), x_ref, rtol=1e-5, atol=1e-9)
+
+
+def test_iluk_fill_levels_improve_pcg():
+    """Native ILU(k): higher fill -> fewer PCG iterations (Euclid role)."""
+    from hypre_tpu.solvers.amg.ilu import iluk_factor
+
+    A = laplacian_7pt(10, 10, 10)
+    n = A.num_rows
+    E = freeze_auto(A)
+    b = jnp.ones(n)
+    iters = {}
+    for k in (0, 1, 2):
+        ilu = ILU(A, ILUOptions(type=0, fill_level=k))
+        res = pcg(lambda x: spmv(E, x), b, M=ilu.precond,
+                  opts=PCGOptions(tol=1e-9, max_iter=300))
+        assert bool(res.converged)
+        iters[k] = int(res.num_iterations)
+    assert iters[2] < iters[1] < iters[0]
+    # factor residual shrinks with k on the union pattern
+    As = A.to_scipy()
+    L0, U0 = iluk_factor(As, 0)
+    L2, U2 = iluk_factor(As, 2)
+    assert abs(L2 @ U2 - As).max() < abs(L0 @ U0 - As).max()
+
+
+def test_native_ilut_matches_role():
+    """Native dual-threshold ILUT (no scipy/SuperLU in the loop)."""
+    from hypre_tpu import native
+    from hypre_tpu.solvers.amg.ilu import ilut_factor
+
+    if not native.available():
+        pytest.skip("no C compiler")
+    A = laplacian_7pt(8, 8, 8).to_scipy()
+    L, U, pr, pc = ilut_factor(A, droptol=1e-3, max_row_nnz=20)
+    assert pr is None  # native path, no permutation
+    E = abs(L @ U - A).max()
+    assert E < 0.2  # inexactness bounded by the drop threshold
+    # tighter threshold -> more accurate
+    L2, U2, _, _ = ilut_factor(A, droptol=1e-5, max_row_nnz=40)
+    assert abs(L2 @ U2 - A).max() < E
