@@ -35,6 +35,11 @@ def main():
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--nongalerkin", type=float, default=0.02,
                     help="coarse-operator sparsification drop tol")
+    ap.add_argument("--interp", default=None, choices=["ext+i", "classical"],
+                    help="interpolation (default: ext+i below 160^3, "
+                    "classical above — distance-1 P keeps the coarse "
+                    "lattice operators' diagonal unions ~3x smaller, "
+                    "which is what bounds HBM at 192^3+)")
     args = ap.parse_args()
 
     import jax
@@ -60,11 +65,12 @@ def main():
     gen_time = time.perf_counter() - t0
 
     t0 = time.perf_counter()
+    interp = args.interp or ("ext+i" if nx < 160 else "classical")
     amg = BoomerAMG(
         A,
         BoomerAMGOptions(
             coarsen_type="pmis",
-            interp_type="ext+i",
+            interp_type=interp,
             P_max_elmts=4,  # hypre production default keeps coarse ops sparse
             trunc_factor=0.0,
             relax_down=18,  # l1-Jacobi: hypre's parallel-recommended smoother
@@ -180,6 +186,7 @@ def main():
         "spmv_roofline_frac": round(spmv_gbs / hbm_gbs, 3),
         "operator_complexity": round(opcx, 4),
         "num_levels": amg.num_levels,
+        "interp": interp,
         "device": jax.devices()[0].device_kind,
         "dtype": args.dtype,
     }

@@ -116,21 +116,47 @@ def run(argv=None):
         res = pcg(lambda x: struct_matvec(A, x), b, M=pf.precond,
                   opts=PCGOptions(tol=tol, max_iter=max_iter, two_norm=True))
     elif solver_id == 17:
-        import numpy as _np
-
-        diag = _np.asarray(A.diagonal())
-        dinv = jnp.asarray(1.0 / diag)
-        res = pcg(lambda x: struct_matvec(A, x), b, M=lambda r: dinv * r,
-                  opts=PCGOptions(tol=tol, max_iter=max_iter, two_norm=True))
-    elif solver_id == 18:
+        # two-step Jacobi preconditioner (struct.c:1643-1652)
         import numpy as _np
 
         dinv = jnp.asarray(1.0 / _np.asarray(A.diagonal()))
-        res = gmres(lambda x: struct_matvec(A, x), b, M=lambda r: dinv * r,
-                    opts=GMRESOptions(tol=tol, max_iter=max_iter))
+
+        def two_step_jacobi(r):
+            x = dinv * r
+            return x + dinv * (r - struct_matvec(A, x))
+
+        res = pcg(lambda x: struct_matvec(A, x), b, M=two_step_jacobi,
+                  opts=PCGOptions(tol=tol, max_iter=max_iter, two_norm=True))
+    elif solver_id == 18:
+        # diagonal-scaled PCG (struct.c:1656)
+        import numpy as _np
+
+        dinv = jnp.asarray(1.0 / _np.asarray(A.diagonal()))
+        res = pcg(lambda x: struct_matvec(A, x), b, M=lambda r: dinv * r,
+                  opts=PCGOptions(tol=tol, max_iter=max_iter, two_norm=True))
     elif solver_id == 19:
         res = pcg(lambda x: struct_matvec(A, x), b,
                   opts=PCGOptions(tol=tol, max_iter=max_iter, two_norm=True))
+    elif solver_id in (30, 31, 38, 39):
+        # GMRES family (struct.c solver_id 30-39)
+        import numpy as _np
+
+        if solver_id == 30:
+            from ..solvers.struct_ls import SMG, SMGOptions
+
+            sm = SMG(A, SMGOptions(num_pre_relax=n_pre, num_post_relax=n_post))
+            M = sm.precond
+        elif solver_id == 31:
+            pf = PFMG(A, PFMGOptions(relax_type=relax, num_pre_relax=n_pre,
+                                     num_post_relax=n_post, skip_relax=skip))
+            M = pf.precond
+        elif solver_id == 38:
+            dinv = jnp.asarray(1.0 / _np.asarray(A.diagonal()))
+            M = lambda r: dinv * r
+        else:
+            M = None
+        res = gmres(lambda x: struct_matvec(A, x), b, M=M,
+                    opts=GMRESOptions(tol=tol, max_iter=max_iter))
     elif solver_id == 25:
         res = StructHybrid(A, StructHybridOptions(tol=tol)).solve(b)
     else:

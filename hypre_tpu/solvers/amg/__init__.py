@@ -5,3 +5,4 @@ from .boomeramg import BoomerAMG, BoomerAMGOptions
 from .hybrid import AMGHybrid, AMGHybridOptions
 from .ams import AMS, AMSOptions
 from .amgdd import AMGDD, AMGDDOptions
+from .block_amg import BlockAMG, BlockAMGOptions, BlockELL, block_spmv, bsr_to_block_ell
