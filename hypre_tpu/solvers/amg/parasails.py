@@ -62,29 +62,66 @@ class ParaSails:
     def _fsai(As: sp.csr_matrix, P: sp.csr_matrix) -> sp.csr_matrix:
         """Factored sparse approximate inverse: per row i solve
         A[J,J] y = e_i over J = lower-pattern(i), normalize so that
-        G A G^T ~ I."""
+        G A G^T ~ I.
+
+        Vectorized: rows are grouped by pattern size k and each group is
+        one batched [m, k, k] dense solve (LAPACK over the leading axis);
+        the A[J,J] blocks come from one searchsorted into the CSR's
+        (row*n + col) key array — no per-row python work.  (Round 1 ran
+        an O(n) python loop with scipy lil lookups.)"""
         n = As.shape[0]
+        As = As.tocsr()
+        As.sort_indices()
         Pl = sp.tril(P).tocsr()
-        rows_l, cols_l, vals_l = [], [], []
-        lookup = As.tolil()
+
+        # entry lookup: sorted 64-bit keys row*n + col
+        rows64 = np.repeat(np.arange(n, dtype=np.int64), np.diff(As.indptr))
+        keys = rows64 * n + As.indices
+        data = As.data
+
+        def lookup(q):
+            pos = np.searchsorted(keys, q.ravel())
+            pos = np.clip(pos, 0, max(len(keys) - 1, 0))
+            hit = keys[pos] == q.ravel()
+            out = np.where(hit, data[pos], 0.0)
+            return out.reshape(q.shape)
+
+        # per-row patterns J (lower triangle incl. diagonal, sorted)
+        Jlists = []
+        ks = np.zeros(n, dtype=np.int64)
         for i in range(n):
-            J = Pl.indices[Pl.indptr[i] : Pl.indptr[i + 1]]
+            J = Pl.indices[Pl.indptr[i]: Pl.indptr[i + 1]]
             J = np.sort(J[J <= i])
             if J.size == 0 or J[-1] != i:
                 J = np.append(J, i)
-            k = len(J)
-            blk = np.asarray(lookup[np.ix_(J, J)].todense())
-            e = np.zeros(k)
-            e[-1] = 1.0
+            Jlists.append(J)
+            ks[i] = len(J)
+
+        rows_l, cols_l, vals_l = [], [], []
+        for k in np.unique(ks):
+            ridx = np.flatnonzero(ks == k)
+            Jmat = np.stack([Jlists[i] for i in ridx])  # [m, k]
+            Q = Jmat[:, :, None] * n + Jmat[:, None, :]
+            blk = lookup(Q)  # [m, k, k]
+            e = np.zeros((len(ridx), k))
+            e[:, -1] = 1.0
             try:
-                y = np.linalg.solve(blk, e)
+                y = np.linalg.solve(blk, e[..., None])[..., 0]
             except np.linalg.LinAlgError:
-                y = np.linalg.lstsq(blk, e, rcond=None)[0]
-            piv = y[-1]
-            scale = 1.0 / np.sqrt(abs(piv)) if piv != 0 else 1.0
-            rows_l.append(np.full(k, i))
-            cols_l.append(J)
-            vals_l.append(y * scale)
+                y = np.stack([
+                    np.linalg.lstsq(blk[t], e[t], rcond=None)[0]
+                    for t in range(len(ridx))
+                ])
+            bad = ~np.isfinite(y).all(axis=1)
+            for t in np.flatnonzero(bad):
+                y[t] = np.linalg.lstsq(blk[t], e[t], rcond=None)[0]
+            piv = y[:, -1]
+            scale = np.where(
+                piv != 0, 1.0 / np.sqrt(np.abs(np.where(piv == 0, 1, piv))), 1.0
+            )
+            rows_l.append(np.repeat(ridx, k))
+            cols_l.append(Jmat.ravel())
+            vals_l.append((y * scale[:, None]).ravel())
         G = sp.coo_matrix(
             (np.concatenate(vals_l), (np.concatenate(rows_l), np.concatenate(cols_l))),
             shape=As.shape,
