@@ -79,37 +79,40 @@ class SStructSplit:
         eps = o.tol**2
         dtype = jnp.result_type(*jax.tree.leaves(b))
 
-        rel = jnp.asarray(jnp.inf, dtype)
-        norms = [float("nan")] * (o.max_iter + 1)
-        it_done = 0
-        converged = False
-        # host loop (mirrors the reference's host iteration; each step is
-        # one jitted composite) — device-resident while_loop variant is a
-        # planned optimization once sub-solver cycles are inline-jitted
-        step = jax.jit(self._step)
-
-        @jax.jit
+        # device-resident iteration: the whole convergence loop is ONE
+        # lax.while_loop (per-step host dispatch through a remote-device
+        # tunnel would pay an RTT per iteration; round-1 GAPS item)
         def resid(x):
             r = jax.tree.map(jnp.subtract, b, sstruct_matvec(self.A, x))
             return tdot(r, r)
 
-        for it in range(o.max_iter):
+        den = jnp.where(b_dot_b > 0, b_dot_b, 1.0)
+        eps_arr = jnp.asarray(eps, dtype)
+
+        def cond(st):
+            it, x, rr, norms = st
+            return (it < o.max_iter) & (rr / den >= eps_arr)
+
+        def body(st):
+            it, x, rr, norms = st
+            x = self._step(x, b)
             rr = resid(x)
-            rel = jnp.sqrt(rr / jnp.where(b_dot_b > 0, b_dot_b, 1.0))
-            norms[it] = float(jnp.sqrt(rr))
-            if float(rel) < o.tol:
-                converged = True
-                it_done = it
-                break
-            x = step(x, b)
-            it_done = it + 1
+            return (it + 1, x, rr, norms.at[it + 1].set(jnp.sqrt(rr)))
+
+        rr0 = resid(x)
+        norms0 = jnp.full(o.max_iter + 1, jnp.nan, dtype)
+        norms0 = norms0.at[0].set(jnp.sqrt(rr0))
+        it, x, rr, norms = jax.jit(
+            lambda st: jax.lax.while_loop(cond, body, st)
+        )((jnp.asarray(0), x, rr0, norms0))
+        rel = jnp.sqrt(rr / den)
 
         return SolverResult(
             x=x,
-            num_iterations=jnp.asarray(it_done),
+            num_iterations=it,
             rel_residual_norm=rel,
-            converged=jnp.asarray(converged),
-            res_norms=jnp.asarray(np.array(norms, dtype=float)),
+            converged=rel < o.tol,
+            res_norms=norms,
         )
 
     def _step(self, x, b):
