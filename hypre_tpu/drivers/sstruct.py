@@ -105,8 +105,8 @@ def run(argv=None):
         from ..solvers.sstruct_ls.sys_pfmg import SysPFMG, SysPFMGOptions
 
         blocks = {(0, 0): A.diag_block(0, 0)}
-        sys = SysPFMG(blocks, g.grid(0), SysPFMGOptions(tol=tol, max_iter=max_iter))
-        res = sys.solve((b[0][0],))
+        spf = SysPFMG(blocks, g.grid(0), SysPFMGOptions(tol=tol, max_iter=max_iter))
+        res = spf.solve((b[0][0],))
     elif solver_id in (19, 20):
         ss = "smg" if solver_id == 19 else "pfmg"
         res = SStructSplit(A, SplitOptions(tol=tol, max_iter=max_iter, ssolver=ss)).solve(b)
