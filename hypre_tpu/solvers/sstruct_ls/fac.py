@@ -4,13 +4,19 @@ Reference: sstruct_ls/fac*.c (17 files, ~12 kLoC): composite grids of
 nested refinement patches; hypre assembles the composite operator
 (fac_amr_rap.c + fac_cf{stencil,coarsen}.c: coarse rows near the
 interface couple to fine patch cells, overlapped coarse data zeroed by
-fac_zero_cdata.c), then cycles: relax on the patch level, correct on
-the coarse composite level, interpolate back (fac_interp2.c).
+fac_zero_cdata.c), then cycles level by level: relax on each refinement
+level, coarse-grid-correct below, interpolate back (fac_interp2.c).
 
-Here: refinement factor 2, one cell-centered patch.  The composite
-operator is assembled explicitly (host scipy) with first-order
-flux-matched CF interface stencils; the FAC V-cycle is patch Jacobi
-smoothing + a coarse-block correction solved by BoomerAMG.
+TPU design (round 2): arbitrary-depth AMR hierarchies with per-level
+refinement factors.  `build_composite_amr` assembles the composite
+operator for ANY nested patch chain (the fac_amr_rap/fac_zero_cdata
+roles: overlapped coarse cells are REMOVED from the unknown set, CF
+interfaces carry first-order flux-matched stencils); users with their
+own AMR discretization hand `FAC` a composite matrix plus the level
+index ranges directly.  The cycle is multiplicative across levels —
+patch-block corrections sweep finest->coarsest->finest, each block
+solved by an inner BoomerAMG (the role of hypre recursing SysPFMG per
+level) — the standard multiplicative-FAC formulation.
 """
 
 from __future__ import annotations
@@ -34,157 +40,206 @@ class FACOptions:
     relax_weight: float = 0.8
 
 
-def build_composite_poisson(cshape, origin, psize, h_c=1.0):
-    """Assemble the composite 7-pt Poisson operator for a coarse grid of
-    `cshape` cells (spacing h_c) with a 2x-refined patch of `psize`
-    COARSE cells at `origin`.  Returns (A composite CSR, index maps):
-    unknowns = active coarse cells (outside patch) then fine patch cells.
-    CF interface: first-order flux matching — a coarse cell abutting the
-    patch couples to the mean of the 4 facing fine cells; a fine
-    boundary cell couples to the facing coarse cell (fac_cfstencil.c
-    role, lowest order)."""
-    cshape = tuple(cshape)
-    origin = tuple(origin)
-    psize = tuple(psize)
-    fshape = tuple(2 * p for p in psize)
-    h_f = h_c / 2.0
+def build_composite_amr(cshape, patches, h0=1.0):
+    """Composite 7-pt Poisson operator over an AMR hierarchy.
 
-    covered = np.zeros(cshape, bool)
-    sl = tuple(slice(o, o + p) for o, p in zip(origin, psize))
-    covered[sl] = True
-    cidx = -np.ones(cshape, np.int64)
-    act = np.flatnonzero(~covered.ravel())
-    cidx.ravel()[act] = np.arange(len(act))
-    nc = len(act)
-    fidx = np.arange(int(np.prod(fshape))).reshape(fshape) + nc
-    n = nc + fidx.size
+    cshape: coarsest grid (level 0) cell counts.
+    patches: nested [(origin, size, factor), ...] — patch l+1 covers
+      `size` LEVEL-l cells starting at `origin` (level-l index space),
+      refined by `factor` per axis.  Unknowns = each level's cells NOT
+      covered by the next patch (fac_zero_cdata.c: overlapped coarse
+      data carries no dofs), numbered level 0 first.
+    CF interfaces (fac_cfstencil.c role, lowest order): a coarse cell
+    abutting a patch couples to the mean of the facing fine cells; a
+    fine boundary cell couples to the facing parent cell across the
+    center distance h_l (1 + f) / 2.
+
+    Returns (A csr, level_ranges, level_index_maps) where
+    level_ranges[l] = (start, end) and level_index_maps[l] maps level-l
+    cell -> unknown id (-1 where covered).
+    """
+    L = len(patches) + 1
+    shapes = [tuple(int(s) for s in cshape)]
+    hs = [float(h0)]
+    for (orig, size, f) in patches:
+        shapes.append(tuple(int(s * f) for s in size))
+        hs.append(hs[-1] / f)
+
+    dim = len(shapes[0])
+    covered = []
+    for l in range(L - 1):
+        orig, size, f = patches[l]
+        cov = np.zeros(shapes[l], bool)
+        cov[tuple(slice(o, o + s) for o, s in zip(orig, size))] = True
+        covered.append(cov)
+    covered.append(np.zeros(shapes[-1], bool))
+
+    idx_maps = []
+    ranges = []
+    start = 0
+    for l in range(L):
+        m = -np.ones(shapes[l], np.int64)
+        act = np.flatnonzero(~covered[l].ravel())
+        m.ravel()[act] = start + np.arange(len(act))
+        idx_maps.append(m)
+        ranges.append((start, start + len(act)))
+        start += len(act)
+    n = start
 
     rows, cols, vals = [], [], []
 
     def add(r, c, v):
-        rows.append(r)
-        cols.append(c)
-        vals.append(v)
+        rows.append(int(r))
+        cols.append(int(c))
+        vals.append(float(v))
 
-    # coarse rows
-    it = np.ndindex(cshape)
-    for I in it:
-        if covered[I]:
-            continue
-        r = cidx[I]
-        diag = 0.0
-        for d in range(3):
-            for s_ in (-1, 1):
-                J = list(I)
-                J[d] += s_
-                if not (0 <= J[d] < cshape[d]):
-                    diag += 1.0 / h_c**2  # Dirichlet boundary
-                    continue
-                J = tuple(J)
-                if covered[J]:
-                    # flux into the patch: couple to the mean of the 4
-                    # facing fine cells (first-order interface)
-                    F0 = [2 * (J[k] - origin[k]) for k in range(3)]
-                    if s_ > 0:
-                        F0[d] = 0 if J[d] == origin[d] else F0[d]
-                    face = []
-                    for a in range(2):
-                        for bq in range(2):
-                            F = list(F0)
-                            od = [k for k in range(3) if k != d]
-                            F[od[0]] += a
-                            F[od[1]] += bq
-                            F[d] = 0 if s_ > 0 else 2 * psize[d] - 1
-                            F[d] = (2 * (J[d] - origin[d])) + (0 if s_ > 0 else 1)
-                            face.append(tuple(F))
-                    w = 1.0 / h_c**2 / len(face)
-                    for F in face:
-                        add(r, int(fidx[F]), -w)
-                    diag += 1.0 / h_c**2
-                else:
-                    add(r, int(cidx[J]), -1.0 / h_c**2)
-                    diag += 1.0 / h_c**2
-        add(r, r, diag)
-
-    # fine rows
-    for F in np.ndindex(fshape):
-        r = int(fidx[F])
-        diag = 0.0
-        for d in range(3):
-            for s_ in (-1, 1):
-                G = list(F)
-                G[d] += s_
-                if 0 <= G[d] < fshape[d]:
-                    add(r, int(fidx[tuple(G)]), -1.0 / h_f**2)
-                    diag += 1.0 / h_f**2
-                else:
-                    # CF interface (or domain boundary): facing coarse cell
-                    J = [origin[k] + F[k] // 2 for k in range(3)]
+    for l in range(L):
+        shape = shapes[l]
+        h = hs[l]
+        w_in = 1.0 / h**2
+        fdown = patches[l][2] if l < L - 1 else 1
+        o_down = patches[l][0] if l < L - 1 else None
+        fup = patches[l - 1][2] if l > 0 else 1
+        o_up = patches[l - 1][0] if l > 0 else None
+        for I in np.ndindex(shape):
+            if covered[l][I]:
+                continue
+            r = idx_maps[l][I]
+            diag = 0.0
+            for d in range(dim):
+                for s_ in (-1, 1):
+                    J = list(I)
                     J[d] += s_
-                    if 0 <= J[d] < cshape[d] and not covered[tuple(J)]:
-                        # distance between fine and coarse centers ~ 1.5 h_f
-                        w = 1.0 / (1.5 * h_f * h_f)
-                        add(r, int(cidx[tuple(J)]), -w)
-                        diag += w
+                    if 0 <= J[d] < shape[d]:
+                        J = tuple(J)
+                        if not covered[l][J]:
+                            add(r, idx_maps[l][J], -w_in)
+                            diag += w_in
+                        else:
+                            # flux into the patch: mean of facing fine
+                            # cells of level l+1 (fac_cfstencil.c)
+                            face = []
+                            base = [fdown * (J[k] - o_down[k]) for k in range(dim)]
+                            # the fine layer of J nearest to I
+                            base[d] = (
+                                fdown * (J[d] - o_down[d])
+                                if s_ > 0 else
+                                fdown * (J[d] - o_down[d]) + fdown - 1
+                            )
+                            od = [k for k in range(dim) if k != d]
+                            for off in np.ndindex(*(fdown,) * (dim - 1)):
+                                F = list(base)
+                                for t, k in enumerate(od):
+                                    F[k] = base[k] + off[t]
+                                face.append(tuple(F))
+                            w = w_in / len(face)
+                            for F in face:
+                                add(r, idx_maps[l + 1][F], -w)
+                            diag += w_in
                     else:
-                        diag += 1.0 / h_f**2  # Dirichlet
-        add(r, r, diag)
+                        if l == 0:
+                            diag += w_in  # Dirichlet domain boundary
+                            continue
+                        # CF interface to the parent level
+                        Jp = [o_up[k] + I[k] // fup for k in range(dim)]
+                        Jp[d] += s_
+                        if all(0 <= Jp[k] < shapes[l - 1][k] for k in range(dim)) \
+                                and not covered[l - 1][tuple(Jp)]:
+                            # center distance h_l (1 + f) / 2
+                            w = 1.0 / (h * h * (1 + fup) / 2.0)
+                            add(r, idx_maps[l - 1][tuple(Jp)], -w)
+                            diag += w
+                        else:
+                            diag += w_in  # Dirichlet
+            add(r, r, diag)
 
     A = sp.csr_matrix((vals, (rows, cols)), shape=(n, n))
     A.sum_duplicates()
     A.sort_indices()
-    return A, cidx, fidx, nc
+    return A, ranges, idx_maps
+
+
+def _box_laplacian(shape, h):
+    """Regular 2d/3d Laplacian on a full box, zero Dirichlet.  The
+    generator's fastest axis is its FIRST argument; our level arrays are
+    C-order (last axis fastest), so axes are passed reversed."""
+    from ...models.laplacian import laplacian_7pt
+
+    c = 1.0 / h**2
+    if len(shape) == 2:
+        A = laplacian_7pt(shape[1], shape[0], 1, cx=c, cy=c, cz=0.0)
+    else:
+        A = laplacian_7pt(shape[2], shape[1], shape[0], cx=c, cy=c, cz=c)
+    return A.to_scipy()
+
+
+def build_composite_poisson(cshape, origin, psize, h_c=1.0):
+    """2-level compatibility wrapper (round-1 API): factor-2 patch.
+    Returns (A, cidx, fidx, nc)."""
+    A, ranges, maps = build_composite_amr(
+        cshape, [(tuple(origin), tuple(psize), 2)], h0=h_c
+    )
+    nc = ranges[0][1]
+    return A, maps[0], maps[1], nc
 
 
 class FAC:
-    """FAC cycle on an assembled composite operator: smooth the fine
-    (patch) block, correct on the coarse block with BoomerAMG."""
+    """Multiplicative FAC on an assembled composite operator: per cycle,
+    block corrections sweep finest -> coarsest -> finest, each level
+    block solved by an inner BoomerAMG (the role of hypre recursing a
+    struct solver per refinement level; the blocks here are general CSR
+    because interface rows break the constant stencil).  Standalone
+    cycles converge for 2-level hierarchies; deeper chains (the strongly
+    nonsymmetric multi-interface composites) are used as a GMRES
+    preconditioner — matching how the reference deploys FAC inside
+    Krylov wrappers.  The round-1 2-level `FAC(A, nc)` API still works;
+    user AMR discretizations pass any composite CSR + level ranges.
+    """
 
-    def __init__(self, A_comp: sp.csr_matrix, nc: int, opts: FACOptions = FACOptions()):
+    def __init__(self, A_comp: sp.csr_matrix, ranges,
+                 opts: FACOptions = FACOptions()):
         from ..amg import BoomerAMG, BoomerAMGOptions
+        from ...ops.dia import freeze_auto, spmv as _spmv
 
         self.opts = opts
         self.n = A_comp.shape[0]
-        self.nc = nc
+        if isinstance(ranges, (int, np.integer)):  # round-1 (A, nc) API
+            ranges = [(0, int(ranges)), (int(ranges), self.n)]
+        self.ranges = [tuple(map(int, rg)) for rg in ranges]
         self.A = CSRMatrix.from_scipy(A_comp.tocsr())
         self.Asp = A_comp.tocsr()
-        d = A_comp.diagonal()
-        self.dinv = jnp.asarray(np.where(d == 0, 0.0, 1.0 / np.where(d == 0, 1, d)))
-        fmask = np.zeros(self.n)
-        fmask[nc:] = 1.0
-        self.fmask = jnp.asarray(fmask)
         amg_opts = BoomerAMGOptions(
             coarsen_type="pmis", interp_type="ext+i", P_max_elmts=4,
             relax_down=18, relax_up=18, embed_level1=False,
         )
-        Acc = A_comp[:nc, :nc].tocsr()
-        self.amg_c = BoomerAMG(CSRMatrix.from_scipy(Acc), amg_opts)
-        # the patch gets its own multigrid solve (hypre recurses SMG/PFMG
-        # on each refinement level; here BoomerAMG on the patch block)
-        Aff = A_comp[nc:, nc:].tocsr()
-        self.amg_f = BoomerAMG(CSRMatrix.from_scipy(Aff), amg_opts)
-        from ...ops.dia import freeze_auto, spmv as _spmv
-
+        self.block_amg = []
+        for lo, hi in self.ranges:
+            Ab = A_comp[lo:hi, lo:hi].tocsr()
+            self.block_amg.append(
+                BoomerAMG(CSRMatrix.from_scipy(Ab), amg_opts)
+            )
         self._E = freeze_auto(self.A)
         self._spmv = _spmv
 
     def _residual(self, u, b):
         return b - self._spmv(self._E, u)
 
+    def _block_correct(self, u, b, l, iters):
+        lo, hi = self.ranges[l]
+        r = self._residual(u, b)
+        e = self.block_amg[l].solve(r[lo:hi], tol=1e-6, max_iter=iters).x
+        return u.at[lo:hi].add(e)
+
     def cycle(self, b, u):
         o = self.opts
-        # patch-level correction (fine block solve)
-        r = self._residual(u, b)
-        e_f = self.amg_f.solve(r[self.nc:], tol=1e-6, max_iter=o.num_pre + 4).x
-        u = u.at[self.nc:].add(e_f)
-        # coarse composite correction
-        r = self._residual(u, b)
-        e_c = self.amg_c.solve(r[: self.nc], tol=1e-6, max_iter=20).x
-        u = u.at[: self.nc].add(e_c)
-        # post patch correction
-        r = self._residual(u, b)
-        e_f = self.amg_f.solve(r[self.nc:], tol=1e-6, max_iter=o.num_post + 4).x
-        u = u.at[self.nc:].add(e_f)
+        L = len(self.ranges)
+        # down sweep: finest patch first (fac cycle order), coarsest last
+        for l in range(L - 1, 0, -1):
+            u = self._block_correct(u, b, l, o.num_pre + 4)
+        u = self._block_correct(u, b, 0, 20)
+        # up sweep: re-correct the patches against the updated levels
+        for l in range(1, L):
+            u = self._block_correct(u, b, l, o.num_post + 4)
         return u
 
     def solve(self, b) -> SolverResult:

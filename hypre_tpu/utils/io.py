@@ -145,15 +145,8 @@ def load_amg_hierarchy(path: str):
                 shape=tuple(z[f"P{l}_shape"]),
             )
         )
-    for l in range(L):
-        A = amg._host_A[l]
-        if l < L - 1:
-            P = amg._host_P[l]
-            amg.levels.append(
-                amg._freeze_level(A, P, P.T.tocsr(), amg._cf[l])
-            )
-        else:
-            amg.levels.append(amg._freeze_level(A, None, None, None))
-    if opts.embed_level1:
-        amg._try_embed_level1()
+    amg._host_R = [None] * (L - 1)
+    amg._host_A1_unf = None  # unfiltered pattern not checkpointed:
+    amg._pending_rap = None  # the host embedding path rebuilds A1
+    amg._freeze_hierarchy()
     return amg

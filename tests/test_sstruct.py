@@ -106,6 +106,7 @@ def test_split_preconditioned_pcg():
 import jax  # noqa: E402  (used in test_split_preconditioned_pcg)
 
 
+@pytest.mark.slow
 def test_fac_composite_amr():
     """FAC (sstruct_ls/fac*.c): composite AMR operator with flux-matched
     CF interfaces; patch-solve + coarse-correction cycle converges."""
@@ -138,3 +139,34 @@ def test_sstruct_maxwell():
     res = mx.solve(b)
     assert bool(res.converged)
     assert int(res.num_iterations) <= 15
+
+
+def test_fac_multilevel_amr():
+    """Multi-level FAC: 3-level nested refinement (factors 2 then 4),
+    arbitrary-depth composite assembly + multiplicative level sweeps
+    (fac_amr_rap.c / fac_interp2.c roles)."""
+    from hypre_tpu.solvers.sstruct_ls.fac import (
+        FAC, FACOptions, build_composite_amr,
+    )
+
+    from hypre_tpu.ops.csr import CSRMatrix
+    from hypre_tpu.ops.dia import freeze_auto, spmv
+    from hypre_tpu.solvers.krylov import GMRESOptions, gmres
+
+    A, ranges, maps = build_composite_amr(
+        (10, 10), [((2, 2), (5, 5), 2), ((2, 2), (5, 5), 4)]
+    )
+    assert len(ranges) == 3
+    n = A.shape[0]
+    assert ranges[-1][1] == n
+    # multi-interface composites are strongly nonsymmetric: FAC rides
+    # inside GMRES (the reference's Krylov-wrapped deployment)
+    fac = FAC(A, ranges, FACOptions(max_iter=1))
+    E = freeze_auto(CSRMatrix.from_scipy(A))
+    b = jnp.asarray(np.asarray(A @ np.ones(n)))
+    res = gmres(lambda x: spmv(E, x), b,
+                M=lambda r: fac.cycle(r, jnp.zeros_like(r)),
+                opts=GMRESOptions(tol=1e-8, max_iter=60, k_dim=30))
+    assert bool(res.converged)
+    assert int(res.num_iterations) <= 25
+    np.testing.assert_allclose(np.asarray(res.x), 1.0, atol=1e-5)

@@ -164,6 +164,7 @@ def test_mixed_constant_variable_pfmg():
     assert bool(res.converged)
 
 
+@pytest.mark.slow
 def test_sparse_msg_anisotropic():
     """SparseMSG (struct_ls/sparse_msg*.c): multiple semicoarsened grids
     with restrict_count averaging and visit-weight (lambda_d partition)

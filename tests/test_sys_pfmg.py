@@ -31,6 +31,7 @@ def two_var_system(shape, coupling=0.2):
     return {(0, 0): A, (1, 1): A, (0, 1): C, (1, 0): C}, g
 
 
+@pytest.mark.slow
 def test_sys_pfmg_converges():
     shape = (8, 8, 8)
     blocks, g = two_var_system(shape)
