@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax.numpy as jnp
 import numpy as np
 
 from ...models.maxwell import edge_structure
@@ -47,10 +48,30 @@ class SStructMaxwell:
         A_parts,
         U=None,
         opts: SStructMaxwellOptions = SStructMaxwellOptions(),
+        use_tv: bool | None = None,
     ):
+        """use_tv: run the PNedelec TV multigrid (MaxwellTV below) when
+        the problem is a single factor-2-coarsenable part — the
+        reference's native Maxwell cycle; defaults to auto.  Multi-part
+        or odd-shaped problems use the AMS auxiliary-space path."""
         import scipy.sparse as sp
 
         self.opts = opts
+        self.tv = None
+        if use_tv is None:
+            use_tv = (
+                len(parts) == 1 and U is None
+                and all(s % 2 == 0 for s in parts[0])
+            )
+        if use_tv and len(parts) == 1 and U is None:
+            A0 = A_parts[0]
+            A0c = A0 if isinstance(A0, CSRMatrix) else CSRMatrix.from_scipy(A0)
+            self.tv = MaxwellTV(
+                tuple(parts[0]), A0c,
+                MaxwellTVOptions(tol=opts.tol, max_iter=opts.max_iter),
+            )
+            self.A = A0c
+            return
         Gs, coords, sizes = [], [], []
         for shape in parts:
             G, _C, xyz, ne = edge_structure(*shape)
@@ -70,7 +91,223 @@ class SStructMaxwell:
         self.edge_offsets = np.cumsum([0] + sizes)
 
     def solve(self, b, x0=None) -> SolverResult:
+        if self.tv is not None:
+            return self.tv.solve(b)
         return self.ams.solve(b, tol=self.opts.tol, max_iter=self.opts.max_iter)
 
     def precond(self, r):
+        if self.tv is not None:
+            return self.tv.cycle(r)
         return self.ams.precond(r)
+
+
+# ---------------------------------------------------------------------------
+# PNedelec edge-element multigrid (maxwell_PNedelec.c + maxwell_TV_setup.c)
+# ---------------------------------------------------------------------------
+
+def pnedelec_interp(nx, ny, nz):
+    """Lowest-order Nedelec edge prolongation for factor-2 lattice
+    coarsening (reference: sstruct_ls/maxwell_PNedelec.c).
+
+    Grid has (nx, ny, nz) CELLS (must be even); edges numbered as in
+    models/maxwell.edge_structure (d=0 block, then 1, 2; C-order tails).
+    Weights are the de Rham-commuting choice: a d-directed fine edge at
+    tail node a contributes to the coarse d-edge at (a_d // 2, transverse
+    coarse nodes) with weight (1/2) * prod_t w_t, where w_t = 1 at even
+    transverse coordinates and 1/2 to each neighbor at odd ones — so
+    G_f @ P_node == P_edge @ G_c EXACTLY (tested), the commutativity
+    that makes the coarse edge space a genuine Nedelec space.
+
+    Returns (P_edge, P_node) as scipy CSR.
+    """
+    import scipy.sparse as sp
+
+    NSf = (nx + 1, ny + 1, nz + 1)
+    NSc = (nx // 2 + 1, ny // 2 + 1, nz // 2 + 1)
+
+    def node_weights(a):
+        """1-D nodal interp: fine coord a -> [(coarse, w), ...]."""
+        if a % 2 == 0:
+            return [(a // 2, 1.0)]
+        return [((a - 1) // 2, 0.5), ((a + 1) // 2, 0.5)]
+
+    # nodal trilinear P
+    nidf = np.arange(int(np.prod(NSf))).reshape(NSf)
+    nidc = np.arange(int(np.prod(NSc))).reshape(NSc)
+    pr, pc, pv = [], [], []
+    for a0 in range(NSf[0]):
+        for w0 in node_weights(a0):
+            for a1 in range(NSf[1]):
+                for w1 in node_weights(a1):
+                    for a2 in range(NSf[2]):
+                        for w2 in node_weights(a2):
+                            pr.append(nidf[a0, a1, a2])
+                            pc.append(nidc[w0[0], w1[0], w2[0]])
+                            pv.append(w0[1] * w1[1] * w2[1])
+    P_node = sp.csr_matrix(
+        (pv, (pr, pc)), shape=(nidf.size, nidc.size)
+    )
+
+    def edge_ids(NS):
+        """per-direction edge id offset + tail-grid shapes."""
+        shapes = []
+        offs = [0]
+        for d in range(3):
+            shp = list(NS)
+            shp[d] -= 1
+            shapes.append(tuple(shp))
+            offs.append(offs[-1] + int(np.prod(shp)))
+        return shapes, offs
+
+    shf, offf = edge_ids(NSf)
+    shc, offc = edge_ids(NSc)
+
+    er, ec, ev = [], [], []
+    for d in range(3):
+        idf = np.arange(int(np.prod(shf[d]))).reshape(shf[d])
+        idc = np.arange(int(np.prod(shc[d]))).reshape(shc[d])
+        td = [t for t in range(3) if t != d]
+        for a in np.ndindex(shf[d]):
+            fid = offf[d] + idf[a]
+            # along-edge: coarse index a_d // 2, weight 1/2
+            base = [0, 0, 0]
+            base[d] = a[d] // 2
+            combos = [(tuple(base), 0.5)]
+            for t in td:
+                new = []
+                for (idx, w) in combos:
+                    for (ct, wt) in node_weights(a[t]):
+                        nidx = list(idx)
+                        nidx[t] = ct
+                        new.append((tuple(nidx), w * wt))
+                combos = new
+            for idx, w in combos:
+                er.append(fid)
+                ec.append(offc[d] + idc[idx])
+                ev.append(w)
+    ne_f, ne_c = offf[-1], offc[-1]
+    P_edge = sp.csr_matrix((ev, (er, ec)), shape=(ne_f, ne_c))
+    return P_edge, P_node
+
+
+@dataclasses.dataclass
+class MaxwellTVOptions:
+    tol: float = 1e-6
+    max_iter: int = 200
+    num_smooth: int = 2
+    num_nodal: int = 2
+    max_coarse_edges: int = 600
+    relax_weight: float = 0.9
+
+
+class MaxwellTV:
+    """Tangential-vector Maxwell multigrid on a single lattice part:
+    PNedelec-coarsened edge hierarchy, each level smoothing edges
+    (l1-Jacobi) and correcting in the nodal gradient subspace
+    (maxwell_TV_setup.c / maxwell_solve.c structure)."""
+
+    def __init__(self, shape, A_edge: CSRMatrix,
+                 opts: MaxwellTVOptions = MaxwellTVOptions()):
+        import jax.numpy as jnp
+        import scipy.sparse as sp
+
+        self.opts = opts
+        self.levels = []
+        nx, ny, nz = shape
+        A = A_edge.to_scipy().tocsr()
+        while True:
+            G, _C, _xyz, ne = edge_structure(nx, ny, nz)
+            Gs = G.to_scipy() if hasattr(G, "to_scipy") else G
+            An = (Gs.T @ A @ Gs).tocsr()
+            l1e = np.asarray(np.abs(A).sum(axis=1)).ravel()
+            l1n = np.asarray(np.abs(An).sum(axis=1)).ravel()
+            lvl = dict(
+                A=CSRMatrix.from_scipy(A),
+                G=CSRMatrix.from_scipy(Gs),
+                An=CSRMatrix.from_scipy(An),
+                l1e=jnp.asarray(np.where(l1e == 0, 0.0, 1.0 / np.where(l1e == 0, 1, l1e))),
+                l1n=jnp.asarray(np.where(l1n == 0, 0.0, 1.0 / np.where(l1n == 0, 1, l1n))),
+            )
+            can_coarsen = (
+                A.shape[0] > opts.max_coarse_edges
+                and nx % 2 == 0 and ny % 2 == 0 and nz % 2 == 0
+                and min(nx, ny, nz) >= 2
+            )
+            if not can_coarsen:
+                lvl["coarse_inv"] = jnp.asarray(
+                    np.linalg.pinv(A.toarray(), rcond=1e-12)
+                )
+                self.levels.append(lvl)
+                break
+            P_edge, _P_node = pnedelec_interp(nx, ny, nz)
+            lvl["P"] = CSRMatrix.from_scipy(P_edge.tocsr())
+            lvl["R"] = CSRMatrix.from_scipy(P_edge.T.tocsr())
+            self.levels.append(lvl)
+            A = (P_edge.T @ A @ P_edge).tocsr()
+            nx, ny, nz = nx // 2, ny // 2, nz // 2
+        # freeze
+        from ...ops.dia import freeze_auto
+
+        for lvl in self.levels:
+            for k in ("A", "G", "An", "P", "R"):
+                if k in lvl:
+                    lvl[k + "_f"] = freeze_auto(lvl[k])
+            lvl["GT_f"] = freeze_auto(
+                CSRMatrix.from_scipy(lvl["G"].to_scipy().T.tocsr())
+            )
+
+    def _smooth(self, lvl, u, f, sweeps):
+        from ...ops.dia import spmv
+
+        o = self.opts
+        for _ in range(sweeps):
+            u = u + o.relax_weight * lvl["l1e"] * (f - spmv(lvl["A_f"], u))
+        return u
+
+    def _nodal_correct(self, lvl, u, f):
+        """Gradient-subspace correction: q s.t. An q ~ G^T r, u += G q
+        (the ams.c subspace cycle, per level)."""
+        from ...ops.dia import spmv
+
+        o = self.opts
+        r = f - spmv(lvl["A_f"], u)
+        rn = spmv(lvl["GT_f"], r)
+        q = jnp.zeros_like(rn)
+        for _ in range(o.num_nodal):
+            q = q + o.relax_weight * lvl["l1n"] * (rn - spmv(lvl["An_f"], q))
+        return u + spmv(lvl["G_f"], q)
+
+    def _cycle(self, l, u, f):
+        from ...ops.dia import spmv
+
+        o = self.opts
+        lvl = self.levels[l]
+        if "coarse_inv" in lvl:
+            return lvl["coarse_inv"] @ f
+        u = self._smooth(lvl, u, f, o.num_smooth)
+        u = self._nodal_correct(lvl, u, f)
+        r = f - spmv(lvl["A_f"], u)
+        fc = spmv(lvl["R_f"], r)
+        uc = self._cycle(l + 1, jnp.zeros_like(fc), fc)
+        u = u + spmv(lvl["P_f"], uc)
+        u = self._nodal_correct(lvl, u, f)
+        u = self._smooth(lvl, u, f, o.num_smooth)
+        return u
+
+    def cycle(self, f, u=None):
+        u = jnp.zeros_like(f) if u is None else u
+        return self._cycle(0, u, f)
+
+    @property
+    def precond(self):
+        return lambda r: self.cycle(r)
+
+    def solve(self, b, x0=None) -> SolverResult:
+        from ...ops.dia import spmv
+        from ..krylov import PCGOptions, pcg
+
+        o = self.opts
+        return pcg(
+            lambda x: spmv(self.levels[0]["A_f"], x), b, M=self.precond,
+            opts=PCGOptions(tol=o.tol, max_iter=o.max_iter),
+        )

@@ -170,3 +170,34 @@ def test_fac_multilevel_amr():
     assert bool(res.converged)
     assert int(res.num_iterations) <= 25
     np.testing.assert_allclose(np.asarray(res.x), 1.0, atol=1e-5)
+
+
+def test_pnedelec_commutes_exactly():
+    """PNedelec edge prolongation (maxwell_PNedelec.c): the de Rham
+    commutativity G_f P_node == P_edge G_c holds EXACTLY — the coarse
+    edge space is a genuine Nedelec space."""
+    from hypre_tpu.models.maxwell import edge_structure
+    from hypre_tpu.solvers.sstruct_ls.maxwell import pnedelec_interp
+
+    nx = ny = nz = 4
+    Gf = edge_structure(nx, ny, nz)[0].to_scipy()
+    Gc = edge_structure(nx // 2, ny // 2, nz // 2)[0].to_scipy()
+    Pe, Pn = pnedelec_interp(nx, ny, nz)
+    assert abs(Gf @ Pn - Pe @ Gc).max() == 0.0
+
+
+def test_maxwell_tv_cycles():
+    """Maxwell TV multigrid (maxwell_TV_setup.c): PNedelec-coarsened
+    edge hierarchy with per-level gradient-subspace corrections."""
+    from hypre_tpu.models.maxwell import curlcurl_matrix
+    from hypre_tpu.solvers.sstruct_ls.maxwell import MaxwellTV, MaxwellTVOptions
+
+    nx = ny = nz = 8
+    Ac, _G, _xyz = curlcurl_matrix(nx, ny, nz, alpha=1.0, beta=1.0)
+    tv = MaxwellTV((nx, ny, nz), Ac, MaxwellTVOptions(tol=1e-8, max_iter=120))
+    assert len(tv.levels) >= 2
+    n = Ac.num_rows
+    b = jnp.asarray(Ac.to_scipy() @ np.random.default_rng(0).standard_normal(n))
+    res = tv.solve(b)
+    assert bool(res.converged)
+    assert int(res.num_iterations) <= 20
