@@ -472,7 +472,8 @@ class BoomerAMG:
         return np.where(np.diff(A.indptr) > 0, red, 0.0)
 
     def _freeze_level(
-        self, A, P, R, cf, skip_A: bool = False, skip_PR: bool = False
+        self, A, P, R, cf, skip_A: bool = False, skip_PR: bool = False,
+        fine: bool | None = None,
     ) -> AMGLevel:
         o = self.opts
         dt = np.dtype(o.dtype)
@@ -480,7 +481,8 @@ class BoomerAMG:
         # (it defines the residual the Krylov solver minimizes); coarse
         # operators and all transfers live inside the preconditioner and
         # may be stored narrower (mat_dtype)
-        fine = len(self.levels) == 0
+        if fine is None:
+            fine = len(self.levels) == 0
         mdt = dt if fine else np.dtype(o.mat_dtype or o.dtype)
         pdt = np.dtype(o.mat_dtype or o.dtype)
         Ah = CSRMatrix.from_scipy(A)
@@ -1076,6 +1078,53 @@ class BoomerAMG:
     @property
     def levels_tuple(self):
         return tuple(self.levels)
+
+    # ------------------------------------------------------------------
+    # transpose solve (par_amg_solve.c hypre_BoomerAMGSolveT)
+    # ------------------------------------------------------------------
+    @property
+    def levels_T(self):
+        """Frozen TRANSPOSED hierarchy (lazy): A^T with P/R roles
+        swapped, l1 norms recomputed column-wise.  With R = P^T and
+        symmetric A this equals the forward hierarchy; it exists for the
+        nonsymmetric cases (AIR restriction, convection operators) that
+        SolveT serves in the reference."""
+        if getattr(self, "_levels_T", None) is None:
+            o = self.opts
+            dt = np.dtype(o.dtype)
+            lvls = []
+            L = len(self._host_A)
+            for k in range(L):
+                AT = self._host_A[k].T.tocsr()
+                if k < L - 1:
+                    P = self._host_P[k]
+                    R = self._host_R[k]
+                    if R is None:
+                        R = P.T.tocsr()
+                    # transpose cycle: interpolate with R^T, restrict P^T
+                    PT, RT = R.T.tocsr(), P.T.tocsr()
+                    cf = self._cf[k]
+                else:
+                    PT = RT = cf = None
+                lvls.append(self._freeze_level(AT, PT, RT, cf, fine=(k == 0)))
+            self._levels_T = list(jax.device_put(tuple(lvls)))
+        return self._levels_T
+
+    def cycleT(self, f, u=None):
+        """One V-cycle on A^T (the SolveT preconditioner hook)."""
+        levels = self.levels_T
+        if u is None:
+            u = jnp.zeros_like(f)
+        return self._vcycle(levels, 0, u, f)
+
+    def solveT(self, b, x0=None, tol: float = 1e-7, max_iter: int = 20,
+               min_iter: int = 0) -> SolverResult:
+        """Iterate transpose V-cycles until ||b - A^T x|| / ||b|| < tol
+        (par_amg_solve.c SolveT)."""
+        return self.solve(
+            b, x0=x0, tol=tol, max_iter=max_iter, min_iter=min_iter,
+            levels=self.levels_T,
+        )
 
     # ------------------------------------------------------------------
     # standalone solve (par_amg_solve.c)

@@ -311,3 +311,32 @@ def test_amgdd_composite_grids():
     r4 = AMGDD(amg, AMGDDOptions(num_domains=4, padding=2)).solve(b, tol=1e-8, max_iter=40)
     assert bool(r1.converged) and int(r1.num_iterations) <= 8
     assert bool(r4.converged)
+
+
+def test_solve_transpose():
+    """SolveT (par_amg_solve.c hypre_BoomerAMGSolveT): transpose-system
+    solve on the transposed hierarchy; equals Solve for symmetric A and
+    converges on a nonsymmetric convection-diffusion system."""
+    from hypre_tpu.models import difconv_7pt, laplacian_7pt
+    from hypre_tpu.solvers.amg import BoomerAMG, BoomerAMGOptions
+
+    opts = BoomerAMGOptions(
+        coarsen_type="pmis", interp_type="ext+i", P_max_elmts=4,
+        relax_down=18, relax_up=18, embed_level1=False,
+    )
+    # symmetric: SolveT == Solve
+    A = laplacian_7pt(8, 8, 8)
+    amg = BoomerAMG(A, opts)
+    b = jnp.asarray(A.to_scipy() @ np.ones(A.num_rows))
+    rs = amg.solve(b, tol=1e-8, max_iter=40)
+    rt = amg.solveT(b, tol=1e-8, max_iter=40)
+    assert int(rs.num_iterations) == int(rt.num_iterations)
+    np.testing.assert_allclose(np.asarray(rt.x), np.asarray(rs.x), rtol=1e-10)
+    # nonsymmetric: solveT solves A^T x = b
+    An = difconv_7pt(8, 8, 8, ax=6.0, ay=3.0, az=1.0)
+    amg_n = BoomerAMG(An, opts)
+    xt = np.random.default_rng(3).standard_normal(An.num_rows)
+    bt = jnp.asarray(An.to_scipy().T @ xt)
+    res = amg_n.solveT(bt, tol=1e-9, max_iter=60)
+    assert bool(res.converged)
+    np.testing.assert_allclose(np.asarray(res.x), xt, atol=1e-6)
