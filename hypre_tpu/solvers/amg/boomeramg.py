@@ -100,11 +100,15 @@ class BoomerAMGOptions:
     # random vectors replaces the classical strength test
     gsmg: int = 0
     num_samples: int = 5
-    # AIR restriction (par_restr.c, restri_type 1): R = local ideal
-    # restriction instead of P^T; coarse grid = R A P.  For
-    # nonsymmetric problems (advection); pair with FCF/F relaxation.
+    # AIR restriction: R = local ideal restriction instead of P^T;
+    # coarse grid = R A P.  restri_type 1 = distance-1 (par_restr.c),
+    # 2 = distance-2 (par_lr_restr.c Dist2AIR).  air_neumann_degree >= 0
+    # swaps the exact local solves for the degree-k Neumann series (the
+    # NeumannAIR family).  For nonsymmetric problems (advection); pair
+    # with FCF/F relaxation.
     restrict_type: int = 0
     filter_threshold_r: float = 0.0
+    air_neumann_degree: int = -1
     # additive cycling (par_add_cycle.c): levels >= `additive` smooth on
     # simultaneously-restricted residuals and corrections sum up the
     # hierarchy (one l1-Jacobi per level, coarsest direct) — fully
@@ -330,7 +334,11 @@ class BoomerAMG:
                     if o.restrict_type > 0:
                         from .interp import air_restriction
 
-                        R = air_restriction(A_si, S, cf, o.filter_threshold_r)
+                        R = air_restriction(
+                            A_si, S, cf, o.filter_threshold_r,
+                            distance=min(max(o.restrict_type, 1), 2),
+                            neumann_degree=o.air_neumann_degree,
+                        )
                         Ac = (R @ (A @ P)).tocsr()
                         Ac.sort_indices()
                     else:

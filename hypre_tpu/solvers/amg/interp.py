@@ -736,9 +736,15 @@ def air_restriction(
     S: sp.csr_matrix,
     cf: np.ndarray,
     filter_threshold: float = 0.0,
+    distance: int = 1,
+    neumann_degree: int = -1,
 ) -> sp.csr_matrix:
-    """AIR: local approximate ideal restriction, distance 1
-    (par_restr.c hypre_BoomerAMGBuildRestrAIR:20, restri_type 1).
+    """AIR: local approximate ideal restriction
+    (par_restr.c hypre_BoomerAMGBuildRestrAIR, restri_type 1;
+    distance=2 mirrors par_lr_restr.c hypre_BoomerAMGBuildRestrDist2AIR
+    by extending N_i through strong F-F links; neumann_degree >= 0
+    replaces the exact local solve with the degree-k Neumann/Jacobi
+    series — the NeumannAIR family).
 
     For each C point i with strong F neighborhood N_i (via S), solve the
     local transposed system  A[N_i, N_i]^T x = -A[i, N_i]^T  and set
@@ -762,6 +768,11 @@ def air_restriction(
     for i in c_pts:
         nb = Sj[Sp[i]:Sp[i + 1]]
         nb = nb[~is_c[nb] & (cf[nb] != -3)]
+        if distance >= 2 and len(nb):
+            # distance-2: strong F neighbors of the strong F neighbors
+            ext = np.concatenate([Sj[Sp[j]:Sp[j + 1]] for j in nb])
+            ext = ext[~is_c[ext] & (cf[ext] != -3) & (ext != i)]
+            nb = np.unique(np.concatenate([nb, ext]))
         neighborhoods.append(nb)
     sizes = np.array([len(nb) for nb in neighborhoods])
     for sz in np.unique(sizes):
@@ -777,14 +788,23 @@ def air_restriction(
             Mats[b] = Ad[np.ix_(nb, nb)].toarray()
             rhs[b] = -np.asarray(Ad[i, nb].todense()).ravel()
         # solve A_loc^T x = -A[i, N]^T
-        try:
-            X = np.linalg.solve(np.transpose(Mats, (0, 2, 1)),
-                                rhs[:, :, None])[:, :, 0]
-        except np.linalg.LinAlgError:
-            X = np.stack([
-                np.linalg.lstsq(Mats[b].T, rhs[b], rcond=None)[0]
-                for b in range(batch)
-            ])
+        if neumann_degree >= 0:
+            # degree-k Neumann series via batched Jacobi refinement
+            AT = np.transpose(Mats, (0, 2, 1))
+            d = np.einsum("bii->bi", AT)
+            dinv = np.where(d == 0, 0.0, 1.0 / np.where(d == 0, 1, d))
+            X = dinv * rhs
+            for _ in range(neumann_degree):
+                X = X + dinv * (rhs - np.einsum("bij,bj->bi", AT, X))
+        else:
+            try:
+                X = np.linalg.solve(np.transpose(Mats, (0, 2, 1)),
+                                    rhs[:, :, None])[:, :, 0]
+            except np.linalg.LinAlgError:
+                X = np.stack([
+                    np.linalg.lstsq(Mats[b].T, rhs[b], rcond=None)[0]
+                    for b in range(batch)
+                ])
         for b, q in enumerate(idx):
             i = c_pts[q]
             nb = neighborhoods[q]

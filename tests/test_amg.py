@@ -340,3 +340,29 @@ def test_solve_transpose():
     res = amg_n.solveT(bt, tol=1e-9, max_iter=60)
     assert bool(res.converged)
     np.testing.assert_allclose(np.asarray(res.x), xt, atol=1e-6)
+
+
+def test_air_distance2_and_neumann():
+    """AIR distance-2 (par_lr_restr.c Dist2AIR) and the Neumann-series
+    variant both converge on an advection-dominated system, with
+    distance-2 at least as strong as distance-1."""
+    from hypre_tpu.models import difconv_7pt
+    from hypre_tpu.solvers.amg import BoomerAMG, BoomerAMGOptions
+
+    A = difconv_7pt(10, 10, 4, ax=20.0, ay=10.0, az=0.0)
+    b = jnp.asarray(A.to_scipy() @ np.ones(A.num_rows))
+    iters = {}
+    for tag, kw in (
+        ("air1", dict(restrict_type=1)),
+        ("air2", dict(restrict_type=2)),
+        ("neumann2", dict(restrict_type=2, air_neumann_degree=2)),
+    ):
+        amg = BoomerAMG(A, BoomerAMGOptions(
+            coarsen_type="pmis", interp_type="classical", P_max_elmts=4,
+            relax_down=0, relax_up=0, relax_weight=0.7, relax_order=1,
+            embed_level1=False, **kw,
+        ))
+        res = amg.solve(b, tol=1e-8, max_iter=80)
+        assert bool(res.converged), tag
+        iters[tag] = int(res.num_iterations)
+    assert iters["air2"] <= iters["air1"] + 1
