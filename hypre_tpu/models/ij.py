@@ -67,21 +67,15 @@ class IJMatrix:
         new_grp[0] = True
         new_grp[1:] = (r[1:] != r[:-1]) | (c[1:] != c[:-1])
         grp_id = np.cumsum(new_grp) - 1
-        # last Set position per group (or -1)
+        # FINAL last-Set position per group (or -1): entries strictly
+        # before it are discarded — a Set overwrites earlier Sets AND
+        # earlier Adds (IJMatrix_parcsr.c semantics; a running cummax
+        # here would wrongly keep contributions between two Sets)
         pos = np.arange(r.size)
         set_pos = np.where(s, pos, -1)
-        last_set = np.maximum.accumulate(
-            np.where(new_grp, set_pos, np.maximum(set_pos, -1))
-        )
-        # recompute per-group cummax: reset at group starts
-        last_set = np.full(r.size, -1, dtype=np.int64)
-        cur = -1
-        # vectorized segment cummax via np.maximum.accumulate on keyed values
-        key = grp_id.astype(np.int64) * (r.size + 1)
-        seeded = np.where(s, key + pos, key - 1)
-        run = np.maximum.accumulate(seeded)
-        last_set = run - key  # -1 if no set yet in group
-        keep = pos >= last_set  # entries at/after last Set (all if none)
+        starts = np.flatnonzero(new_grp)
+        grp_last = np.maximum.reduceat(set_pos, starts)
+        keep = pos >= grp_last[grp_id]  # all kept when group has no Set
         self._assembled = CSRMatrix.from_coo(
             r[keep], c[keep], v[keep], self.shape
         )
@@ -111,3 +105,73 @@ class IJVector:
         return self._data
 
     get_object = assemble
+
+
+def ij_assemble_device(rows, cols, values, is_set, shape):
+    """Device-side IJ assembly (reference: IJ_mv/IJMatrix_parcsr_device.c
+    — device-pointer SetValues/AddToValues resolved with sort + segment
+    reductions instead of host per-row accumulators).
+
+    rows/cols/values/is_set: staged entry streams (device or host
+    arrays), in arrival order.  Semantics match the host accumulator:
+    the LAST Set wins and only Adds arriving after it accumulate on top;
+    with no Set, all Adds sum.  Runs as eager jnp ops (one-shot setup
+    work); index arithmetic needs row*ncols+col to fit the active int
+    dtype (int64 under x64, else int32).
+
+    Returns (urows, ucols, uvals) device arrays of the assembled unique
+    entries, sorted by (row, col) — ready for CSRMatrix.from_coo or a
+    direct device freeze.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    idt = jnp.int64 if jax.config.jax_enable_x64 else jnp.int32
+    rows = jnp.asarray(rows, idt)
+    cols = jnp.asarray(cols, idt)
+    values = jnp.asarray(values)
+    is_set = jnp.asarray(is_set, bool)
+    m = int(rows.shape[0])
+    ncols = int(shape[1])
+    seq = jnp.arange(m, dtype=idt)
+
+    key = rows * ncols + cols
+    order = jnp.lexsort((seq, key))
+    key_s, seq_s, val_s, set_s = key[order], seq[order], values[order], is_set[order]
+
+    # segment ids over sorted unique keys
+    new_seg = jnp.concatenate([jnp.ones(1, bool), key_s[1:] != key_s[:-1]])
+    seg = jnp.cumsum(new_seg.astype(idt)) - 1
+    nseg = int(seg[-1]) + 1 if m else 0
+
+    # last Set per segment (-1 if none)
+    set_seq = jnp.where(set_s, seq_s, -1)
+    last_set = jax.ops.segment_max(set_seq, seg, num_segments=nseg)
+    keep = jnp.where(
+        set_s, seq_s == last_set[seg], seq_s > last_set[seg]
+    )
+    uvals = jax.ops.segment_sum(jnp.where(keep, val_s, 0.0), seg,
+                                num_segments=nseg)
+    first_idx = jnp.flatnonzero(new_seg, size=nseg)
+    ukey = key_s[first_idx]
+    return ukey // ncols, ukey % ncols, uvals
+
+
+class IJMatrixDevice(IJMatrix):
+    """IJMatrix whose Assemble runs on device (ij_assemble_device)."""
+
+    def assemble(self) -> CSRMatrix:
+        if self._assembled is not None:
+            return self._assembled
+        if not self._rows:
+            self._assembled = CSRMatrix.from_coo([], [], [], self.shape)
+            return self._assembled
+        r = np.concatenate(self._rows)
+        c = np.concatenate(self._cols)
+        v = np.concatenate(self._vals)
+        s = np.concatenate(self._isset)
+        ur, uc, uv = ij_assemble_device(r, c, v, s, self.shape)
+        self._assembled = CSRMatrix.from_coo(
+            np.asarray(ur), np.asarray(uc), np.asarray(uv), self.shape
+        )
+        return self._assembled

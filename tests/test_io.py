@@ -60,3 +60,29 @@ def test_hierarchy_checkpoint(tmp_path):
     r2 = amg2.solve(b, tol=1e-8, max_iter=40)
     assert int(r1.num_iterations) == int(r2.num_iterations)
     np.testing.assert_allclose(np.asarray(r1.x), np.asarray(r2.x), rtol=1e-12)
+
+
+def test_device_ij_assembly_matches_host():
+    """Device-side IJ assembly (IJMatrix_parcsr_device.c analog): sort +
+    segment reductions reproduce the host accumulator's set-wins-then-add
+    semantics exactly, under interleaved Set/AddTo streams."""
+    import numpy as np
+
+    from hypre_tpu.models.ij import IJMatrix, IJMatrixDevice
+
+    rng = np.random.default_rng(5)
+    host, dev = IJMatrix(40, 40), IJMatrixDevice(40, 40)
+    for _ in range(30):
+        k = rng.integers(1, 8)
+        r = rng.integers(0, 40, k)
+        c = rng.integers(0, 40, k)
+        v = rng.standard_normal(k)
+        if rng.random() < 0.4:
+            host.set_values(r, c, v)
+            dev.set_values(r, c, v)
+        else:
+            host.add_to_values(r, c, v)
+            dev.add_to_values(r, c, v)
+    Ah = host.assemble().to_scipy()
+    Ad = dev.assemble().to_scipy()
+    assert (abs(Ah - Ad)).max() < 1e-12
