@@ -115,8 +115,12 @@ class BoomerAMGOptions:
     # parallel across levels, the mult_additive/simple family
     additive: int = -1
     # non-Galerkin coarse-operator sparsification (par_nongalerkin.c
-    # role): drop tol applied to coarse levels >= 1 (0 = off)
-    nongalerkin_tol: float = 0.0
+    # role): drop tol applied to coarse levels >= 1 (0 = off).  A tuple
+    # gives per-level tolerances (hypre SetLevelNonGalerkinTol; the last
+    # entry extends to deeper levels) — production large-grid configs
+    # drop harder on deep levels, where the relocated-lattice operators'
+    # diagonal unions otherwise explode.
+    nongalerkin_tol: object = 0.0
     # smoothing
     relax_down: int = 13
     relax_up: int = 14
@@ -348,8 +352,9 @@ class BoomerAMG:
                         # unfiltered level-1 pattern, needed by the
                         # device-RAP plan (dropped offsets lump on device)
                         self._host_A1_unf = Ac
-                    if o.nongalerkin_tol > 0:
-                        Ac = nongalerkin_filter(Ac, o.nongalerkin_tol)
+                    ngt = self._level_ngt(len(self._host_A))
+                    if ngt > 0:
+                        Ac = nongalerkin_filter(Ac, ngt)
                 self._host_A.append(A)
                 self._host_P.append(P)
                 self._host_R.append(R)
@@ -357,6 +362,16 @@ class BoomerAMG:
                 A = Ac
                 if nf > 1:
                     dof = dof[cf > 0]
+
+    def _level_ngt(self, level: int) -> float:
+        """Per-level non-Galerkin drop tol; level = index of the FINE
+        side of the RAP producing level+1 (0 -> the filter on A_1)."""
+        t = self.opts.nongalerkin_tol
+        if isinstance(t, (tuple, list, np.ndarray)):
+            if len(t) == 0:
+                return 0.0
+            return float(t[min(level, len(t) - 1)])
+        return float(t)
 
     def _coarsen(self, S):
         o = self.opts
@@ -646,7 +661,7 @@ class BoomerAMG:
             plan = plan_embedded_rap(offs_P, offs_A, offs_unf, offs_filt)
             width = _dia_width(n0, n0, offs_filt, mdt.itemsize)
             self._pending_rap = dict(
-                plan=plan, tol=float(o.nongalerkin_tol), width=width,
+                plan=plan, tol=self._level_ngt(0), width=width,
                 mdt=mdt, offsets=tuple(int(x) for x in offs_filt),
             )
             A_emb = None  # materialized in _run_device_rap after transfer

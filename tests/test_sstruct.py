@@ -201,3 +201,62 @@ def test_maxwell_tv_cycles():
     res = tv.solve(b)
     assert bool(res.converged)
     assert int(res.num_iterations) <= 20
+
+
+def test_neighbor_part_coordinate_transforms():
+    """GridSetNeighborPart with a 90-degree rotated part
+    (sstruct_grid.c index_map/index_dir): the transform-generated U
+    couplings make the two-part operator permutation-equivalent to the
+    plain single-grid Laplacian — exactness, not just convergence."""
+    import scipy.sparse as sp
+    from hypre_tpu.models import laplacian_7pt
+    from hypre_tpu.sstruct.grid import SStructGrid
+    from hypre_tpu.sstruct.matrix import SStructMatrix
+    from hypre_tpu.sstruct.neighbors import NeighborPart, build_u_from_neighbors
+    from hypre_tpu.struct.grid import StructGrid
+    from hypre_tpu.struct.matrix import StructMatrix
+
+    nx, ny = 5, 4  # global domain: 2*nx x ny, split at x = nx
+    ones0 = np.ones((nx, ny))
+    ones1 = np.ones((ny, nx))  # part 1 is ROTATED: local (a, b) -> global (nx+b, ny-1-a)
+    ent5 = lambda o: {(0, 0): 4.0 * o, (-1, 0): -o, (1, 0): -o,
+                     (0, -1): -o, (0, 1): -o}
+    g = SStructGrid(parts=(
+        (StructGrid((nx, ny)),),
+        (StructGrid((ny, nx)),),
+    ))
+    smats = {
+        (0, 0, 0): StructMatrix.from_dict(ent5(ones0), StructGrid((nx, ny))),
+        (1, 0, 0): StructMatrix.from_dict(ent5(ones1), StructGrid((ny, nx))),
+    }
+    rels = [
+        NeighborPart(part=0, ilower=(nx, 0), iupper=(nx, ny - 1),
+                     nbor_part=1, nbor_ilower=(0, 0), nbor_iupper=(ny - 1, 0),
+                     coord=(1, 0), dir=(1, -1)),
+        NeighborPart(part=1, ilower=(0, -1), iupper=(ny - 1, -1),
+                     nbor_part=0, nbor_ilower=(nx - 1, 0),
+                     nbor_iupper=(nx - 1, ny - 1), coord=(1, 0), dir=(-1, 1)),
+    ]
+    stencils = {0: ent5(ones0), 1: ent5(ones1)}
+    U = build_u_from_neighbors(g, stencils, rels)
+    A = SStructMatrix(g, smats, umat=U)
+    Ac = A.to_scipy()
+
+    # permutation to the plain (2nx, ny) grid (x-fastest would differ;
+    # use C-order (x, y) consistently)
+    Aref = laplacian_7pt(2 * nx, ny, 1).to_scipy()  # gid = ix + 2nx*iy
+    perm = np.zeros(2 * nx * ny, dtype=np.int64)
+    k = 0
+    for ix in range(nx):          # part 0 dofs, C-order (ix, iy)
+        for iy in range(ny):
+            perm[k] = ix + 2 * nx * iy
+            k += 1
+    for a in range(ny):           # part 1 dofs
+        for b in range(nx):
+            gx, gy = nx + b, ny - 1 - a
+            perm[k] = gx + 2 * nx * gy
+            k += 1
+    Pm = sp.csr_matrix((np.ones(len(perm)), (np.arange(len(perm)), perm)),
+                       shape=(len(perm), len(perm)))
+    err = abs(Pm @ Aref @ Pm.T - Ac).max()
+    assert err < 1e-12
