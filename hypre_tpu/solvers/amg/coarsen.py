@@ -291,14 +291,25 @@ def cr_coarsen(
         fmask = cf == F_PT
         e0[~fmask] = 0.0
         e1[~fmask] = 0.0
+        if relax == "gs":
+            # hypre_fptgscr (par_cr.c): TRUE forward Gauss-Seidel on the
+            # F-point block — L_FF e1 = -U_FF e0 via a triangular solve
+            import scipy.sparse.linalg as _spla
+
+            fidx = np.flatnonzero(fmask)
+            AFF = M[np.ix_(fidx, fidx)].tocsr()
+            LFF = sp.tril(AFF, k=0).tocsr()
+            UFF = sp.triu(AFF, k=1).tocsr()
         for _ in range(mu):
             e0[fmask] = e1[fmask]
-            res = -(Aoff @ np.where(fmask, e0, 0.0))
             if relax == "gs":
-                # hypre_fptgscr does a forward sweep; Jacobi-style
-                # simultaneous update is the parallel analog used here
-                e1 = np.where(fmask, res / dsafe, 0.0)
+                ef = _spla.spsolve_triangular(
+                    LFF, -(UFF @ e0[fidx]), lower=True
+                )
+                e1 = np.zeros_like(e1)
+                e1[fidx] = ef
             else:
+                res = -(Aoff @ np.where(fmask, e0, 0.0))
                 e1 = np.where(
                     fmask, (1 - omega) * e1 + omega * res / dsafe, 0.0
                 )
