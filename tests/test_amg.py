@@ -366,3 +366,28 @@ def test_air_distance2_and_neumann():
         assert bool(res.converged), tag
         iters[tag] = int(res.num_iterations)
     assert iters["air2"] <= iters["air1"] + 1
+
+
+def test_stencil_generator_fast_path_matches_coo():
+    """The direct-CSR stencil assembly (round-2 fast path) must agree
+    with the COO+dedup path bit-for-bit, including degenerate axes."""
+    from hypre_tpu.models.laplacian import (
+        _stencil_matrix, _stencil_matrix_coo, laplacian_7pt,
+    )
+
+    offs = [(0, 0, 0), (-1, 0, 0), (1, 0, 0), (0, -1, 0), (0, 1, 0),
+            (0, 0, -1), (0, 0, 1)]
+    vals = [6.0, -1.0, -1.0, -2.0, -2.0, -0.5, -0.5]
+    for shape in ((5, 4, 3), (6, 1, 4), (1, 5, 5)):
+        A = _stencil_matrix(*shape, offs, vals).to_scipy()
+        B = _stencil_matrix_coo(*shape, list(zip(offs, vals))).to_scipy()
+        assert (abs(A - B)).max() == 0.0
+    # row-block generator agrees with the full generator
+    from hypre_tpu.models import laplacian_7pt_row_block
+
+    Af = laplacian_7pt(6, 5, 4).to_scipy()
+    blocks = [laplacian_7pt_row_block(6, 5, 4, lo, min(lo + 37, 120))
+              for lo in range(0, 120, 37)]
+    import scipy.sparse as sp
+
+    assert (abs(sp.vstack(blocks) - Af)).max() == 0.0
