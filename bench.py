@@ -36,7 +36,7 @@ def main():
     ap.add_argument("--nongalerkin", type=float, default=0.02,
                     help="coarse-operator sparsification drop tol")
     ap.add_argument("--interp", default=None, choices=["ext+i", "classical"],
-                    help="interpolation (default: ext+i below 160^3, "
+                    help="interpolation (default: ext+i below 96^3, "
                     "classical above — distance-1 P keeps the coarse "
                     "lattice operators' diagonal unions ~3x smaller, "
                     "which is what bounds HBM at 192^3+)")
@@ -65,7 +65,7 @@ def main():
     gen_time = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    interp = args.interp or ("ext+i" if nx < 160 else "classical")
+    interp = args.interp or ("ext+i" if nx < 96 else "classical")
     amg = BoomerAMG(
         A,
         BoomerAMGOptions(

@@ -121,6 +121,11 @@ class BoomerAMGOptions:
     # drop harder on deep levels, where the relocated-lattice operators'
     # diagonal unions otherwise explode.
     nongalerkin_tol: object = 0.0
+    # dropped-mass placement for levels >= 2 ("diag" | "strong"); the
+    # level-1 filter always lumps diagonally (it is fused into the
+    # device-side RAP).  "strong" = the reference's neighbor
+    # redistribution, which tolerates much larger deep-level tols.
+    nongalerkin_lump: str = "diag"
     # smoothing
     relax_down: int = 13
     relax_up: int = 14
@@ -354,7 +359,9 @@ class BoomerAMG:
                         self._host_A1_unf = Ac
                     ngt = self._level_ngt(len(self._host_A))
                     if ngt > 0:
-                        Ac = nongalerkin_filter(Ac, ngt)
+                        lump = ("diag" if len(self._host_A) == 0
+                                else o.nongalerkin_lump)
+                        Ac = nongalerkin_filter(Ac, ngt, lump=lump)
                 self._host_A.append(A)
                 self._host_P.append(P)
                 self._host_R.append(R)

@@ -22,14 +22,17 @@ def galerkin_rap(A: sp.csr_matrix, P: sp.csr_matrix) -> sp.csr_matrix:
     return RAP.tocsr()
 
 
-def nongalerkin_filter(A: sp.csr_matrix, tol: float) -> sp.csr_matrix:
+def nongalerkin_filter(A: sp.csr_matrix, tol: float,
+                       lump: str = "diag") -> sp.csr_matrix:
     """Sparsify a coarse operator (parcsr_ls/par_nongalerkin.c role).
 
     Drops |a_ij| < tol * sqrt(|a_ii a_jj|) (symmetrized) and lumps the
-    dropped mass onto the diagonal, preserving row sums (so constants —
-    the near-null space of M-matrices — stay exactly interpolated).
-    The reference redistributes onto strong neighbors; diagonal lumping
-    is the simpler SPD-safe variant.
+    dropped mass so row sums are preserved (constants — the near-null
+    space of M-matrices — stay exactly interpolated).  lump="diag" puts
+    dropped mass on the diagonal (SPD-safe); lump="strong" redistributes
+    it over the row's KEPT off-diagonal entries proportionally to their
+    magnitudes (the reference's neighbor redistribution,
+    par_nongalerkin.c), which tolerates much larger drop tolerances.
     """
     import numpy as np
 
@@ -70,6 +73,22 @@ def nongalerkin_filter(A: sp.csr_matrix, tol: float) -> sp.csr_matrix:
     dropped_sum = np.bincount(
         rows[dropped], weights=A.data[dropped], minlength=n
     ).astype(A.data.dtype)
+    redist_data = A.data.copy()
+    if lump == "strong":
+        # distribute each row's dropped mass over its kept off-diagonal
+        # entries, weighted by |value| (rows with none fall back to the
+        # diagonal via dropped_sum)
+        keep_off = keep & (rows != cols)
+        wsum = np.bincount(
+            rows[keep_off], weights=np.abs(A.data[keep_off]), minlength=n
+        )
+        has = wsum > 0
+        frac = np.zeros_like(redist_data)
+        frac[keep_off] = np.abs(A.data[keep_off]) / wsum[rows[keep_off]]
+        add = dropped_sum[rows] * frac
+        mask_rows = has[rows] & keep_off
+        redist_data = np.where(mask_rows, redist_data + add, redist_data)
+        dropped_sum = np.where(has, 0.0, dropped_sum)
     # rebuild CSR in place of the kept entries (rows stay sorted)
     new_indptr = np.zeros(n + 1, dtype=A.indptr.dtype)
     kept_per_row = np.add.reduceat(
@@ -77,7 +96,7 @@ def nongalerkin_filter(A: sp.csr_matrix, tol: float) -> sp.csr_matrix:
     ) * (np.diff(A.indptr) > 0)
     np.cumsum(kept_per_row, out=new_indptr[1:])
     out = sp.csr_matrix(
-        (A.data[keep], cols[keep], new_indptr), shape=A.shape
+        (redist_data[keep], cols[keep], new_indptr), shape=A.shape
     )
     out = out + sp.diags(dropped_sum)
     out.sort_indices()
