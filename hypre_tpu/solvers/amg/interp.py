@@ -826,3 +826,59 @@ def air_restriction(
         R = _coo(Rc.data[keep], Rc.row[keep], Rc.col[keep], (nc, n))
     R.sort_indices()
     return R
+
+
+def interp_vec_modify(
+    P: sp.csr_matrix,
+    cf: np.ndarray,
+    vecs: np.ndarray,
+    variant: int = 2,
+) -> sp.csr_matrix:
+    """Interpolation-vector modification (par_sv_interp.c /
+    interp_vec_variant, the GM/LN family): adjust P's F-rows so the
+    supplied smooth vectors (rigid-body modes, constants already exact)
+    are interpolated EXACTLY: (P V_C)[i] == V[i] for every F row i.
+
+    Each F row takes the minimum-norm weight correction satisfying the
+    k constraints (variant 2, global-modification style; variant 1
+    restricts the correction to the row's largest-|w| entry — the
+    cheaper LN-ish form).  Rows whose coarse neighbors cannot represent
+    the constraint (degenerate local Gram) are left unmodified.
+    """
+    V = np.atleast_2d(np.asarray(vecs, dtype=np.float64))
+    if V.shape[0] != P.shape[0]:
+        V = V.T
+    k = V.shape[1]
+    is_c = cf > 0
+    Vc = V[is_c]  # coarse-point values, rows aligned with P's columns
+    P = P.tocsr().copy()
+    P.sort_indices()
+    indptr, indices, data = P.indptr, P.indices, P.data
+    n = P.shape[0]
+    f_rows = np.flatnonzero(~is_c)
+    for i in f_rows:
+        s, e = indptr[i], indptr[i + 1]
+        if e == s:
+            continue
+        cols = indices[s:e]
+        w = data[s:e]
+        B = Vc[cols]  # [m, k]
+        r = V[i] - w @ B
+        if not np.any(np.abs(r) > 1e-14):
+            continue
+        if variant == 1 and len(w) > 1:
+            j = int(np.argmax(np.abs(w)))
+            bj = B[j]
+            den = bj @ bj
+            if den > 1e-28:
+                data[s + j] += (r @ bj) / den
+            continue
+        G = B.T @ B  # [k, k]
+        # pinv: rows with fewer coarse neighbors than constraints get
+        # the least-squares-best correction (hypre's GM instead GROWS
+        # the coarse space with auxiliary dofs; exactness here holds
+        # whenever rank(B) == k)
+        lam = np.linalg.pinv(G, rcond=1e-12) @ r
+        data[s:e] = w + B @ lam
+    P.eliminate_zeros()
+    return P

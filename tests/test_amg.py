@@ -391,3 +391,39 @@ def test_stencil_generator_fast_path_matches_coo():
     import scipy.sparse as sp
 
     assert (abs(sp.vstack(blocks) - Af)).max() == 0.0
+
+
+def test_interp_vec_variants_exact_on_modes():
+    """GM/LN interp_vec_variant (par_sv_interp.c role): after
+    modification, P interpolates the supplied smooth vectors EXACTLY at
+    every F point; the modified hierarchy still solves."""
+    from hypre_tpu.models import laplacian_7pt
+    from hypre_tpu.solvers.amg import BoomerAMG, BoomerAMGOptions
+    from hypre_tpu.solvers.amg.interp import interp_vec_modify
+
+    A = laplacian_7pt(8, 8, 8)
+    amg = BoomerAMG(A, BoomerAMGOptions(
+        coarsen_type="pmis", interp_type="classical", P_max_elmts=4,
+        relax_down=18, relax_up=18, embed_level1=False,
+    ))
+    P = amg._host_P[0]
+    cf = amg._cf[0]
+    n = A.num_rows
+    xyz = np.stack(np.meshgrid(*[np.arange(8)] * 3, indexing="ij"),
+                   axis=-1).reshape(-1, 3).astype(float)
+    V = np.hstack([np.ones((n, 1)), xyz])  # constants + linears
+    err0 = np.abs(P @ V[cf > 0] - V)[cf <= 0].max()
+    for variant in (2, 1):
+        P2 = interp_vec_modify(P, cf, V, variant=variant)
+        E = np.abs(P2 @ V[cf > 0] - V)
+        if variant == 2:
+            # exact wherever the row has enough coarse neighbors to
+            # represent all k modes (hypre's GM grows the coarse space
+            # for the rest)
+            rn = np.diff(P2.indptr)
+            full = (~(cf > 0)) & (rn >= V.shape[1])
+            assert full.any()
+            assert E[full].max() < 1e-9
+            assert E[cf <= 0].max() <= err0 + 1e-12
+        else:
+            assert E[cf <= 0].max() <= err0 + 1e-12
