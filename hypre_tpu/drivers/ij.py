@@ -104,6 +104,7 @@ def run(argv=None):
     kdim = flag("-k", 1, 5, int)
     w = flag("-w", 1, 1.0)
     cf_order = flag("-CF", 1, 0, int)
+    restri = flag("-restritype", 1, 0, int)  # ij.c AIR restriction
     xisone = flag("-xisone")
     rhsrand = flag("-rhsrand")
     rhszero = flag("-rhszero")
@@ -150,6 +151,7 @@ def run(argv=None):
         nodal=nodal,
         gsmg=gsmg,
         relax_order=cf_order,
+        restrict_type=restri,
         lattice_shape=None if (sysl and sysl > 1) else ((nx, ny) if use9 else (nx, ny, nz)),
     )
 
