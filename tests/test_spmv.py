@@ -142,3 +142,28 @@ def test_pallas_dia_interpret_bf16_data():
     ref = M @ x.astype(np.float64)
     err = np.abs(np.asarray(y) - ref).max() / np.abs(ref).max()
     assert err < 2e-2  # bf16 entries: ~0.4% per-entry, stays small
+
+
+def test_matops_bool_aat_fffc():
+    """Pattern/AAt/FFFC matops (par_csr_bool_matop.c / par_csr_aat.c /
+    gen_fffc.c roles)."""
+    import scipy.sparse as sp
+
+    from hypre_tpu.models import laplacian_7pt
+    from hypre_tpu.ops.matops import aat, bool_multiply, fffc_split
+
+    A = laplacian_7pt(4, 4, 3).to_scipy()
+    B = bool_multiply(A, A)
+    assert set(np.unique(B.data)) == {1}
+    # pattern of A@A
+    assert (B != 0).nnz == ((A @ A) != 0).nnz
+
+    C = aat(A)
+    assert abs(C - A @ A.T).max() < 1e-12
+
+    cf = np.where(np.arange(A.shape[0]) % 3 == 0, 1, -1)
+    FF, FC, CF, CC = fffc_split(A, cf)
+    nf, nc = (cf <= 0).sum(), (cf > 0).sum()
+    assert FF.shape == (nf, nf) and CC.shape == (nc, nc)
+    assert FC.shape == (nf, nc) and CF.shape == (nc, nf)
+    assert FF.nnz + FC.nnz + CF.nnz + CC.nnz == A.nnz
