@@ -35,6 +35,10 @@ def main():
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--nongalerkin", type=float, default=0.02,
                     help="coarse-operator sparsification drop tol")
+    ap.add_argument("--relocate", default="auto", choices=["auto", "on", "off"],
+                    help="lattice relocation of coarse levels (auto: off "
+                    "from 224^3 — the relocated forms exceed one v5e's "
+                    "16GB HBM there; they fit v5p's 95GB)")
     ap.add_argument("--interp", default=None, choices=["ext+i", "classical"],
                     help="interpolation (default: ext+i below 96^3, "
                     "classical above — distance-1 P keeps the coarse "
@@ -78,6 +82,9 @@ def main():
             dtype=args.dtype,
             mat_dtype=args.mat_dtype,
             nongalerkin_tol=args.nongalerkin,
+            relocate_level2={"auto": nx < 224, "on": True, "off": False}[
+                args.relocate
+            ],
             lattice_shape=(nx, nx, nx),
         ),
     )

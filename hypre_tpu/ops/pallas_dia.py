@@ -35,6 +35,11 @@ _ENABLED = os.environ.get("HYPRE_TPU_PALLAS", "1") != "0"
 # double-buffered data block (8*noff*blk bytes), double-buffered output
 # block (8*blk), and the x window scratch (4*(blk+span)).
 _VMEM_BUDGET = 11 << 20
+# offsets per kernel invocation: operators with wider diagonal unions
+# (relocated coarse levels reach ~10^3 offsets) are applied as a sum of
+# chunked kernel calls — an unchunked XLA shift path materializes one
+# f32 converted row temp PER OFFSET, which alone OOMs HBM at 192^3+
+_CHUNK = 48
 _BLK_MAX = 14 * 8192  # 114688: best measured in the 8k..220k sweep
 _BLK_MIN = 2048
 _N_MIN = 16384  # below this the XLA path / dense MXU wins anyway
@@ -53,8 +58,10 @@ def choose_block(noff: int, span: int = 0, itemsize: int = 4) -> int:
 
 
 def padded_width(n: int, noff: int, span: int = 0, itemsize: int = 4) -> int:
-    """Diagonal-data width that makes the kernel grid exact for n rows."""
-    blk = choose_block(noff, span, itemsize)
+    """Diagonal-data width that makes the kernel grid exact for n rows.
+    Matches the CHUNKED kernel's block choice (wide operators run as a
+    sum of <=_CHUNK-offset kernel calls)."""
+    blk = choose_block(min(noff, _CHUNK), span, itemsize)
     return -(-n // blk) * blk
 
 
@@ -74,7 +81,7 @@ def pallas_dia_ok(A, x) -> bool:
         return False
     if backend not in ("tpu", "axon"):
         return False
-    noff = len(A.offsets)
+    noff = min(len(A.offsets), _CHUNK)
     span = max(A.offsets) - min(A.offsets)
     isz = A.data.dtype.itemsize
     blk = choose_block(noff, span, isz)
@@ -84,13 +91,22 @@ def pallas_dia_ok(A, x) -> bool:
 
 
 def pallas_dia_spmv(A, x: jax.Array, interpret: bool = False) -> jax.Array:
-    """y = A @ x for a square row-aligned DIAMatrix, float32."""
+    """y = A @ x for a square row-aligned DIAMatrix, float32.
+
+    Operators with more than _CHUNK distinct diagonals (relocated AMG
+    coarse levels reach ~10^3) are applied as a sum over offset chunks —
+    each chunk one kernel call reading its row range of the SAME data
+    array (BlockSpec row indexing, no slicing copies) and the SAME
+    staged x buffer.  The unchunked XLA fallback held one converted f32
+    row temp per offset simultaneously, which OOMed HBM at 192^3+.
+    """
     n = A.num_rows
-    offs = A.offsets
-    noff = len(offs)
-    lo = min(offs)
-    span = max(offs) - lo
-    blk = choose_block(noff, span, A.data.dtype.itemsize)
+    offs_all = A.offsets
+    noff_all = len(offs_all)
+    lo = min(offs_all)
+    span = max(offs_all) - lo
+    isz = A.data.dtype.itemsize
+    blk = choose_block(min(noff_all, _CHUNK), span, isz)
     n_pad = -(-n // blk) * blk
     grid = n_pad // blk
     # Mosaic tiles 1-D VMEM buffers at 1024; slice/DMA shapes must align
@@ -104,49 +120,73 @@ def pallas_dia_spmv(A, x: jax.Array, interpret: bool = False) -> jax.Array:
     xp = jax.lax.dynamic_update_slice(xp, x, (shift,))
 
     data = A.data
-    if data.shape[1] != n_pad:  # not pre-padded at freeze time
+    if data.shape[1] < n_pad:  # not pre-padded at freeze time
         data = jnp.pad(data, ((0, 0), (0, n_pad - data.shape[1])))
 
     narrow = data.dtype != x.dtype
 
-    def kernel(xref, dref, yref, xwin, sem, *maybe_dcast):
-        i = pl.program_id(0)
-        cp = pltpu.make_async_copy(
-            xref.at[pl.ds(i * blk + base, win)], xwin, sem
-        )
-        cp.start()
-        cp.wait()
+    def one_chunk(dchunk, offs, row_block=0):
+        """One kernel call over `offs`: dchunk rows [row_block*noff ..)
+        hold their diagonals (row_block picks the chunk INSIDE the full
+        data array via BlockSpec indexing — no slicing copies)."""
+        noff = len(offs)
+
+        def kernel(xref, dref, yref, xwin, sem, *maybe_dcast):
+            i = pl.program_id(0)
+            cp = pltpu.make_async_copy(
+                xref.at[pl.ds(i * blk + base, win)], xwin, sem
+            )
+            cp.start()
+            cp.wait()
+            if narrow:
+                # one explicit widening pass into f32 scratch — per-offset
+                # .astype() temporaries would blow the Mosaic stack
+                maybe_dcast[0][...] = dref[...].astype(xwin.dtype)
+                dsrc = maybe_dcast[0]
+            else:
+                dsrc = dref
+            acc = None
+            for k, off in enumerate(offs):
+                # xwin[w] = x[i*blk + lo + w]; row r needs x[i*blk + r + off]
+                t = dsrc[k, :] * xwin[pl.ds(off - lo, blk)]
+                acc = t if acc is None else acc + t
+            yref[...] = acc
+
+        scratch = [
+            pltpu.VMEM((win,), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ]
         if narrow:
-            # one explicit widening pass into f32 scratch — per-offset
-            # .astype() temporaries would blow the Mosaic stack
-            maybe_dcast[0][...] = dref[...].astype(xwin.dtype)
-            dsrc = maybe_dcast[0]
+            scratch.append(pltpu.VMEM((noff, blk), x.dtype))
+
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((n_pad,), x.dtype),
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec((noff, blk), lambda i: (row_block, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((blk,), lambda i: (i,),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(xp, dchunk)
+
+    if noff_all <= _CHUNK:
+        return one_chunk(data, offs_all)[:n]
+
+    acc = None
+    for c0 in range(0, noff_all, _CHUNK):
+        sub = offs_all[c0: c0 + _CHUNK]
+        if len(sub) == _CHUNK:
+            # full chunk: BlockSpec row indexing into the intact array
+            y = one_chunk(data, sub, row_block=c0 // _CHUNK)
         else:
-            dsrc = dref
-        acc = None
-        for k, off in enumerate(offs):
-            # xwin[w] = x[i*blk + lo + w]; row r needs x[i*blk + r + off]
-            t = dsrc[k, :] * xwin[pl.ds(off - lo, blk)]
-            acc = t if acc is None else acc + t
-        yref[...] = acc
-
-    scratch = [
-        pltpu.VMEM((win,), x.dtype),
-        pltpu.SemaphoreType.DMA,
-    ]
-    if narrow:
-        scratch.append(pltpu.VMEM((noff, blk), x.dtype))
-
-    y = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((n_pad,), x.dtype),
-        grid=(grid,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((noff, blk), lambda i: (0, i), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((blk,), lambda i: (i,), memory_space=pltpu.VMEM),
-        scratch_shapes=scratch,
-        interpret=interpret,
-    )(xp, data)
-    return y[:n]
+            # final partial chunk: one small slice copy
+            y = one_chunk(
+                jax.lax.slice_in_dim(data, c0, c0 + len(sub), axis=0), sub
+            )
+        acc = y if acc is None else acc + y
+    return acc[:n]

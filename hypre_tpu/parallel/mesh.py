@@ -24,5 +24,17 @@ def make_mesh(n_devices: int | None = None, axis: str = AXIS) -> Mesh:
     return Mesh(np.array(devs[:n]), (axis,))
 
 
+def make_mesh_nd(shape, axes=None) -> Mesh:
+    """Multi-axis process grid (the struct -P px py pz analog): shape
+    (p0, p1[, p2]) arranges prod(shape) devices into an N-D mesh whose
+    axes shard distinct grid dimensions (SURVEY §2.14-1)."""
+    devs = jax.devices()
+    n = int(np.prod(shape))
+    if n > len(devs):
+        raise ValueError(f"requested {n} devices, have {len(devs)}")
+    axes = tuple(axes) if axes else tuple(f"{AXIS}{d}" for d in range(len(shape)))
+    return Mesh(np.array(devs[:n]).reshape(shape), axes)
+
+
 def default_mesh() -> Mesh:
     return make_mesh()

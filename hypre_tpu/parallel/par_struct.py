@@ -28,12 +28,18 @@ from ..struct.matrix import StructMatrix
 from .mesh import AXIS
 
 
-def shard_struct(A: StructMatrix, x_arrays, mesh: Mesh, axis_name: str = AXIS, grid_axis: int = 0):
+def shard_struct(A: StructMatrix, x_arrays, mesh: Mesh, axis_name=AXIS,
+                 grid_axis=0):
     """Place a StructMatrix and vectors on the mesh, sharded along one
-    grid axis.  Returns (A_sharded, [x_sharded...])."""
+    or several grid axes (the struct -P px py pz process-grid analog:
+    pass a MULTI-AXIS mesh from make_mesh_nd with matching tuples of
+    axis names / grid axes).  Returns (A_sharded, [x_sharded...])."""
     ndim = len(A.shape)
+    axes = axis_name if isinstance(axis_name, (tuple, list)) else (axis_name,)
+    gaxes = grid_axis if isinstance(grid_axis, (tuple, list)) else (grid_axis,)
     spec_vec = [None] * ndim
-    spec_vec[grid_axis] = axis_name
+    for an, ga in zip(axes, gaxes):
+        spec_vec[ga] = an
     sh_vec = NamedSharding(mesh, P(*spec_vec))
     sh_mat = NamedSharding(mesh, P(None, *spec_vec))
     A_sh = dataclasses.replace(A, data=jax.device_put(A.data, sh_mat))
@@ -41,7 +47,10 @@ def shard_struct(A: StructMatrix, x_arrays, mesh: Mesh, axis_name: str = AXIS, g
     return A_sh, xs
 
 
-def vector_sharding(mesh: Mesh, ndim: int, axis_name: str = AXIS, grid_axis: int = 0):
+def vector_sharding(mesh: Mesh, ndim: int, axis_name=AXIS, grid_axis=0):
+    axes = axis_name if isinstance(axis_name, (tuple, list)) else (axis_name,)
+    gaxes = grid_axis if isinstance(grid_axis, (tuple, list)) else (grid_axis,)
     spec = [None] * ndim
-    spec[grid_axis] = axis_name
+    for an, ga in zip(axes, gaxes):
+        spec[ga] = an
     return NamedSharding(mesh, P(*spec))

@@ -47,3 +47,34 @@ def test_sharded_pfmg_iteration_invariance():
     np.testing.assert_allclose(
         np.asarray(res_sh.x), np.asarray(res_serial.x), atol=1e-14
     )
+
+
+def test_sharded_struct_2d_process_grid():
+    """2-D process grid (struct -P px py analog, SURVEY §2.14-1): a
+    2x4 mesh sharding two grid axes gives the identical matvec and the
+    identical PFMG solve as serial."""
+    from hypre_tpu.parallel.mesh import make_mesh_nd
+
+    mesh = make_mesh_nd((2, 4))
+    shape = (16, 12, 10)
+    A = poisson7(shape, 2.0, 3.0, 40.0)
+    x = np.random.default_rng(1).standard_normal(shape)
+    A_sh, (x_sh,) = shard_struct(
+        A, [x], mesh, axis_name=mesh.axis_names, grid_axis=(0, 1)
+    )
+    y_sh = jax.jit(struct_matvec)(A_sh, x_sh)
+    y = struct_matvec(A, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(y_sh), np.asarray(y),
+                               rtol=1e-11, atol=1e-12)
+
+    pf = PFMG(A, PFMGOptions(tol=1e-8, max_iter=40))
+    b = np.asarray(struct_matvec(A, jnp.ones(shape)))
+    res_serial = pf.solve(jnp.asarray(b))
+    b_sh = jax.device_put(
+        b, vector_sharding(mesh, 3, mesh.axis_names, (0, 1))
+    )
+    res_sh = pf.solve(b_sh)
+    assert int(res_sh.num_iterations) == int(res_serial.num_iterations)
+    np.testing.assert_allclose(
+        np.asarray(res_sh.x), np.asarray(res_serial.x), rtol=1e-10, atol=1e-11
+    )

@@ -167,3 +167,34 @@ def test_matops_bool_aat_fffc():
     assert FF.shape == (nf, nf) and CC.shape == (nc, nc)
     assert FC.shape == (nf, nc) and CF.shape == (nc, nf)
     assert FF.nnz + FC.nnz + CF.nnz + CC.nnz == A.nnz
+
+
+def test_pallas_dia_chunked_interpret():
+    """Wide-diagonal operators run as a sum of offset-chunked kernel
+    calls; interpret mode checks the chunked path bit-for-bit against
+    the dense product (noff > _CHUNK forces >= 3 chunks)."""
+    import scipy.sparse as sp
+
+    from hypre_tpu.ops import pallas_dia as pd
+
+    rng = np.random.default_rng(7)
+    n = 4096
+    offs = np.unique(rng.integers(-400, 400, 130))
+    data = rng.standard_normal((len(offs), n)).astype(np.float32)
+    # mask out-of-range diagonal entries like csr_to_dia stores them
+    rows = np.arange(n)
+    for k, o in enumerate(offs):
+        bad = (rows + o < 0) | (rows + o >= n)
+        data[k, bad] = 0.0
+    from hypre_tpu.ops.dia import DIAMatrix
+
+    A = DIAMatrix(data=jnp.asarray(data), offsets=tuple(int(o) for o in offs),
+                  num_rows=n, num_cols=n)
+    x = rng.standard_normal(n).astype(np.float32)
+    y = np.asarray(pd.pallas_dia_spmv(A, jnp.asarray(x), interpret=True))
+    # row-aligned reference: y[i] = sum_k data[k, i] * x[i + off_k]
+    y_ref = np.zeros(n, np.float64)
+    for k, o in enumerate(offs):
+        lo_, hi_ = max(0, -o), min(n, n - o)
+        y_ref[lo_:hi_] += data[k, lo_:hi_] * x[lo_ + o: hi_ + o]
+    np.testing.assert_allclose(y, y_ref, rtol=2e-5, atol=1e-4)
