@@ -39,7 +39,7 @@ _VMEM_BUDGET = 11 << 20
 # (relocated coarse levels reach ~10^3 offsets) are applied as a sum of
 # chunked kernel calls — an unchunked XLA shift path materializes one
 # f32 converted row temp PER OFFSET, which alone OOMs HBM at 192^3+
-_CHUNK = 48
+_CHUNK = int(os.environ.get("HYPRE_TPU_DIA_CHUNK", "64"))
 _BLK_MAX = 14 * 8192  # 114688: best measured in the 8k..220k sweep
 _BLK_MIN = 2048
 _N_MIN = 16384  # below this the XLA path / dense MXU wins anyway
