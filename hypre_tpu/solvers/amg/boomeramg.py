@@ -172,6 +172,12 @@ class BoomerAMGOptions:
     # the host-side build.
     relocate_max_bytes: int = 3 << 30
     max_relocated_offsets: int = 8192
+    # run the level-0 PMIS independent-set iteration ON DEVICE
+    # (solvers/amg/device_coarsen.py — shift-algebra strength + integer-
+    # exact measures, CF bit-identical to the host path).  The strength
+    # graph is still built host-side for interpolation; this seeds the
+    # fully device-resident setup.
+    device_coarsen: bool = False
     # compute the level-1 embedded operator ON DEVICE from A0 and the
     # embedded P (ops/device_rap.py) instead of building + transferring
     # the ~97%-zeros dense-diagonal array from the host — the largest
@@ -256,7 +262,36 @@ class BoomerAMG:
                                 CSRMatrix.from_scipy(A_si), o.strong_threshold, o.max_row_sum
                             )
                     with timed("COARSEN"):
-                        if nf > 1 and o.nodal > 0:
+                        cf_device = None
+                        if (
+                            o.device_coarsen
+                            and len(self._host_A) == 0
+                            and nf <= 1
+                            and o.coarsen_type == "pmis"
+                            and o.gsmg == 0
+                            and o.lattice_shape is not None
+                        ):
+                            from ...ops.dia import csr_to_dia
+                            from .device_coarsen import device_pmis
+
+                            rows0 = np.repeat(
+                                np.arange(n), np.diff(A.indptr)
+                            )
+                            if len(np.unique(A.indices - rows0)) <= 48:
+                                D0 = csr_to_dia(
+                                    CSRMatrix.from_scipy(A), device=False
+                                )
+                                cf_device = np.asarray(
+                                    device_pmis(
+                                        D0.data, D0.offsets, n,
+                                        seed=o.seed,
+                                        theta=o.strong_threshold,
+                                        max_row_sum=o.max_row_sum,
+                                    )
+                                ).astype(np.int64)
+                        if cf_device is not None:
+                            cf = cf_device
+                        elif nf > 1 and o.nodal > 0:
                             from .strength import (
                                 create_nodal_A,
                                 strength_matrix_abs,

@@ -1,0 +1,189 @@
+"""Device-side strength + PMIS coarsening for lattice (DIA) operators.
+
+Reference: par_strength.c hypre_BoomerAMGCreateS + par_coarsen.c
+hypre_BoomerAMGCoarsenPMISHost (:2031-2738) — and their *_device.c
+GPU counterparts, whose existence is the precedent for a separate
+device pipeline.
+
+TPU design: for a stencil operator stored as diagonals, every PMIS
+ingredient is an elementwise/shift computation — no gathers:
+  * strength: per-offset strict-inequality tests against the row
+    scale (max/min of off-diagonal entries, computed as an elementwise
+    reduction over the diagonal rows);
+  * measures: S^T column counts = shifted sums of the S masks;
+  * the iterated independent set: neighbor comparisons over S u S^T =
+    per-offset shifted lexicographic compares of (count, lcg_state).
+Measure comparisons use the INTEGER pair (strong-transpose count,
+Park-Miller state): count + state/M orders identically to
+(count, state), so CF decisions are bit-identical to the f64 host path
+— no floating-point tie hazards.  LCG states come from the host's
+vectorized skip-ahead (utils/lcg.py) as int32.
+
+The driver (`device_pmis`) runs the whole loop as one jitted
+lax.while_loop; the CF marker returns to the host to continue setup.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...utils.lcg import M as _LCG_M
+from ...utils.lcg import lcg_skip
+
+_PMIS_SEED = 2747
+
+
+def lcg_states_host(seed: int, n: int, skip: int = 0) -> np.ndarray:
+    """The n int32 Park-Miller STATES hypre_Rand would traverse
+    (state/M is the returned real; state ordering == value ordering)."""
+    if n == 0:
+        return np.empty(0, dtype=np.int32)
+    x0 = lcg_skip(seed, skip + 1)
+    out = np.empty(n, dtype=np.int64)
+    out[0] = x0
+    # vectorized doubling fill: out[2^j .. 2^(j+1)) = out[0..2^j) * a^(2^j)
+    from ...utils import lcg as _lcg
+
+    filled = 1
+    j = 0
+    while filled < n:
+        step = _lcg._POW2[j]
+        take = min(filled, n - filled)
+        out[filled: filled + take] = (out[:take] * step) % _LCG_M
+        filled += take
+        j += 1
+    return out.astype(np.int32)
+
+
+def _shift(x, off, fill=0):
+    """y[i] = x[i + off] with `fill` outside (static off)."""
+    n = x.shape[0]
+    if off == 0:
+        return x
+    pad = abs(int(off))
+    xp = jnp.pad(x, (pad, pad), constant_values=fill)
+    return jax.lax.dynamic_slice_in_dim(xp, pad + off, n)
+
+
+@partial(jax.jit, static_argnames=("offsets", "theta", "max_row_sum"))
+def device_strength_masks(data, offsets, theta=0.25, max_row_sum=0.9):
+    """Per-offset strong masks S_k[i] ("row i strongly depends on
+    i+off_k"), mirroring strength_matrix's strict tests."""
+    diag_k = offsets.index(0)
+    diag = data[diag_k][: data.shape[1]]
+    neg = diag < 0
+    row_max = jnp.zeros_like(diag)
+    row_min = jnp.zeros_like(diag)
+    for k, off in enumerate(offsets):
+        if off == 0:
+            continue
+        row_max = jnp.maximum(row_max, data[k])
+        row_min = jnp.minimum(row_min, data[k])
+    scale = jnp.where(neg, row_max, row_min)
+    thresh = theta * scale
+    masks = []
+    rs = jnp.zeros_like(diag)
+    for k, off in enumerate(offsets):
+        rs = rs + data[k]
+    weak_row = (
+        jnp.abs(rs) > jnp.abs(diag) * max_row_sum
+        if max_row_sum < 1.0 else jnp.zeros_like(neg)
+    )
+    for k, off in enumerate(offsets):
+        if off == 0:
+            masks.append(jnp.zeros_like(neg))
+            continue
+        s = jnp.where(neg, data[k] > thresh, data[k] < thresh)
+        masks.append(s & ~weak_row)
+    return jnp.stack(masks)
+
+
+def device_pmis(data, offsets, n, seed: int = _PMIS_SEED,
+                theta: float = 0.25, max_row_sum: float = 0.9):
+    """CF marker (int8: 1 C, -1 F, -3 isolated) for a DIA stencil
+    operator — bit-identical to coarsen.pmis_coarsen on the same
+    matrix.  `data` [noff, >=n] row-aligned diagonals."""
+    offsets = tuple(int(o) for o in offsets)
+    lcg = jnp.asarray(lcg_states_host(seed, n))
+    return _device_pmis_run(
+        jnp.asarray(data)[:, :n], lcg, offsets=offsets, n=n,
+        theta=float(theta), max_row_sum=float(max_row_sum),
+    )
+
+
+@partial(jax.jit, static_argnames=("offsets", "n", "theta", "max_row_sum"))
+def _device_pmis_run(data, lcg, *, offsets, n, theta, max_row_sum):
+    S = device_strength_masks(data, offsets, theta, max_row_sum)
+
+    # S^T column counts: cnt[i] = sum_k S_k[i - off_k]
+    cnt = jnp.zeros(n, jnp.int32)
+    for k, off in enumerate(offsets):
+        if off == 0:
+            continue
+        cnt = cnt + _shift(S[k].astype(jnp.int32), -off)
+
+    has_strong_row = jnp.zeros(n, bool)
+    for k, off in enumerate(offsets):
+        if off != 0:
+            has_strong_row = has_strong_row | S[k]
+    isolated = ~has_strong_row
+
+    cf0 = jnp.where(isolated, jnp.int8(-3), jnp.int8(0))
+    in0 = ~isolated
+    cnt0 = jnp.where(isolated, 0, cnt)
+
+    # adjacency offsets of S u S^T: for each off, i ~ i+off iff
+    # S_off[i] (dependence) or S_{-off}[i+off] (influence)
+    adj_offs = sorted({o for o in offsets if o != 0} |
+                      {-o for o in offsets if o != 0})
+    k_of = {o: k for k, o in enumerate(offsets)}
+
+    def adj_mask(Smask, off):
+        m = jnp.zeros(n, bool)
+        if off in k_of:
+            m = m | Smask[k_of[off]]
+        if -off in k_of:
+            m = m | _shift(Smask[k_of[-off]], off)
+        return m
+
+    def body(st):
+        it, cf, in_graph, cnt = st
+        cand = in_graph & (cnt >= 1)  # measure>1 <=> count>=1 (rand<1)
+        dominated = jnp.zeros(n, bool)
+        for off in adj_offs:
+            nb_cand = _shift(cand, off, fill=False)
+            nb_cnt = _shift(jnp.where(cand, cnt, 0), off)
+            nb_lcg = _shift(jnp.where(cand, lcg, 0), off)
+            better = (nb_cnt > cnt) | ((nb_cnt == cnt) & (nb_lcg > lcg))
+            dominated = dominated | (adj_mask(S, off) & nb_cand & better)
+        in_is = cand & ~dominated
+        cf = jnp.where(in_is, jnp.int8(1), cf)
+
+        is_c = cf > 0
+        newly_f = in_graph & (cnt < 1)
+        infl_c = jnp.zeros(n, bool)
+        for k, off in enumerate(offsets):
+            if off == 0:
+                continue
+            infl_c = infl_c | (S[k] & _shift(is_c, off, fill=False))
+        newly_f = newly_f | (in_graph & ~is_c & infl_c)
+
+        cf = jnp.where(in_graph & is_c, jnp.int8(1), cf)
+        cf = jnp.where(newly_f, jnp.int8(-1), cf)
+        settled = in_graph & (cf != 0)
+        cnt = jnp.where(settled, 0, cnt)
+        in_graph = in_graph & (cf == 0)
+        return it + 1, cf, in_graph, cnt
+
+    def cond(st):
+        it, cf, in_graph, cnt = st
+        return jnp.any(in_graph) & (it < 500)
+
+    _, cf, _, _ = jax.lax.while_loop(
+        cond, body, (jnp.asarray(0), cf0, in0, cnt0)
+    )
+    return cf
