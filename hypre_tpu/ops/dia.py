@@ -86,18 +86,12 @@ def dia_spmv(A: DIAMatrix, x: jax.Array) -> jax.Array:
     large) — ~89% of HBM roofline vs ~16% for the XLA shift path; see
     ops/pallas_dia.py.
     """
-    from .pallas_dia import _CHUNK, pallas_dia_ok, pallas_dia_spmv
+    from .pallas_dia import pallas_dia_ok, pallas_dia_spmv
 
     n, m = A.shape
     with jax.named_scope("MATVEC"):
         if pallas_dia_ok(A, x):
-            # wide-union operators: the fused XLA shift path beats
-            # many chunked kernel launches on SMALL levels, but holds
-            # one f32 row temp per offset concurrently — only allowed
-            # while that stays under ~1GB (it alone OOMs HBM at 192^3+)
-            xla_temps = len(A.offsets) * n * 4
-            if len(A.offsets) <= _CHUNK or xla_temps >= (1 << 30):
-                return pallas_dia_spmv(A, x)
+            return pallas_dia_spmv(A, x)
         # pad x so every shifted read is a static slice
         lo = max(0, -min(A.offsets))
         hi = max(0, max(A.offsets) + n - m)

@@ -106,7 +106,18 @@ def pallas_dia_spmv(A, x: jax.Array, interpret: bool = False) -> jax.Array:
     lo = min(offs_all)
     span = max(offs_all) - lo
     isz = A.data.dtype.itemsize
-    blk = choose_block(min(noff_all, _CHUNK), span, isz)
+    # a SINGLE kernel call whenever all diagonals fit the VMEM budget at
+    # once (even with a small block — measured faster than chunked calls
+    # or the XLA path on the wide mid-size levels); chunk only when the
+    # full-width block would not fit at all
+    per_elem = 2 * isz + (4 if isz < 4 else 0)
+    blk_full = choose_block(noff_all, span, isz)
+    single_ok = (
+        4 * (blk_full + span)
+        <= _VMEM_BUDGET - per_elem * noff_all * blk_full - 12 * blk_full
+    )
+    eff_chunk = noff_all if single_ok else _CHUNK
+    blk = choose_block(min(noff_all, eff_chunk), span, isz)
     n_pad = -(-n // blk) * blk
     grid = n_pad // blk
     # Mosaic tiles 1-D VMEM buffers at 1024; slice/DMA shapes must align
@@ -174,7 +185,7 @@ def pallas_dia_spmv(A, x: jax.Array, interpret: bool = False) -> jax.Array:
             interpret=interpret,
         )(xp, dchunk)
 
-    if noff_all <= _CHUNK:
+    if noff_all <= eff_chunk:
         return one_chunk(data, offs_all)[:n]
 
     acc = None
