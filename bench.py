@@ -102,15 +102,17 @@ def main():
         M = lambda r: amg.cycle(r, levels=levels)
         return pcg(op, b, M=M, opts=PCGOptions(tol=args.tol, max_iter=200))
 
-    # compile + converged-solve timing
+    # compile + converged-solve timing.  Sync via a SCALAR readback:
+    # block_until_ready alone can return early through remote-device
+    # tunnels and under-measure by 2x.
     res = solve(levels, b)
-    jax.block_until_ready(res.x)
+    float(res.rel_residual_norm)
     iters = int(res.num_iterations)
     times = []
     for _ in range(args.repeats):
         t0 = time.perf_counter()
         res = solve(levels, b)
-        jax.block_until_ready(res.x)
+        float(res.rel_residual_norm)
         times.append(time.perf_counter() - t0)
     solve_time = min(times)
     dofs_per_sec = n / solve_time
