@@ -25,17 +25,28 @@ _tried = False
 
 
 def _build() -> bool:
+    # compile to a private temp path, then os.rename (atomic within the
+    # directory): concurrent processes may rebuild simultaneously after
+    # a source change, and dlopening a half-written .so segfaults
+    tmp = f"{_SO}.{os.getpid()}.tmp"
     for cc in ("cc", "gcc", "clang"):
         try:
             r = subprocess.run(
-                [cc, "-O3", "-shared", "-fPIC", "-o", _SO, _SRC, "-lm"],
+                [cc, "-O3", "-shared", "-fPIC", "-o", tmp, _SRC, "-lm"],
                 capture_output=True,
                 timeout=120,
             )
             if r.returncode == 0:
+                os.replace(tmp, _SO)
                 return True
-        except (FileNotFoundError, subprocess.TimeoutExpired):
+        except (FileNotFoundError, subprocess.TimeoutExpired, OSError):
             continue
+        finally:
+            if os.path.exists(tmp):
+                try:
+                    os.remove(tmp)
+                except OSError:
+                    pass
     return False
 
 
