@@ -105,6 +105,9 @@ def run(argv=None):
     w = flag("-w", 1, 1.0)
     cf_order = flag("-CF", 1, 0, int)
     restri = flag("-restritype", 1, 0, int)  # ij.c AIR restriction
+    ilu_type = flag("-ilu_type", 1, 0, int)  # 0 ILU(k) | 1 ILUT
+    ilu_lfil = flag("-ilu_lfil", 1, 0, int)
+    ilu_drop = flag("-ilu_droptol", 1, 0.01)
     xisone = flag("-xisone")
     rhsrand = flag("-rhsrand")
     rhszero = flag("-rhszero")
@@ -211,6 +214,36 @@ def run(argv=None):
     elif solver_id in (60, 61):
         res = flexgmres(op, b, M=M if solver_id == 61 else ds, opts=FlexGMRESOptions(tol=tol, max_iter=max_iter, k_dim=kdim))
         print(f"FlexGMRES Iterations = {int(res.num_iterations)}")
+    elif solver_id in (80, 81):
+        # ij.c: 80 = hypre_ILU standalone (stationary ILU iteration),
+        # 81 = ILU-GMRES; native ILU(k)/ILUT factorizations
+        from ..solvers.amg.ilu import ILU, ILUOptions
+
+        ilu = ILU(A, ILUOptions(type=ilu_type, fill_level=ilu_lfil,
+                                droptol=ilu_drop))
+        if solver_id == 80:
+            import jax as _jax
+
+            step = _jax.jit(lambda x: x + ilu.solve(b - op(x)))
+            x = jnp.zeros_like(b)
+            bn = float(jnp.linalg.norm(b)) or 1.0
+            rel = 1.0
+            it = 0
+            for it in range(1, max_iter + 1):
+                x = step(x)
+                rel = float(jnp.linalg.norm(b - op(x))) / bn
+                if rel < tol:
+                    break
+            from ..solvers.krylov.common import SolverResult
+            res = SolverResult(x=x, num_iterations=it,
+                               rel_residual_norm=rel,
+                               converged=rel < tol, res_norms=None)
+            print(f"ILU Iterations = {it}")
+        else:
+            res = gmres(op, b, M=ilu.precond,
+                        opts=GMRESOptions(tol=tol, max_iter=max_iter,
+                                          k_dim=kdim))
+            print(f"GMRES Iterations = {int(res.num_iterations)}")
     else:
         raise SystemExit(f"solver {solver_id} not implemented")
 

@@ -99,3 +99,13 @@ def test_native_ilut_matches_role():
     # tighter threshold -> more accurate
     L2, U2, _, _ = ilut_factor(A, droptol=1e-5, max_row_nnz=40)
     assert abs(L2 @ U2 - A).max() < E
+
+
+def test_ij_driver_ilu_solvers():
+    """ij.c solver 80 (hypre_ILU stationary) and 81 (ILU-GMRES)."""
+    from hypre_tpu.drivers import ij as ij_driver
+
+    r81 = ij_driver.run("-n 8 8 8 -solver 81 -ilu_lfil 1 -tol 1e-8".split())
+    assert bool(r81.converged)
+    r80 = ij_driver.run("-n 6 6 6 -solver 80 -tol 1e-6 -max_iter 200".split())
+    assert float(r80.rel_residual_norm) < 1e-6
