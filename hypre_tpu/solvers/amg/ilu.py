@@ -162,3 +162,115 @@ class ILU:
     @property
     def precond(self):
         return self.solve
+
+
+# ---------------------------------------------------------------------------
+# Schur-complement ILU (the PILUT / par_ilu GMRES-Schur pipeline role)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class SchurILUOptions:
+    num_domains: int = 4
+    fill_level: int = 0      # ILU(k) level for the interior blocks
+    schur_tol: float = 1e-2  # inner GMRES tolerance on the Schur system
+    schur_max_iter: int = 20
+    schur_kdim: int = 20
+
+
+class SchurILU:
+    """Two-level Schur-complement ILU preconditioner.
+
+    Reference: distributed_ls/pilut/ (Saad's parallel ILUT: factor each
+    domain's INTERIOR independently, reduce the interface unknowns to a
+    Schur complement solved iteratively) and parcsr_ls/par_ilu's
+    GMRES-in-Schur variants.
+
+    Rows partition into contiguous domains; interior = rows whose
+    couplings stay inside their domain, interface = the rest.  With
+    A = [[B, F], [E, C]] (interior, interface):
+        M^{-1} r solves  B y_B = r_B  (per-domain ILU(k) triangular
+        solves — embarrassingly parallel), then the Schur system
+        (C - E B^{-1} F) y_S = r_S - E y_B  by inner GMRES with the
+        exact-action Schur operator (each apply = one interior ILU
+        solve), then back-substitutes y_B -= B^{-1} F y_S.
+    """
+
+    def __init__(self, A: CSRMatrix, opts: SchurILUOptions = SchurILUOptions()):
+        import jax.numpy as jnp
+
+        self.opts = opts
+        As = A.to_scipy().tocsr()
+        n = As.shape[0]
+        D = opts.num_domains
+        bounds = np.linspace(0, n, D + 1).astype(np.int64)
+        dom = np.searchsorted(bounds[1:], np.arange(n), side="right")
+        # interface rows: any coupling crossing a domain boundary
+        Ac = As.tocoo()
+        cross = dom[Ac.row] != dom[Ac.col]
+        iface = np.zeros(n, bool)
+        iface[Ac.row[cross]] = True
+        iface[Ac.col[cross]] = True
+        self.int_idx = np.flatnonzero(~iface)
+        self.ifc_idx = np.flatnonzero(iface)
+        perm = np.concatenate([self.int_idx, self.ifc_idx])
+        self._perm = perm
+        self._iperm = np.argsort(perm)
+        ni = len(self.int_idx)
+        self.ni = ni
+        Ap = As[perm][:, perm].tocsr()
+        B = Ap[:ni, :ni].tocsr()
+        from ...ops.dia import freeze_auto as _freeze
+
+        # device (jittable) forms of the off-blocks and interface block
+        self.F = _freeze(CSRMatrix.from_scipy(Ap[:ni, ni:].tocsr()))
+        self.E = _freeze(CSRMatrix.from_scipy(Ap[ni:, :ni].tocsr()))
+        self.C = _freeze(CSRMatrix.from_scipy(Ap[ni:, ni:].tocsr()))
+        # interior ILU(k): B is block-diagonal by domain, so one global
+        # factorization IS the per-domain factorization (no cross fill)
+        self._Bilu = ILU(
+            CSRMatrix.from_scipy(B),
+            ILUOptions(type=0, fill_level=opts.fill_level),
+        )
+        # Schur preconditioner: ILU(0) of C
+        self._Cilu = ILU(
+            CSRMatrix.from_scipy(Ap[ni:, ni:].tocsr()), ILUOptions(type=0)
+        )
+        self._perm_dev = jnp.asarray(self._perm.astype(np.int32))
+        self._iperm_dev = jnp.asarray(self._iperm.astype(np.int32))
+
+    def _Binv(self, r):
+        return self._Bilu.solve(r)
+
+    def _schur_op(self, y):
+        from ...ops.dia import spmv as _spmv
+
+        t = self._Binv(_spmv(self.F, y))
+        return _spmv(self.C, y) - _spmv(self.E, t)
+
+    def solve(self, r):
+        """Apply the two-level preconditioner (host-orchestrated;
+        the triangular kernels run on device)."""
+        import jax.numpy as jnp
+
+        from ..krylov import GMRESOptions, gmres
+
+        from ...ops.dia import spmv as _spmv
+
+        o = self.opts
+        rp = jnp.asarray(r)[self._perm_dev]
+        rB = rp[: self.ni]
+        rS = rp[self.ni:]
+        yB = self._Binv(rB)
+        g = rS - _spmv(self.E, yB)
+        res = gmres(
+            self._schur_op, g, M=self._Cilu.solve,
+            opts=GMRESOptions(tol=o.schur_tol, max_iter=o.schur_max_iter,
+                              k_dim=o.schur_kdim),
+        )
+        yS = res.x
+        yB = yB - self._Binv(_spmv(self.F, yS))
+        return jnp.concatenate([yB, yS])[self._iperm_dev]
+
+    @property
+    def precond(self):
+        return self.solve

