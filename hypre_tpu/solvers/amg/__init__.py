@@ -6,3 +6,5 @@ from .hybrid import AMGHybrid, AMGHybridOptions
 from .ams import AMS, AMSOptions
 from .amgdd import AMGDD, AMGDDOptions
 from .block_amg import BlockAMG, BlockAMGOptions, BlockELL, block_spmv, bsr_to_block_ell
+from .ilu import ILU, ILUOptions, SchurILU, SchurILUOptions
+from .parasails import ParaSails, ParaSailsOptions
