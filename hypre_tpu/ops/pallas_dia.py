@@ -175,7 +175,7 @@ def pallas_dia_spmv(A, x: jax.Array, interpret: bool = False) -> jax.Array:
             out_shape=jax.ShapeDtypeStruct((n_pad,), x.dtype),
             grid=(grid,),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec((noff, blk), lambda i: (row_block, i),
                              memory_space=pltpu.VMEM),
             ],
