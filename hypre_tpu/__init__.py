@@ -36,4 +36,30 @@ if _os.environ.get("HYPRE_TPU_X64") and not _os.environ.get("HYPRE_TPU_NO_X64"):
 
     _jax.config.update("jax_enable_x64", True)
 
+# Persistent XLA compilation cache — the reference's sblas-handle analog
+# at the compiler level: setup-phase jits (device RAP, DIA transpose,
+# Pallas SpMV) cost seconds to compile; production solvers re-setup the
+# same shapes constantly.  Repo-local dir so nothing is written outside
+# the tree; opt out with HYPRE_TPU_NO_COMPILE_CACHE=1.
+if not _os.environ.get("HYPRE_TPU_NO_COMPILE_CACHE"):
+    import jax as _jax
+
+    # Partition the cache by JAX_PLATFORMS: a tunnel-attached process
+    # compiles its host-fallback CPU executables on the REMOTE machine;
+    # sharing one dir lets a local CPU process load an executable built
+    # for different machine features (XLA warns of SIGILL).
+    _plat = _os.environ.get("JAX_PLATFORMS", "default").replace(",", "-") or "default"
+    _cache = _os.environ.get(
+        "HYPRE_TPU_COMPILE_CACHE_DIR",
+        _os.path.join(
+            _os.path.dirname(_os.path.dirname(__file__)), ".jax_cache", _plat
+        ),
+    )
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # older jax without the knobs — run uncached
+        pass
+
 __version__ = "0.1.0"

@@ -268,3 +268,205 @@ def ilut_factor(indptr, indices, data, n: int, droptol: float, maxrow: int):
     fn(_ptr(ip), _ptr(ix), dx.ctypes.data_as(F64), n, float(droptol),
        int(maxrow), *[_ct.byref(o) for o in outs])
     return _ilu_collect(lib, n, *outs)
+
+
+# ----------------------------------------------------------------------
+# Round-3 setup-speed kernels
+# ----------------------------------------------------------------------
+def _dptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+
+def strength_classical(A, theta: float, max_row_sum: float, sabs: bool = False):
+    """Native strength pattern (par_strength.c role); returns a scipy
+    pattern CSR (data ones) or None without a compiler."""
+    lib = _load()
+    if lib is None:
+        return None
+    if not hasattr(lib, "strength_bound"):
+        I64 = ctypes.POINTER(ctypes.c_int64)
+        D = ctypes.POINTER(ctypes.c_double)
+        lib.strength_classical.argtypes = [
+            I64, I64, D, ctypes.c_int64, ctypes.c_double, ctypes.c_double,
+            ctypes.c_int, I64, I64,
+        ]
+        lib.strength_classical.restype = ctypes.c_int64
+        lib.strength_bound = True
+    M = A.tocsr() if not hasattr(A, "to_scipy") else A.to_scipy()
+    n = M.shape[0]
+    ai = np.ascontiguousarray(M.indptr, dtype=np.int64)
+    aj = np.ascontiguousarray(M.indices, dtype=np.int64)
+    ad = np.ascontiguousarray(M.data, dtype=np.float64)
+    Sp = np.zeros(n + 1, dtype=np.int64)
+    Si = np.zeros(max(M.nnz, 1), dtype=np.int64)
+    nnz = lib.strength_classical(
+        _ptr(ai), _ptr(aj), _dptr(ad), n,
+        ctypes.c_double(theta), ctypes.c_double(max_row_sum),
+        ctypes.c_int(1 if sabs else 0), _ptr(Sp), _ptr(Si),
+    )
+    import scipy.sparse as sp
+
+    # int32 index arrays: scipy ops on mixed/int64 indices silently
+    # upcast every downstream product (~2x slower SpGEMM)
+    return sp.csr_matrix(
+        (np.ones(int(nnz)), Si[:nnz].astype(np.int32), Sp.astype(np.int32)),
+        shape=(n, n),
+    )
+
+
+def pmis_loop(S_indptr, S_indices, n: int, measure, cf, first_round_is: bool):
+    """Native PMIS iterated IS; mutates cf/measure copies, returns cf or
+    None without a compiler."""
+    lib = _load()
+    if lib is None:
+        return None
+    if not hasattr(lib, "pmis_bound"):
+        I64 = ctypes.POINTER(ctypes.c_int64)
+        D = ctypes.POINTER(ctypes.c_double)
+        lib.pmis_loop.argtypes = [I64, I64, ctypes.c_int64, D, I64, ctypes.c_int]
+        lib.pmis_loop.restype = None
+        lib.pmis_bound = True
+    sp_ = np.ascontiguousarray(S_indptr, dtype=np.int64)
+    si_ = np.ascontiguousarray(S_indices, dtype=np.int64)
+    meas = np.ascontiguousarray(measure, dtype=np.float64).copy()
+    cfa = np.ascontiguousarray(cf, dtype=np.int64).copy()
+    lib.pmis_loop(
+        _ptr(sp_), _ptr(si_), n, _dptr(meas), _ptr(cfa),
+        ctypes.c_int(1 if first_round_is else 0),
+    )
+    return cfa
+
+
+def classical_interp_fill(A, S, cf, cmap):
+    """Native modified-classical interpolation; returns scipy CSR P or
+    None without a compiler."""
+    lib = _load()
+    if lib is None:
+        return None
+    if not hasattr(lib, "cinterp_bound"):
+        I64 = ctypes.POINTER(ctypes.c_int64)
+        D = ctypes.POINTER(ctypes.c_double)
+        lib.classical_interp_fill.argtypes = [
+            I64, I64, D, D, I64, I64, I64, I64, ctypes.c_int64, I64, I64, D,
+        ]
+        lib.classical_interp_fill.restype = ctypes.c_int64
+        lib.cinterp_bound = True
+    n = A.shape[0]
+    ai = np.ascontiguousarray(A.indptr, dtype=np.int64)
+    aj = np.ascontiguousarray(A.indices, dtype=np.int64)
+    ad = np.ascontiguousarray(A.data, dtype=np.float64)
+    diag = np.ascontiguousarray(A.diagonal(), dtype=np.float64)
+    sp_ = np.ascontiguousarray(S.indptr, dtype=np.int64)
+    si_ = np.ascontiguousarray(S.indices, dtype=np.int64)
+    cfa = np.ascontiguousarray(cf, dtype=np.int64)
+    cm = np.ascontiguousarray(cmap, dtype=np.int64)
+    cap = int(S.nnz + n + 1)
+    Pp = np.zeros(n + 1, dtype=np.int64)
+    Pi = np.zeros(cap, dtype=np.int64)
+    Px = np.zeros(cap, dtype=np.float64)
+    nnz = lib.classical_interp_fill(
+        _ptr(ai), _ptr(aj), _dptr(ad), _dptr(diag), _ptr(sp_), _ptr(si_),
+        _ptr(cfa), _ptr(cm), n, _ptr(Pp), _ptr(Pi), _dptr(Px),
+    )
+    import scipy.sparse as sp
+
+    nc = int((np.asarray(cf) > 0).sum())
+    return sp.csr_matrix(
+        (Px[:nnz], Pi[:nnz].astype(np.int32), Pp.astype(np.int32)),
+        shape=(n, nc),
+    )
+
+
+def _bind_spgemm(lib):
+    if hasattr(lib, "spgemm_bound"):
+        return
+    I64 = ctypes.POINTER(ctypes.c_int64)
+    D = ctypes.POINTER(ctypes.c_double)
+    PI = ctypes.POINTER(I64)
+    PD = ctypes.POINTER(D)
+    lib.csr_matmul.argtypes = [
+        I64, I64, D, I64, I64, D,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, PI, PI, PD,
+    ]
+    lib.csr_matmul.restype = ctypes.c_int64
+    lib.csr_transpose.argtypes = [
+        I64, I64, D, ctypes.c_int64, ctypes.c_int64, I64, I64, D,
+    ]
+    lib.csr_transpose.restype = None
+    lib.csr_sort_rows.argtypes = [I64, I64, D, ctypes.c_int64]
+    lib.csr_sort_rows.restype = None
+    lib.ilu_free_ptr.argtypes = [ctypes.c_void_p]
+    lib.ilu_free_ptr.restype = None
+    lib.spgemm_bound = True
+
+
+def _as_c_csr(M):
+    return (
+        np.ascontiguousarray(M.indptr, dtype=np.int64),
+        np.ascontiguousarray(M.indices, dtype=np.int64),
+        np.ascontiguousarray(M.data, dtype=np.float64),
+    )
+
+
+def csr_matmul(A, B):
+    """Native C = A @ B (sorted rows); returns scipy CSR or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    _bind_spgemm(lib)
+    import scipy.sparse as sp
+
+    Ap, Ai, Ax = _as_c_csr(A)
+    Bp, Bi, Bx = _as_c_csr(B)
+    n, k = A.shape
+    k2, m = B.shape
+    I64 = ctypes.POINTER(ctypes.c_int64)
+    D = ctypes.POINTER(ctypes.c_double)
+    Cp = I64()
+    Ci = I64()
+    Cx = D()
+    nnz = lib.csr_matmul(
+        _ptr(Ap), _ptr(Ai), _dptr(Ax), _ptr(Bp), _ptr(Bi), _dptr(Bx),
+        n, k, m, ctypes.byref(Cp), ctypes.byref(Ci), ctypes.byref(Cx),
+    )
+    indptr = np.ctypeslib.as_array(Cp, shape=(n + 1,)).copy()
+    indices = np.ctypeslib.as_array(Ci, shape=(max(nnz, 1),))[:nnz].copy()
+    data = np.ctypeslib.as_array(Cx, shape=(max(nnz, 1),))[:nnz].copy()
+    lib.ilu_free_ptr(ctypes.cast(Cp, ctypes.c_void_p))
+    lib.ilu_free_ptr(ctypes.cast(Ci, ctypes.c_void_p))
+    lib.ilu_free_ptr(ctypes.cast(Cx, ctypes.c_void_p))
+    ip = np.ascontiguousarray(indptr, dtype=np.int64)
+    lib.csr_sort_rows(_ptr(ip), _ptr(indices), _dptr(data), n)
+    out = sp.csr_matrix((data, indices, indptr), shape=(n, m))
+    # scipy's @ prunes exact-zero cancellations; match it so the two
+    # SpGEMMs are drop-in interchangeable (pattern-identical hierarchies)
+    out.eliminate_zeros()
+    return out
+
+
+def csr_transpose(A):
+    """Native CSR transpose (sorted rows); returns scipy CSR or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    _bind_spgemm(lib)
+    import scipy.sparse as sp
+
+    Ap, Ai, Ax = _as_c_csr(A)
+    n, m = A.shape
+    Tp = np.zeros(m + 1, dtype=np.int64)
+    Ti = np.zeros(max(A.nnz, 1), dtype=np.int64)
+    Tx = np.zeros(max(A.nnz, 1), dtype=np.float64)
+    lib.csr_transpose(_ptr(Ap), _ptr(Ai), _dptr(Ax), n, m, _ptr(Tp), _ptr(Ti), _dptr(Tx))
+    return sp.csr_matrix((Tx[: A.nnz], Ti[: A.nnz], Tp), shape=(m, n))
+
+
+def galerkin_rap_native(A, P):
+    """P^T (A P) with native SpGEMM; None without a compiler."""
+    PT = csr_transpose(P)
+    if PT is None:
+        return None
+    AP = csr_matmul(A, P)
+    if AP is None:
+        return None
+    return csr_matmul(PT, AP)

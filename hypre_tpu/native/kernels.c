@@ -641,3 +641,335 @@ int ilut_factor(const int64_t *indptr, const int64_t *indices,
     *Up_o = U.p; *Ui_o = U.i; *Ux_o = U.x;
     return 0;
 }
+
+/* ================================================================
+ * Round-3 setup-speed kernels: strength graph, PMIS loop, classical
+ * interpolation, SpGEMM/transpose (Galerkin RAP building blocks).
+ * These replace the numpy/scipy host pipeline hot spots — the
+ * reference's own setup is C throughout (par_strength.c,
+ * par_coarsen.c:2031, par_interp.c, csr_matop.c:296).
+ * ================================================================ */
+
+/* Classical / Sabs strength-of-connection pattern (par_strength.c
+ * hypre_BoomerAMGCreateS / CreateSabs).  Emits the pattern CSR
+ * (indices only; data are implicitly 1.0).  Returns nnz(S).
+ * sabs != 0 selects the absolute-value variant with its inverted
+ * max_row_sum ("diagonally dominant rows go weak") test. */
+int64_t strength_classical(const int64_t *indptr, const int64_t *indices,
+                           const double *data, int64_t n,
+                           double theta, double max_row_sum, int sabs,
+                           int64_t *S_indptr, int64_t *S_indices)
+{
+    int64_t nnz = 0;
+    S_indptr[0] = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        double diag = 0.0, row_scale = 0.0, row_sum = 0.0;
+        int64_t p0 = indptr[i], p1 = indptr[i + 1];
+        for (int64_t p = p0; p < p1; ++p)
+            if (indices[p] == i) { diag = data[p]; break; }
+        if (sabs) {
+            for (int64_t p = p0; p < p1; ++p) {
+                double v = fabs(data[p]);
+                row_sum += v;
+                if (indices[p] != i && v > row_scale) row_scale = v;
+            }
+        } else if (diag < 0) {
+            for (int64_t p = p0; p < p1; ++p) {
+                row_sum += data[p];
+                if (indices[p] != i && data[p] > row_scale)
+                    row_scale = data[p];
+            }
+        } else {
+            for (int64_t p = p0; p < p1; ++p) {
+                row_sum += data[p];
+                if (indices[p] != i && data[p] < row_scale)
+                    row_scale = data[p];
+            }
+        }
+        int weak_row = 0;
+        if (max_row_sum < 1.0) {
+            if (sabs)
+                weak_row = row_sum < fabs(diag) * (2.0 - max_row_sum);
+            else
+                weak_row = fabs(row_sum) > fabs(diag) * max_row_sum;
+        }
+        if (!weak_row) {
+            double thresh = theta * row_scale;
+            if (sabs) {
+                for (int64_t p = p0; p < p1; ++p)
+                    if (indices[p] != i && fabs(data[p]) > thresh)
+                        S_indices[nnz++] = indices[p];
+            } else if (diag < 0) {
+                for (int64_t p = p0; p < p1; ++p)
+                    if (indices[p] != i && data[p] > thresh)
+                        S_indices[nnz++] = indices[p];
+            } else {
+                for (int64_t p = p0; p < p1; ++p)
+                    if (indices[p] != i && data[p] < thresh)
+                        S_indices[nnz++] = indices[p];
+            }
+        }
+        S_indptr[i + 1] = nnz;
+    }
+    return nnz;
+}
+
+/* PMIS iterated independent set (par_coarsen.c:2031-2738 serial
+ * semantics, staged exactly like the vectorized python in
+ * solvers/amg/coarsen.py — same CF output bit for bit).
+ * measure: |S^T col| + LCG rand on entry (zeroed for settled points by
+ * the CALLER for cf_init != 0 entries); cf: pre-initialized (0
+ * unassigned, +-1 preset, -3 isolated).  first_round_is = run the IS
+ * selection on round 0 (PMIS yes, HMIS continuation no). */
+void pmis_loop(const int64_t *S_indptr, const int64_t *S_indices,
+               int64_t n, double *measure, int64_t *cf, int first_round_is)
+{
+    /* ST via counting transpose (indices stay sorted per row) */
+    int64_t nnz = S_indptr[n];
+    int64_t *STp = (int64_t *)calloc(n + 2, sizeof(int64_t));
+    int64_t *STi = (int64_t *)malloc((nnz > 0 ? nnz : 1) * sizeof(int64_t));
+    for (int64_t p = 0; p < nnz; ++p) STp[S_indices[p] + 2]++;
+    for (int64_t i = 2; i <= n + 1; ++i) STp[i] += STp[i - 1];
+    for (int64_t i = 0; i < n; ++i)
+        for (int64_t p = S_indptr[i]; p < S_indptr[i + 1]; ++p)
+            STi[STp[S_indices[p] + 1]++] = i;
+
+    unsigned char *in_graph = (unsigned char *)malloc(n);
+    unsigned char *newly = (unsigned char *)malloc(n);
+    int64_t remaining = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        in_graph[i] = (cf[i] == 0);
+        remaining += in_graph[i];
+    }
+
+    int it = 0;
+    while (remaining > 0) {
+        if (first_round_is || it > 0) {
+            /* IS selection: candidate iff measure > 1; removed iff an
+             * adjacent (S u S^T) candidate has strictly larger measure.
+             * Stage into `newly` (reads are all pre-update state). */
+            for (int64_t i = 0; i < n; ++i) {
+                newly[i] = 0;
+                if (!in_graph[i] || !(measure[i] > 1.0)) continue;
+                double m = measure[i], maxadj = 0.0;
+                for (int64_t p = S_indptr[i]; p < S_indptr[i + 1]; ++p) {
+                    int64_t j = S_indices[p];
+                    if (in_graph[j] && measure[j] > 1.0 && measure[j] > maxadj)
+                        maxadj = measure[j];
+                }
+                for (int64_t p = STp[i]; p < STp[i + 1]; ++p) {
+                    int64_t j = STi[p];
+                    if (in_graph[j] && measure[j] > 1.0 && measure[j] > maxadj)
+                        maxadj = measure[j];
+                }
+                if (!(maxadj > m)) newly[i] = 1;
+            }
+            for (int64_t i = 0; i < n; ++i)
+                if (newly[i]) cf[i] = 1;
+        }
+        ++it;
+
+        /* C/F assignment (reads tentative IS markers cf > 0) */
+        for (int64_t i = 0; i < n; ++i) {
+            newly[i] = 0;
+            if (!in_graph[i]) continue;
+            if (measure[i] < 1.0) { newly[i] = 1; continue; }
+            if (cf[i] > 0) continue;
+            for (int64_t p = S_indptr[i]; p < S_indptr[i + 1]; ++p)
+                if (cf[S_indices[p]] > 0) { newly[i] = 1; break; }
+        }
+        for (int64_t i = 0; i < n; ++i) {
+            if (!in_graph[i]) continue;
+            if (cf[i] > 0) cf[i] = 1;
+            if (newly[i]) cf[i] = -1;
+            if (cf[i] != 0) {
+                measure[i] = 0.0;
+                in_graph[i] = 0;
+                --remaining;
+            }
+        }
+        if (it > 500) break;
+    }
+    free(STp); free(STi); free(in_graph); free(newly);
+}
+
+/* Modified classical interpolation (par_interp.c:631-906 semantics,
+ * matching solvers/amg/interp.py classical_interp).  diag = A
+ * diagonal.  cmap[i] = coarse index of fine C point i.  Emits CSR of P
+ * (F rows: strong-C cols with nonzero weight; C rows: identity).
+ * Caller allocates P_indices/P_data with cap >= nnz(S) + n.
+ * Returns nnz(P). */
+int64_t classical_interp_fill(
+    const int64_t *A_indptr, const int64_t *A_indices, const double *A_data,
+    const double *diag, const int64_t *S_indptr, const int64_t *S_indices,
+    const int64_t *cf, const int64_t *cmap, int64_t n,
+    int64_t *P_indptr, int64_t *P_indices, double *P_data)
+{
+    int64_t *cmark = (int64_t *)malloc(n * sizeof(int64_t));
+    unsigned char *smark = (unsigned char *)calloc(n, 1);
+    int64_t *clist = (int64_t *)malloc(n * sizeof(int64_t));
+    double *w = (double *)malloc(n * sizeof(double));
+    for (int64_t i = 0; i < n; ++i) cmark[i] = -1;
+
+    int64_t nnz = 0;
+    P_indptr[0] = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        if (cf[i] > 0) {
+            P_indices[nnz] = cmap[i];
+            P_data[nnz++] = 1.0;
+            P_indptr[i + 1] = nnz;
+            continue;
+        }
+        int64_t nc = 0;
+        for (int64_t p = S_indptr[i]; p < S_indptr[i + 1]; ++p) {
+            int64_t j = S_indices[p];
+            smark[j] = 1;
+            if (cf[j] > 0) { cmark[j] = nc; clist[nc] = j; w[nc++] = 0.0; }
+        }
+        double d = 0.0;
+        for (int64_t p = A_indptr[i]; p < A_indptr[i + 1]; ++p) {
+            int64_t j = A_indices[p];
+            double a = A_data[p];
+            if (j == i) { d += a; continue; }
+            if (smark[j] && cf[j] > 0) { w[cmark[j]] += a; continue; }
+            if (smark[j] && cf[j] == -1) {
+                double sgn = diag[j] < 0 ? -1.0 : 1.0;
+                double sum_k = 0.0;
+                for (int64_t q = A_indptr[j]; q < A_indptr[j + 1]; ++q) {
+                    int64_t m = A_indices[q];
+                    if (cmark[m] >= 0 && sgn * A_data[q] < 0)
+                        sum_k += A_data[q];
+                }
+                if (sum_k != 0.0) {
+                    double scale = a / sum_k;
+                    for (int64_t q = A_indptr[j]; q < A_indptr[j + 1]; ++q) {
+                        int64_t m = A_indices[q];
+                        if (cmark[m] >= 0 && sgn * A_data[q] < 0)
+                            w[cmark[m]] += scale * A_data[q];
+                    }
+                } else {
+                    d += a;
+                }
+                continue;
+            }
+            d += a; /* weak (incl. SF and strong-SF) */
+        }
+        for (int64_t c = 0; c < nc; ++c) {
+            if (w[c] != 0.0) {
+                P_indices[nnz] = cmap[clist[c]];
+                P_data[nnz++] = -w[c] / d;
+            }
+        }
+        /* clear markers */
+        for (int64_t p = S_indptr[i]; p < S_indptr[i + 1]; ++p) {
+            smark[S_indices[p]] = 0;
+            cmark[S_indices[p]] = -1;
+        }
+        P_indptr[i + 1] = nnz;
+    }
+    free(cmark); free(smark); free(clist); free(w);
+    return nnz;
+}
+
+/* CSR transpose via counting sort; outputs sorted rows.  Caller
+ * allocates Tp (n_cols+1), Ti (nnz), Tx (nnz). */
+void csr_transpose(const int64_t *Ap, const int64_t *Ai, const double *Ax,
+                   int64_t n_rows, int64_t n_cols,
+                   int64_t *Tp, int64_t *Ti, double *Tx)
+{
+    int64_t nnz = Ap[n_rows];
+    int64_t *cnt = (int64_t *)calloc(n_cols + 1, sizeof(int64_t));
+    for (int64_t p = 0; p < nnz; ++p) cnt[Ai[p] + 1]++;
+    Tp[0] = 0;
+    for (int64_t j = 0; j < n_cols; ++j) Tp[j + 1] = Tp[j] + cnt[j + 1];
+    int64_t *next = (int64_t *)malloc((n_cols > 0 ? n_cols : 1) * sizeof(int64_t));
+    for (int64_t j = 0; j < n_cols; ++j) next[j] = Tp[j];
+    for (int64_t i = 0; i < n_rows; ++i)
+        for (int64_t p = Ap[i]; p < Ap[i + 1]; ++p) {
+            int64_t j = Ai[p];
+            Ti[next[j]] = i;
+            Tx[next[j]] = Ax[p];
+            next[j]++;
+        }
+    free(cnt); free(next);
+}
+
+/* Two-pass CSR SpGEMM C = A @ B (csr_matop.c:296 structure: marker
+ * array row merge).  Mallocs outputs; caller frees with ilu_free_ptr.
+ * Output rows are UNSORTED (insertion order), like hypre's — callers
+ * needing sorted rows run csr_sort_rows.  Returns nnz(C). */
+int64_t csr_matmul(const int64_t *Ap, const int64_t *Ai, const double *Ax,
+                   const int64_t *Bp, const int64_t *Bi, const double *Bx,
+                   int64_t n_rows, int64_t n_inner, int64_t n_cols,
+                   int64_t **Cp_o, int64_t **Ci_o, double **Cx_o)
+{
+    (void)n_inner;
+    int64_t *marker = (int64_t *)malloc(n_cols * sizeof(int64_t));
+    for (int64_t j = 0; j < n_cols; ++j) marker[j] = -1;
+
+    /* symbolic pass: row counts */
+    int64_t *Cp = (int64_t *)malloc((n_rows + 1) * sizeof(int64_t));
+    Cp[0] = 0;
+    for (int64_t i = 0; i < n_rows; ++i) {
+        int64_t cnt = 0;
+        for (int64_t p = Ap[i]; p < Ap[i + 1]; ++p) {
+            int64_t k = Ai[p];
+            for (int64_t q = Bp[k]; q < Bp[k + 1]; ++q) {
+                int64_t j = Bi[q];
+                if (marker[j] != i) { marker[j] = i; ++cnt; }
+            }
+        }
+        Cp[i + 1] = Cp[i] + cnt;
+    }
+    int64_t nnz = Cp[n_rows];
+    int64_t *Ci = (int64_t *)malloc((nnz > 0 ? nnz : 1) * sizeof(int64_t));
+    double *Cx = (double *)malloc((nnz > 0 ? nnz : 1) * sizeof(double));
+
+    /* numeric pass */
+    int64_t *mpos = (int64_t *)malloc(n_cols * sizeof(int64_t));
+    for (int64_t j = 0; j < n_cols; ++j) marker[j] = -1;
+    for (int64_t i = 0; i < n_rows; ++i) {
+        int64_t start = Cp[i], len = 0;
+        for (int64_t p = Ap[i]; p < Ap[i + 1]; ++p) {
+            int64_t k = Ai[p];
+            double av = Ax[p];
+            for (int64_t q = Bp[k]; q < Bp[k + 1]; ++q) {
+                int64_t j = Bi[q];
+                if (marker[j] != i) {
+                    marker[j] = i;
+                    mpos[j] = start + len;
+                    Ci[start + len] = j;
+                    Cx[start + len] = av * Bx[q];
+                    ++len;
+                } else {
+                    Cx[mpos[j]] += av * Bx[q];
+                }
+            }
+        }
+    }
+    free(marker); free(mpos);
+    *Cp_o = Cp; *Ci_o = Ci; *Cx_o = Cx;
+    return nnz;
+}
+
+/* In-place per-row insertion sort by column (CSR canonicalization).
+ * AMG rows are short (tens of entries); insertion sort beats qsort's
+ * indirection.  Long rows fall back to a simple shell gap sequence. */
+void csr_sort_rows(const int64_t *Ap, int64_t *Ai, double *Ax, int64_t n_rows)
+{
+    for (int64_t i = 0; i < n_rows; ++i) {
+        int64_t lo = Ap[i], hi = Ap[i + 1];
+        for (int64_t a = lo + 1; a < hi; ++a) {
+            int64_t c = Ai[a];
+            double v = Ax[a];
+            int64_t b = a - 1;
+            while (b >= lo && Ai[b] > c) {
+                Ai[b + 1] = Ai[b];
+                Ax[b + 1] = Ax[b];
+                --b;
+            }
+            Ai[b + 1] = c;
+            Ax[b + 1] = v;
+        }
+    }
+}

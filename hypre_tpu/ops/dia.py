@@ -60,6 +60,19 @@ def _dia_width(n: int, m: int, offsets, itemsize: int = 4) -> int:
     return n
 
 
+def _uniq_offsets(offs: np.ndarray, n: int, m: int):
+    """(sorted distinct offsets, inverse) for diagonal offsets bounded in
+    [-(n-1), m-1].  np.unique SORTS all nnz (seconds at 256^3); a
+    presence bitmap + searchsorted against the few distinct diagonals is
+    one linear pass."""
+    if offs.size == 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+    present = np.zeros(n + m - 1, dtype=bool)
+    present[offs + (n - 1)] = True
+    uniq = np.flatnonzero(present) - (n - 1)
+    return uniq, np.searchsorted(uniq, offs)
+
+
 def csr_to_dia(A: CSRMatrix, dtype=None, device: bool = True) -> DIAMatrix | None:
     """device=False leaves `data` as numpy for callers that batch the
     whole hierarchy into one jax.device_put (setup-time transfer RTTs
@@ -67,7 +80,7 @@ def csr_to_dia(A: CSRMatrix, dtype=None, device: bool = True) -> DIAMatrix | Non
     n, m = A.shape
     rows = np.repeat(np.arange(n), A.row_nnz())
     offs = A.indices - rows
-    uniq, k = np.unique(offs, return_inverse=True)
+    uniq, k = _uniq_offsets(offs, n, m)
     dt = np.dtype(dtype or A.data.dtype)
     data = np.zeros((len(uniq), _dia_width(n, m, uniq, dt.itemsize)), dtype=dt)
     data[k, rows] = A.data.astype(data.dtype)
@@ -131,7 +144,7 @@ def freeze_auto(
         )
     if n == m and A.nnz:
         rows = np.repeat(np.arange(n), A.row_nnz())
-        noff = len(np.unique(A.indices - rows))
+        noff = len(_uniq_offsets(A.indices - rows, n, m)[0])
         if noff <= dia_max_offsets:
             return csr_to_dia(A, dtype, device=device)
     return A.to_ell(dtype=dtype, device=device)
@@ -179,7 +192,7 @@ def build_embedded_dia(
     """
     Mc = M.tocoo()
     offs = cpos[Mc.col] - rpos[Mc.row]
-    uniq, k = np.unique(offs, return_inverse=True)
+    uniq, k = _uniq_offsets(offs, n_emb, n_emb)
     dt = np.dtype(dtype or Mc.data.dtype)
     data = np.zeros((len(uniq), _dia_width(n_emb, n_emb, uniq, dt.itemsize)), dtype=dt)
     data[k, rpos[Mc.row]] = Mc.data.astype(dt)
@@ -196,7 +209,11 @@ def embedded_offsets(M, rpos, cpos) -> np.ndarray:
     Mc = M.tocoo()
     if Mc.nnz == 0:
         return np.zeros(0, dtype=np.int64)
-    return np.unique(cpos[Mc.col] - rpos[Mc.row])
+    offs = cpos[Mc.col] - rpos[Mc.row]
+    lo = int(offs.min())
+    present = np.zeros(int(offs.max()) - lo + 1, dtype=bool)
+    present[offs - lo] = True
+    return np.flatnonzero(present) + lo
 
 
 def embedded_offset_count(M, rpos, cpos) -> int:
@@ -303,7 +320,7 @@ def dia_from_coo(rows, cols, vals, n, m, dtype=None, device=True) -> DIAMatrix:
     """DIA directly from UNIQUE (row, col) coordinate entries — skips the
     scipy CSR roundtrip (sort + dedup) the setup path doesn't need."""
     offs = cols - rows
-    uniq, k = np.unique(offs, return_inverse=True)
+    uniq, k = _uniq_offsets(offs, n, m)
     dt = np.dtype(dtype or vals.dtype)
     data = np.zeros((len(uniq), _dia_width(n, m, uniq, dt.itemsize)), dtype=dt)
     data[k, rows] = vals.astype(dt)

@@ -271,13 +271,13 @@ class BoomerAMG:
                             and o.gsmg == 0
                             and o.lattice_shape is not None
                         ):
-                            from ...ops.dia import csr_to_dia
+                            from ...ops.dia import _uniq_offsets, csr_to_dia
                             from .device_coarsen import device_pmis
 
                             rows0 = np.repeat(
                                 np.arange(n), np.diff(A.indptr)
                             )
-                            if len(np.unique(A.indices - rows0)) <= 48:
+                            if len(_uniq_offsets(A.indices - rows0, n, n)[0]) <= 48:
                                 D0 = csr_to_dia(
                                     CSRMatrix.from_scipy(A), device=False
                                 )
@@ -627,8 +627,10 @@ class BoomerAMG:
         n0, m0 = A0.shape
         if n0 != m0 or n0 <= 6144 or A0.nnz == 0:
             return None
+        from ...ops.dia import _uniq_offsets
+
         rows = np.repeat(np.arange(n0), np.diff(A0.indptr))
-        if len(np.unique(A0.indices - rows)) > 48:
+        if len(_uniq_offsets(A0.indices - rows, n0, m0)[0]) > 48:
             return None
         cpos0 = np.flatnonzero(self._cf[0] > 0).astype(np.int64)
         if embedded_offset_count(self._host_A[1], cpos0, cpos0) > o.max_embedded_offsets:

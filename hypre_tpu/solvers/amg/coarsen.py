@@ -75,7 +75,6 @@ def pmis_coarsen(
     first IS round is skipped for them (par_coarsen.c:2424 `!CF_init || iter`).
     """
     n = S.shape[0]
-    ST = S.T.tocsr()
     measure = _measures(S, seed)
 
     row_nnz = np.diff(S.indptr)
@@ -94,6 +93,17 @@ def pmis_coarsen(
         in_graph = cf == 0
         measure[~in_graph] = 0.0
         first_round_is = False  # first IS fed by prior RS coarsening
+
+    # native C loop (bit-identical staging; ~10x the numpy rounds)
+    from ... import native
+
+    cf_nat = native.pmis_loop(
+        S.indptr, S.indices, n, measure, cf, first_round_is
+    )
+    if cf_nat is not None:
+        return cf_nat
+
+    ST = S.T.tocsr()
 
     # symmetric adjacency for IS comparisons (S u S^T)
     U = ((S + ST) > 0).tocsr()

@@ -44,6 +44,12 @@ def classical_interp(
     A: sp.csr_matrix, S: sp.csr_matrix, cf: np.ndarray
 ) -> sp.csr_matrix:
     """Modified classical interpolation (hypre interp_type 0)."""
+    from ... import native as _native
+
+    cmap = np.cumsum(np.asarray(cf) > 0) - 1
+    P = _native.classical_interp_fill(A, S, cf, cmap)
+    if P is not None:
+        return P
     n, rows, cols, data = _split(A)
     diag = A.diagonal()
     is_c = cf > 0

@@ -25,6 +25,13 @@ def strength_matrix(
     A: CSRMatrix, theta: float = 0.25, max_row_sum: float = 0.9
 ) -> sp.csr_matrix:
     """Boolean pattern CSR (data all 1.0), diagonal excluded."""
+    from ... import native
+
+    S = native.strength_classical(
+        A.to_scipy() if hasattr(A, "to_scipy") else A, theta, max_row_sum
+    )
+    if S is not None:
+        return S
     n = A.num_rows
     M = A.to_scipy()
     diag = M.diagonal()
@@ -94,6 +101,14 @@ def strength_matrix_abs(
     """Absolute-value strength (par_strength.c hypre_BoomerAMGCreateSabs):
     j strong iff |a_ij| > theta * max_{k != i} |a_ik| (all-positive
     nodal norm matrices)."""
+    from ... import native
+
+    S = native.strength_classical(
+        A.to_scipy() if hasattr(A, "to_scipy") else A,
+        theta, max_row_sum, sabs=True,
+    )
+    if S is not None:
+        return S
     M = A.to_scipy() if hasattr(A, "to_scipy") else A.tocsr()
     n = M.shape[0]
     diag = M.diagonal()

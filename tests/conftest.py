@@ -11,6 +11,11 @@ import os
 # Force CPU regardless of ambient JAX_PLATFORMS (e.g. a TPU tunnel):
 # tests validate math + sharding, the benchmark exercises the TPU.
 os.environ["JAX_PLATFORMS"] = "cpu"
+# No persistent compilation cache in tests: entries written by other
+# hosts/backends can load with mismatched machine features (XLA warns of
+# SIGILL risk) and cached-vs-fresh compiles may differ in fp fusion,
+# breaking bitwise assertions.
+os.environ["HYPRE_TPU_NO_COMPILE_CACHE"] = "1"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
