@@ -44,6 +44,10 @@ def main():
                     "classical above — distance-1 P keeps the coarse "
                     "lattice operators' diagonal unions ~3x smaller, "
                     "which is what bounds HBM at 192^3+)")
+    ap.add_argument("--device-setup", default="auto",
+                    choices=["auto", "on", "off"],
+                    help="run level-0 setup on device (ops/device_setup.py;"
+                    " auto: on for the classical-interp sizes)")
     args = ap.parse_args()
 
     import jax
@@ -70,9 +74,13 @@ def main():
 
     t0 = time.perf_counter()
     interp = args.interp or ("ext+i" if nx < 96 else "classical")
+    dev_setup = {"auto": interp == "classical", "on": True, "off": False}[
+        args.device_setup
+    ]
     amg = BoomerAMG(
         A,
         BoomerAMGOptions(
+            device_setup=dev_setup,
             coarsen_type="pmis",
             interp_type=interp,
             P_max_elmts=4,  # hypre production default keeps coarse ops sparse

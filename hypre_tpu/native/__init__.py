@@ -470,3 +470,48 @@ def galerkin_rap_native(A, P):
     if AP is None:
         return None
     return csr_matmul(PT, AP)
+
+
+def nongalerkin_filter_native(A, tol: float, lump: str = "diag"):
+    """Native sparsification (par_nongalerkin.c role); scipy CSR or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    if not hasattr(lib, "ngf_bound"):
+        I64 = ctypes.POINTER(ctypes.c_int64)
+        D = ctypes.POINTER(ctypes.c_double)
+        lib.nongalerkin_filter_c.argtypes = [
+            I64, I64, D, ctypes.c_int64, ctypes.c_double, ctypes.c_int,
+            ctypes.POINTER(I64), ctypes.POINTER(I64), ctypes.POINTER(D),
+        ]
+        lib.nongalerkin_filter_c.restype = ctypes.c_int64
+        lib.ilu_free_ptr.argtypes = [ctypes.c_void_p]
+        lib.ilu_free_ptr.restype = None
+        lib.ngf_bound = True
+    import scipy.sparse as sp
+
+    Ap, Ai, Ax = _as_c_csr(A)
+    n = A.shape[0]
+    I64 = ctypes.POINTER(ctypes.c_int64)
+    D = ctypes.POINTER(ctypes.c_double)
+    Cp = I64(); Ci = I64(); Cx = D()
+    nnz = lib.nongalerkin_filter_c(
+        _ptr(Ap), _ptr(Ai), _dptr(Ax), n, ctypes.c_double(tol),
+        ctypes.c_int(1 if lump == "strong" else 0),
+        ctypes.byref(Cp), ctypes.byref(Ci), ctypes.byref(Cx),
+    )
+    indptr = np.ctypeslib.as_array(Cp, shape=(n + 1,)).copy()
+    indices = np.ctypeslib.as_array(Ci, shape=(max(nnz, 1),))[:nnz].copy()
+    data = np.ctypeslib.as_array(Cx, shape=(max(nnz, 1),))[:nnz].copy()
+    lib.ilu_free_ptr(ctypes.cast(Cp, ctypes.c_void_p))
+    lib.ilu_free_ptr(ctypes.cast(Ci, ctypes.c_void_p))
+    lib.ilu_free_ptr(ctypes.cast(Cx, ctypes.c_void_p))
+    out = sp.csr_matrix(
+        (data, indices.astype(np.int32), indptr.astype(np.int32)),
+        shape=A.shape,
+    )
+    # the numpy path's final `out + sp.diags(...)` canonicalizes and
+    # prunes exact zeros (e.g. a fully-lumped row cancelling its own
+    # diagonal); match it
+    out.eliminate_zeros()
+    return out

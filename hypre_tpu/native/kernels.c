@@ -973,3 +973,97 @@ void csr_sort_rows(const int64_t *Ap, int64_t *Ai, double *Ax, int64_t n_rows)
         }
     }
 }
+
+/* Non-Galerkin coarse-operator sparsification
+ * (parcsr_ls/par_nongalerkin.c role; semantics of
+ * solvers/amg/rap.py:nongalerkin_filter).  Drops |a_ij| <
+ * tol*sqrt(|a_ii a_jj|) with a symmetrized keep (keep (i,j) if (j,i)
+ * kept), lumping dropped mass on the diagonal (lump_strong=0) or over
+ * kept off-diagonals by |.| weight (lump_strong=1, rows with no kept
+ * off-diagonals fall back to the diagonal).  A must be sorted CSR with
+ * a stored diagonal.  Outputs malloc'd CSR (caller frees via
+ * ilu_free_ptr); returns nnz. */
+int64_t nongalerkin_filter_c(
+    const int64_t *Ap, const int64_t *Ai, const double *Ax, int64_t n,
+    double tol, int lump_strong,
+    int64_t **Cp_o, int64_t **Ci_o, double **Cx_o)
+{
+    double *d = (double *)malloc(n * sizeof(double));
+    for (int64_t i = 0; i < n; ++i) {
+        double v = 0.0;
+        for (int64_t p = Ap[i]; p < Ap[i + 1]; ++p)
+            if (Ai[p] == i) { v = Ax[p]; break; }
+        v = sqrt(fabs(v));
+        d[i] = (v == 0.0) ? 1.0 : v;
+    }
+    int64_t nnz = Ap[n];
+    unsigned char *keep = (unsigned char *)malloc(nnz);
+    for (int64_t i = 0; i < n; ++i)
+        for (int64_t p = Ap[i]; p < Ap[i + 1]; ++p) {
+            int64_t j = Ai[p];
+            keep[p] = (j == i) || !(fabs(Ax[p]) < tol * d[i] * d[j]);
+        }
+    /* symmetrize: keep (i,j) if (j,i) kept — find (j,i) by binary
+     * search in row j (rows are sorted), O(nnz log rowlen) over the
+     * dropped entries only */
+    unsigned char *keep2 = (unsigned char *)malloc(nnz);
+    for (int64_t p = 0; p < nnz; ++p) keep2[p] = keep[p];
+    for (int64_t i = 0; i < n; ++i)
+        for (int64_t p = Ap[i]; p < Ap[i + 1]; ++p) {
+            if (keep2[p]) continue;
+            int64_t j = Ai[p];
+            int64_t lo = Ap[j], hi = Ap[j + 1] - 1, pos = -1;
+            while (lo <= hi) {
+                int64_t mid = (lo + hi) >> 1;
+                if (Ai[mid] == i) { pos = mid; break; }
+                if (Ai[mid] < i) lo = mid + 1; else hi = mid - 1;
+            }
+            if (pos >= 0 && keep[pos]) keep2[p] = 1;
+        }
+    /* lump + emit */
+    int64_t *Cp = (int64_t *)malloc((n + 1) * sizeof(int64_t));
+    Cp[0] = 0;
+    int64_t out_nnz = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        int64_t cnt = 0;
+        int has_diag = 0;
+        for (int64_t p = Ap[i]; p < Ap[i + 1]; ++p) {
+            if (keep2[p]) { ++cnt; if (Ai[p] == i) has_diag = 1; }
+        }
+        if (!has_diag) ++cnt; /* dropped-mass diagonal always stored */
+        out_nnz += cnt;
+        Cp[i + 1] = out_nnz;
+    }
+    int64_t *Ci = (int64_t *)malloc((out_nnz > 0 ? out_nnz : 1) * sizeof(int64_t));
+    double *Cx = (double *)malloc((out_nnz > 0 ? out_nnz : 1) * sizeof(double));
+    for (int64_t i = 0; i < n; ++i) {
+        double dropped = 0.0, wsum = 0.0;
+        for (int64_t p = Ap[i]; p < Ap[i + 1]; ++p) {
+            if (!keep2[p]) dropped += Ax[p];
+            else if (Ai[p] != i) wsum += fabs(Ax[p]);
+        }
+        int64_t w = Cp[i];
+        int wrote_diag = 0;
+        double scale = (lump_strong && wsum > 0.0) ? dropped / wsum : 0.0;
+        double diag_add = (lump_strong && wsum > 0.0) ? 0.0 : dropped;
+        for (int64_t p = Ap[i]; p < Ap[i + 1]; ++p) {
+            if (!keep2[p]) continue;
+            int64_t j = Ai[p];
+            double v = Ax[p];
+            if (j == i) { v += diag_add; wrote_diag = 1; }
+            else if (scale != 0.0) v += scale * fabs(Ax[p]);
+            Ci[w] = j; Cx[w++] = v;
+        }
+        if (!wrote_diag) {
+            /* insert the diagonal in sorted position */
+            int64_t ins = Cp[i];
+            while (ins < w && Ci[ins] < i) ++ins;
+            for (int64_t q = w; q > ins; --q) { Ci[q] = Ci[q-1]; Cx[q] = Cx[q-1]; }
+            Ci[ins] = i; Cx[ins] = diag_add;
+            ++w;
+        }
+    }
+    free(d); free(keep); free(keep2);
+    *Cp_o = Cp; *Ci_o = Ci; *Cx_o = Cx;
+    return out_nnz;
+}

@@ -1,0 +1,280 @@
+"""Device-resident AMG setup for lattice (DIA) operators.
+
+Round-2 verdict: host setup (single-core scipy) was 279x the solve at
+96^3 and unbounded at 256^3; the prescription is to extend the
+device-PMIS + device-RAP pattern to the whole lattice pipeline.  This
+module supplies the missing pieces so that level 0 -> 1 (the two
+largest levels, ~80% of all setup flops) runs entirely on the TPU:
+
+  * `device_classical_interp` — modified classical interpolation
+    (par_interp.c:631-906 semantics, the same formulas as
+    solvers/amg/interp.py:classical_interp) evaluated in shift algebra:
+    for a stencil operator every strong-C/strong-F classification,
+    pair-sum, and distribution term is an elementwise product of
+    shifted diagonal rows.  The embedded P's offsets are a SUBSET of
+    A's offsets (interpolation only reaches strong A-neighbors), so P
+    comes out directly as a DIA operator on the fine lattice — exactly
+    the form the solve phase wants (no gathers anywhere).
+  * interpolation truncation (hypre_ParCSRMatrixTruncate semantics:
+    keep the max_elmts largest |.|, rescale to preserve row sums) as a
+    per-point top-k over the offset axis.  Tie order: equal-|.| entries
+    keep the LOWEST offset index (deterministic); hypre's unstable
+    qsort2_abs partition order may keep a different equal-valued set —
+    values after rescale are identical, the pattern can differ at tie
+    boundaries (documented deviation, production path only).
+  * `device_rap` — two-stage Galerkin triple product
+    AP = A @ P then A_c = P^T @ AP in shift algebra.  Two stages keep
+    the pass count at |A||P| + |P||AP| (the true SpGEMM flop count)
+    instead of the |P||A||P| single-stage term explosion; stage-2
+    accumulation is chunked over AP offsets so peak memory stays
+    O(nout * n).  The non-Galerkin threshold filter
+    (|a| >= tol*sqrt(|d_i d_j|), par_nongalerkin.c role) and diagonal
+    lumping run fused on device; per-offset row maxima return to the
+    host so all-zero / fully-filtered offsets are dropped from the
+    stored operator (the only host decision: a static offset list).
+
+Reference: par_amg_setup.c:27 (setup driver), par_interp.c (classical),
+par_rap.c:17 (RAP), par_nongalerkin.c (sparsification); GPU-precedent
+files par_interp_device.c / par_coarsen_device.c.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..solvers.amg.device_coarsen import device_strength_masks
+
+
+def _shift(x, off, fill=0):
+    """y[i] = x[i + off] (static off), `fill` outside."""
+    n = x.shape[0]
+    off = int(off)
+    if off == 0:
+        return x
+    pad = abs(off)
+    xp = jnp.pad(x, (pad, pad), constant_values=fill)
+    return jax.lax.dynamic_slice_in_dim(xp, pad + off, n)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("offsets", "theta", "max_row_sum", "trunc_factor",
+                     "max_elmts"),
+)
+def device_classical_interp(
+    data, cf, *, offsets, theta=0.25, max_row_sum=0.9,
+    trunc_factor=0.0, max_elmts=0,
+):
+    """Modified classical interpolation for a DIA operator.
+
+    data: [noff, >=n] row-aligned diagonals; cf: int8 CF marker
+    (1 C / -1 F / -3 isolated-F).  Returns (P_data [noff, n], nothing
+    dropped — offsets with all-zero rows are compacted by the caller
+    from the returned per-offset max).  P[i, i+off_k] lives on the SAME
+    offset list as A; C rows are identity (offset 0), F rows carry
+    -w/d on strong-C offsets.
+    """
+    n = cf.shape[0]
+    data = data[:, :n]
+    noff = len(offsets)
+    k0 = offsets.index(0)
+    diag = data[k0]
+
+    S = device_strength_masks(data, offsets, theta, max_row_sum)
+    c = cf > 0
+    f1 = cf == -1
+
+    SC = jnp.stack([
+        S[k] & _shift(c, off, fill=False) for k, off in enumerate(offsets)
+    ])
+    SF = jnp.stack([
+        S[k] & _shift(f1, off, fill=False) for k, off in enumerate(offsets)
+    ])
+
+    sgn = jnp.where(diag < 0, -1.0, 1.0).astype(data.dtype)
+    Aneg = jnp.where(sgn[None, :] * data < 0, data, 0.0)
+
+    k_of = {int(o): k for k, o in enumerate(offsets)}
+
+    # pair sums per strong-F offset: sum_[ok, i] = sum over m in C_i of
+    # Aneg[i+ok, m] with m = i + ok + om  (the "sgn_k * a_km < 0" filter
+    # is baked into Aneg; the "m in C_i" filter is SC[idx(ok+om), i])
+    w = data * SC  # direct strong-C weights
+    d = diag + jnp.sum(
+        jnp.where(
+            SC | SF | (jnp.arange(noff) == k0)[:, None], 0.0, data
+        ),
+        axis=0,
+    )  # weak entries (incl. strong-SF) lump to the diagonal
+
+    for ok_idx, ok in enumerate(offsets):
+        if ok == 0:
+            continue
+        e = data[ok_idx] * SF[ok_idx]  # a_ik over strong-F edges
+        # sum_k for this ok
+        s = jnp.zeros(n, data.dtype)
+        for om_idx, om in enumerate(offsets):
+            kp = k_of.get(int(ok) + int(om))
+            if kp is None:
+                continue
+            s = s + _shift(Aneg[om_idx], ok) * SC[kp]
+        inv = jnp.where(s != 0, e / jnp.where(s == 0, 1.0, s), 0.0)
+        d = d + jnp.where((s == 0) & SF[ok_idx], data[ok_idx], 0.0)
+        for om_idx, om in enumerate(offsets):
+            kp = k_of.get(int(ok) + int(om))
+            if kp is None:
+                continue
+            w = w.at[kp].add(inv * _shift(Aneg[om_idx], ok) * SC[kp])
+
+    dsafe = jnp.where(d == 0, 1.0, d)
+    P = jnp.where(w != 0, -w / dsafe, 0.0)
+
+    # truncation (hypre_ParCSRMatrixTruncate, rescale=1)
+    if trunc_factor > 0.0 or max_elmts > 0:
+        absP = jnp.abs(P)
+        row_sum = jnp.sum(P, axis=0)
+        keep = P != 0
+        if trunc_factor > 0.0:
+            rmax = jnp.max(absP, axis=0)
+            keep = keep & (absP >= trunc_factor * rmax[None, :])
+        if max_elmts > 0:
+            vals = jnp.where(keep, absP, -1.0)
+            kept_topk = jnp.zeros_like(keep)
+            for _ in range(max_elmts):
+                kbest = jnp.argmax(vals, axis=0)  # ties -> lowest k
+                has = jnp.take_along_axis(vals, kbest[None], axis=0)[0] > 0
+                onehot = (
+                    jnp.arange(noff)[:, None] == kbest[None, :]
+                ) & has[None, :]
+                kept_topk = kept_topk | onehot
+                vals = jnp.where(onehot, -1.0, vals)
+            keep = keep & kept_topk
+        kept_sum = jnp.sum(jnp.where(keep, P, 0.0), axis=0)
+        scale = jnp.where(
+            kept_sum != 0, row_sum / jnp.where(kept_sum == 0, 1.0, kept_sum),
+            1.0,
+        )
+        P = jnp.where(keep, P * scale[None, :], 0.0)
+
+    # C rows: identity at offset 0
+    P = jnp.where(c[None, :], 0.0, P)
+    P = P.at[k0].set(jnp.where(c, 1.0, P[k0]))
+    rowmax = jnp.max(jnp.abs(P), axis=1)
+    return P, rowmax
+
+
+def _symbolic_offsets(offs_A, offs_B):
+    """Sorted distinct {oa + ob}."""
+    return tuple(sorted({int(a) + int(b) for a in offs_A for b in offs_B}))
+
+
+@partial(
+    jax.jit,
+    static_argnames=("offs_P", "offs_A", "offs_AP", "offs_out", "tol",
+                     "chunk"),
+)
+def _device_rap_run(P, A, *, offs_P, offs_A, offs_AP, offs_out, tol,
+                    chunk=32):
+    """Two-stage RAP with fused non-Galerkin filter.
+
+    Returns (out [nout, n], rowmax [nout]) where out rows with
+    rowmax == 0 can be dropped by the caller.  Dropped (filtered) mass
+    lumps onto the diagonal.  The diagonal used for thresholds is the
+    UNFILTERED RAP diagonal (as rap.py:nongalerkin_filter).
+    """
+    n = P.shape[1]
+    kAP_of = {o: k for k, o in enumerate(offs_AP)}
+    kout_of = {o: k for k, o in enumerate(offs_out)}
+    diag_out = kout_of[0]
+
+    # stage 1: AP[o, i] = sum_{oa + op2 = o} A[oa, i] * P[op2, i + oa]
+    def ap_row(o):
+        acc = jnp.zeros(n, P.dtype)
+        for ka, oa in enumerate(offs_A):
+            kp = None
+            for kp2, op2 in enumerate(offs_P):
+                if int(oa) + int(op2) == int(o):
+                    kp = kp2
+                    acc = acc + A[ka] * _shift(P[kp2], oa)
+        return acc
+
+    # stage 2 accumulate: out[o, x] = sum_{op1} P[op1, x - op1] *
+    #                                  AP[o + op1, x - op1]
+    # evaluated offset-chunked over AP rows to bound live memory.
+    out = jnp.zeros((len(offs_out), n), P.dtype)
+    for start in range(0, len(offs_AP), chunk):
+        group = offs_AP[start:start + chunk]
+        APg = jnp.stack([ap_row(o) for o in group])
+        for gi, oap in enumerate(group):
+            for kp1, op1 in enumerate(offs_P):
+                o = int(oap) - int(op1)
+                ko = kout_of.get(o)
+                if ko is None:
+                    continue
+                contrib = _shift(P[kp1] * APg[gi], -op1)
+                out = out.at[ko].add(contrib)
+
+    # fused non-Galerkin filter + diagonal lump
+    if tol > 0.0:
+        diag = out[diag_out]
+        dabs = jnp.sqrt(jnp.abs(diag))
+        lump = jnp.zeros(n, P.dtype)
+        rows = []
+        for ko, o in enumerate(offs_out):
+            row = out[ko]
+            if o == 0:
+                rows.append(row)
+                continue
+            thr = tol * dabs * _shift(dabs, o)
+            # symmetric keep: |a_ij| or |a_ji| above threshold
+            # (a_ji = out[idx(-o)] at i+o)
+            kneg = kout_of.get(-o)
+            keep = jnp.abs(row) >= thr
+            if kneg is not None:
+                keep = keep | (jnp.abs(_shift(out[kneg], o)) >= thr)
+            lump = lump + jnp.where(keep, 0.0, row)
+            rows.append(jnp.where(keep, row, 0.0))
+        rows[diag_out] = rows[diag_out] + lump
+        out = jnp.stack(rows)
+    rowmax = jnp.max(jnp.abs(out), axis=1)
+    return out, rowmax
+
+
+def device_rap(P_dia, A_dia, tol: float = 0.0, chunk: int = 32):
+    """Galerkin RAP of embedded DIA operators, device-resident.
+
+    Returns (out_data [nkept, n] device, kept_offsets tuple) — the
+    symbolic output offsets whose filtered rows are all-zero are
+    dropped (one tiny rowmax pull to the host decides the static kept
+    list; values never leave the device).
+    """
+    offs_P = tuple(int(o) for o in P_dia.offsets)
+    offs_A = tuple(int(o) for o in A_dia.offsets)
+    n = A_dia.num_rows
+    offs_AP = _symbolic_offsets(offs_A, offs_P)
+    offs_out = _symbolic_offsets(tuple(-o for o in offs_P), offs_AP)
+    out, rowmax = _device_rap_run(
+        P_dia.data[:, :n], A_dia.data[:, :n],
+        offs_P=offs_P, offs_A=offs_A, offs_AP=offs_AP, offs_out=offs_out,
+        tol=float(tol), chunk=int(chunk),
+    )
+    rm = np.asarray(rowmax)
+    kept = [k for k, o in enumerate(offs_out) if rm[k] > 0 or o == 0]
+    kept_offsets = tuple(offs_out[k] for k in kept)
+    return out[np.asarray(kept, dtype=np.int32)], kept_offsets
+
+
+@partial(jax.jit, static_argnames=("offsets",))
+def device_row_stats(data, *, offsets):
+    """(dinv, l1inv) for a DIA operator: 1/diag and 1/sum|row|
+    (zero-safe), the smoother data the AMGLevel wants."""
+    k0 = offsets.index(0)
+    diag = data[k0]
+    l1 = jnp.sum(jnp.abs(data), axis=0)
+    dinv = jnp.where(diag == 0, 0.0, 1.0 / jnp.where(diag == 0, 1.0, diag))
+    l1inv = jnp.where(l1 == 0, 0.0, 1.0 / jnp.where(l1 == 0, 1.0, l1))
+    return dinv, l1inv

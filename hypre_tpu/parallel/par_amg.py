@@ -90,7 +90,7 @@ class ParAMG:
             Ah = amg._host_A[l]
             Al = CSRMatrix.from_scipy(Ah)
             Ap = self._shard_operator(Al, mesh, axis, dt, dia_max_offsets, S)
-            Pl = amg._host_P[l]
+            Pl = amg.host_P(l) if hasattr(amg, "host_P") else amg._host_P[l]
             nc = Pl.shape[1]
             cpart = block_partition(nc, S)
             Pp = ParCSR(
@@ -126,7 +126,7 @@ class ParAMG:
         for l in range(self.split, L):
             Ah = amg._host_A[l]
             if l < L - 1:
-                Ph = amg._host_P[l]
+                Ph = amg.host_P(l) if hasattr(amg, "host_P") else amg._host_P[l]
                 tail.append(amg._freeze_level(Ah, Ph, Ph.T.tocsr(), amg._cf[l]))
             else:
                 tail.append(amg._freeze_level(Ah, None, None, None))

@@ -56,7 +56,8 @@ class AMGDD:
     def _setup(self) -> None:
         o = self.opts
         As = self.amg._host_A
-        Ps = self.amg._host_P
+        Ps = [self.amg.host_P(l) for l in range(len(self.amg._host_P))] \
+            if hasattr(self.amg, "host_P") else self.amg._host_P
         cfs = self.amg._cf
         L = len(As)
         n0 = As[0].shape[0]

@@ -184,6 +184,17 @@ class BoomerAMGOptions:
     # single setup cost through a remote-device tunnel.  The hierarchy
     # PATTERN (offsets, filter decisions) stays host-computed.
     device_rap: bool = True
+    # run the ENTIRE level-0 setup chain on device (strength -> PMIS ->
+    # classical interp + truncation -> two-stage RAP + non-Galerkin
+    # filter, ops/device_setup.py): the host pulls back only cf0 (int8)
+    # and the compact coarse operator values to continue deeper levels.
+    # Applies to lattice stencil operators with pmis + classical +
+    # Jacobi-family smoothers; setup math is f32 on device (production
+    # path; the host f64 pipeline remains the oracle-parity path).
+    # Truncation tie order deviates from hypre's qsort2_abs (lowest
+    # offset first) — kept VALUES agree after rescale, the pattern can
+    # differ where equal weights straddle the max_elmts cut.
+    device_setup: bool = False
 
 
 @jax.tree_util.register_dataclass
@@ -214,7 +225,8 @@ class BoomerAMG:
         self._cf: list[np.ndarray] = []
         self._host_A1_unf = None
         self._pending_rap = None
-        self._setup(A)  # host-only: numpy/scipy hierarchy, nothing frozen
+        self._fast = None  # device level-0 chain products (device_setup)
+        self._setup(A)  # host numpy/scipy hierarchy (levels >= fast depth)
         self._freeze_hierarchy()
 
     # ------------------------------------------------------------------
@@ -243,6 +255,14 @@ class BoomerAMG:
         else:
             dof = np.arange(A.shape[0], dtype=np.int64) % max(nf, 1)
         with timed("SETUP"):
+            fast = self._device_setup_level0(A) if self._fast_eligible(A) else None
+            if fast is not None:
+                self._fast = fast
+                self._host_A.append(A)
+                self._host_P.append(None)  # device-resident (lazy pull)
+                self._host_R.append(None)
+                self._cf.append(fast["cf0"])
+                A = fast["A1_host"]
             while True:
                 n = A.shape[0]
                 self._cur_A = A
@@ -405,6 +425,144 @@ class BoomerAMG:
                 if nf > 1:
                     dof = dof[cf > 0]
 
+    # ------------------------------------------------------------------
+    # device-resident level-0 setup (ops/device_setup.py)
+    # ------------------------------------------------------------------
+    def _fast_eligible(self, A) -> bool:
+        o = self.opts
+        if not o.device_setup or o.lattice_shape is None:
+            return False
+        if o.num_functions > 1 or o.gsmg or o.nodal or o.agg_num_levels:
+            return False
+        if o.coarsen_type != "pmis" or o.interp_type != "classical":
+            return False
+        if o.post_interp_type or o.restrict_type or o.additive >= 0:
+            return False
+        if {o.relax_down, o.relax_up} - {0, 7, 18}:
+            return False
+        n, m = A.shape
+        shape = tuple(int(s) for s in o.lattice_shape)
+        if n != m or int(np.prod(shape)) != n or A.nnz == 0:
+            return False
+        if o.max_levels < 3 or n <= o.max_coarse_size:
+            return False
+        from ...ops.dia import _uniq_offsets
+
+        rows = np.repeat(np.arange(n), np.diff(A.indptr))
+        return len(_uniq_offsets(A.indices - rows, n, n)[0]) <= 48
+
+    def _device_setup_level0(self, A):
+        """Run strength -> PMIS -> classical interp -> RAP for level 0
+        on device; pull back cf0 + compact A1 for the host continuation.
+        Returns the fast-path dict or None (e.g. degenerate CF)."""
+        import jax as _jax
+
+        from ...ops.device_setup import (
+            device_classical_interp,
+            device_rap,
+            device_row_stats,
+        )
+        from ...ops.dia import DIAMatrix, csr_to_dia
+        from .device_coarsen import device_pmis
+
+        o = self.opts
+        n = A.shape[0]
+        # setup math in `dtype` (f32 production / f64 when x64 is on —
+        # the untruncated device interp is then BITWISE the host path)
+        D0 = csr_to_dia(
+            CSRMatrix.from_scipy(A), dtype=np.dtype(o.dtype), device=True
+        )
+        cf_dev = device_pmis(
+            D0.data, D0.offsets, n, seed=o.seed,
+            theta=o.strong_threshold, max_row_sum=o.max_row_sum,
+        )
+        P_data, rowmaxP = device_classical_interp(
+            D0.data, cf_dev, offsets=D0.offsets,
+            theta=o.strong_threshold, max_row_sum=o.max_row_sum,
+            trunc_factor=o.trunc_factor, max_elmts=o.P_max_elmts,
+        )
+        cf0 = np.asarray(cf_dev).astype(np.int64)
+        nc = int((cf0 > 0).sum())
+        if nc == 0 or nc == n:
+            return None
+        rmP = np.asarray(rowmaxP)
+        keepP = [k for k in range(len(D0.offsets)) if rmP[k] > 0]
+        offs_P = tuple(D0.offsets[k] for k in keepP)
+        P_dia = DIAMatrix(
+            data=P_data[np.asarray(keepP, dtype=np.int32)],
+            offsets=offs_P, num_rows=n, num_cols=n,
+        )
+        A1_data, offs_1 = device_rap(P_dia, D0, tol=self._level_ngt(0))
+        A1_dia = DIAMatrix(
+            data=A1_data, offsets=offs_1, num_rows=n, num_cols=n
+        )
+        dinv1, l1inv1 = device_row_stats(A1_data, offsets=offs_1)
+
+        # compact coarse operator -> host (deeper levels stay host)
+        cpos0 = np.flatnonzero(cf0 > 0).astype(np.int64)
+        cpos_dev = jnp.asarray(cpos0)
+        A1c = np.asarray(A1_data[:, cpos_dev])  # [noff1, n1] pull
+        rows_l, cols_l, vals_l = [], [], []
+        for k, off in enumerate(offs_1):
+            tgt = cpos0 + int(off)
+            pos = np.searchsorted(cpos0, tgt)
+            pos_c = np.minimum(pos, len(cpos0) - 1)
+            valid = (tgt >= 0) & (tgt < n) & (cpos0[pos_c] == tgt)
+            v = A1c[k]
+            sel = valid & (v != 0)
+            rows_l.append(np.flatnonzero(sel))
+            cols_l.append(pos_c[sel])
+            vals_l.append(v[sel].astype(np.float64))
+        A1_host = sp.csr_matrix(
+            (np.concatenate(vals_l),
+             (np.concatenate(rows_l), np.concatenate(cols_l))),
+            shape=(nc, nc),
+        )
+        A1_host.sum_duplicates()
+        A1_host.sort_indices()
+        return dict(
+            D0=D0, P=P_dia, A1=A1_dia, cf0=cf0, cpos0=cpos0,
+            A1_host=A1_host, dinv1=dinv1, l1inv1=l1inv1,
+        )
+
+    def _host_P0(self):
+        """Lazy host materialization of the fast path's level-0 P
+        (SolveT / ParAMG / AMG-DD need a scipy P)."""
+        if self._host_P[0] is not None or self._fast is None:
+            return self._host_P[0]
+        f = self._fast
+        P = f["P"]
+        n = P.num_rows
+        cpos0 = f["cpos0"]
+        data = np.asarray(P.data)[:, :n]
+        rows_l, cols_l, vals_l = [], [], []
+        for k, off in enumerate(P.offsets):
+            tgt = np.arange(n, dtype=np.int64) + int(off)
+            pos = np.searchsorted(cpos0, np.clip(tgt, 0, None))
+            pos_c = np.minimum(pos, len(cpos0) - 1)
+            valid = (tgt >= 0) & (tgt < n) & (cpos0[pos_c] == tgt)
+            v = data[k]
+            sel = valid & (v != 0)
+            rows_l.append(np.flatnonzero(sel))
+            cols_l.append(pos_c[sel])
+            vals_l.append(v[sel].astype(np.float64))
+        Ph = sp.csr_matrix(
+            (np.concatenate(vals_l),
+             (np.concatenate(rows_l), np.concatenate(cols_l))),
+            shape=(n, len(cpos0)),
+        )
+        Ph.sum_duplicates()
+        Ph.sort_indices()
+        self._host_P[0] = Ph
+        return Ph
+
+    def host_P(self, l: int):
+        """Host scipy P at level l (materializes the device-resident
+        level-0 P of the fast path on first request)."""
+        if l == 0 and self._host_P and self._host_P[0] is None:
+            return self._host_P0()
+        return self._host_P[l]
+
     def _level_ngt(self, level: int) -> float:
         """Per-level non-Galerkin drop tol; level = index of the FINE
         side of the RAP producing level+1 (0 -> the filter on A_1)."""
@@ -473,10 +631,15 @@ class BoomerAMG:
         away, and issued ~100 individual host->device transfers whose
         per-call RTT through remote-device tunnels dominated setup.)"""
         L = len(self._host_A)
-        cpos0 = self._plan_embed()
+        if self._fast is not None:
+            cpos0 = self._fast["cpos0"]
+        else:
+            cpos0 = self._plan_embed()
         reloc = self._plan_reloc(cpos0) if cpos0 is not None else []
         skip_A = set([1] if cpos0 is not None else [])
         skip_PR = set([0] if cpos0 is not None else [])
+        if self._fast is not None:
+            skip_A.add(0)  # level-0 A is the already-device DIA form
         for ent in reloc:
             skip_A.add(ent["k"])
             skip_PR.add(ent["k"] - 1)
@@ -489,9 +652,13 @@ class BoomerAMG:
                 self._freeze_level(
                     A, P, R, cf if k < L - 1 else None,
                     skip_A=k in skip_A, skip_PR=k in skip_PR,
+                    coarsest=(k == L - 1),
                 )
             )
-        if cpos0 is not None:
+        if self._fast is not None:
+            will_reloc_l2 = any(ent["k"] == 2 for ent in reloc)
+            self._install_fast_levels(will_reloc_l2)
+        elif cpos0 is not None:
             will_reloc_l2 = any(ent["k"] == 2 for ent in reloc)
             self._build_embed_level1(cpos0, will_reloc_l2)
         if reloc:
@@ -538,7 +705,7 @@ class BoomerAMG:
 
     def _freeze_level(
         self, A, P, R, cf, skip_A: bool = False, skip_PR: bool = False,
-        fine: bool | None = None,
+        fine: bool | None = None, coarsest: bool | None = None,
     ) -> AMGLevel:
         o = self.opts
         dt = np.dtype(o.dtype)
@@ -560,7 +727,8 @@ class BoomerAMG:
         if R is None and P is not None and not skip_PR:
             R = P.T.tocsr()
 
-        coarsest = P is None
+        if coarsest is None:
+            coarsest = P is None
         relax_types = {o.relax_down, o.relax_up} if not coarsest else {o.relax_coarse}
         need_gs = bool(relax_types & set(_GS_TYPES))
         # option-4 l1 divisor degenerates to |diag| on one partition;
@@ -714,6 +882,84 @@ class BoomerAMG:
         lvl1 = dataclasses.replace(
             lvl1,
             A=A_emb,
+            dinv=dinv_e,
+            l1inv=l1inv_e,
+            cmask=cmask_e,
+            P=new_P,
+            R=new_R,
+        )
+        self.levels[0] = lvl0
+        self.levels[1] = lvl1
+
+    def _install_fast_levels(self, will_reloc_l2: bool = False) -> None:
+        """Install the device-setup chain's level-0/1 forms (the
+        device_setup analog of _build_embed_level1: same level shapes,
+        but A0/P0/R0/A1 are already device-resident DIA arrays)."""
+        from ...ops.device_rap import dia_transpose_device
+        from ...ops.dia import (
+            DIAMatrix,
+            GatherOp,
+            ScatterOp,
+            _dia_width,
+            freeze_auto,
+        )
+
+        o = self.opts
+        f = self._fast
+        dt = np.dtype(o.dtype)
+        mdt = np.dtype(o.mat_dtype or o.dtype)
+        D0, P_dia, A1_dia = f["D0"], f["P"], f["A1"]
+        n0 = D0.num_rows
+        cpos0 = f["cpos0"]
+
+        def pad_cast(M, cast):
+            w = _dia_width(M.num_rows, M.num_cols, M.offsets, cast.itemsize)
+            d = M.data[:, :M.num_rows].astype(cast)
+            if w > d.shape[1]:
+                d = jnp.pad(d, ((0, 0), (0, w - d.shape[1])))
+            return DIAMatrix(
+                data=d, offsets=M.offsets,
+                num_rows=M.num_rows, num_cols=M.num_cols,
+            )
+
+        lvl0, lvl1 = self.levels[0], self.levels[1]
+        P0s = pad_cast(P_dia, mdt)
+        lvl0 = dataclasses.replace(
+            lvl0,
+            A=pad_cast(D0, dt),
+            P=P0s,
+            R=dia_transpose_device(P0s, P0s.data.shape[1]),
+        )
+
+        # level-1 embedded stats: host-exact from the pulled compact A1
+        A1h = self._host_A[1]
+        diag1 = A1h.diagonal()
+        dinv_e = np.zeros(n0, dtype=dt)
+        dinv_e[cpos0] = np.where(
+            diag1 == 0, 0.0, 1.0 / np.where(diag1 == 0, 1, diag1)
+        )
+        l1 = self._l1_norms(A1h)
+        l1inv_e = np.zeros(n0, dtype=dt)
+        l1inv_e[cpos0] = np.where(l1 == 0, 0.0, 1.0 / np.where(l1 == 0, 1, l1))
+        cmask_e = np.zeros(n0, dtype=bool)
+        cmask_e[cpos0[self._cf[1] > 0]] = True
+
+        new_P = new_R = None
+        if len(self._host_P) > 1 and not will_reloc_l2:
+            innerP, innerR = lvl1.P, lvl1.R
+            if innerP is None:
+                P1 = self._host_P[1]
+                R1 = self._host_R[1]
+                if R1 is None:
+                    R1 = P1.T.tocsr()
+                innerP = freeze_auto(CSRMatrix.from_scipy(P1), dtype=mdt, device=False)
+                innerR = freeze_auto(CSRMatrix.from_scipy(R1), dtype=mdt, device=False)
+            cpos_i32 = cpos0.astype(np.int32)
+            new_P = ScatterOp(inner=innerP, pos=cpos_i32, n_out=n0)
+            new_R = GatherOp(inner=innerR, pos=cpos_i32)
+        lvl1 = dataclasses.replace(
+            lvl1,
+            A=pad_cast(A1_dia, mdt),
             dinv=dinv_e,
             l1inv=l1inv_e,
             cmask=cmask_e,
@@ -1164,7 +1410,7 @@ class BoomerAMG:
             for k in range(L):
                 AT = self._host_A[k].T.tocsr()
                 if k < L - 1:
-                    P = self._host_P[k]
+                    P = self.host_P(k)
                     R = self._host_R[k]
                     if R is None:
                         R = P.T.tocsr()

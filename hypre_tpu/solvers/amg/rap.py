@@ -40,6 +40,11 @@ def nongalerkin_filter(A: sp.csr_matrix, tol: float,
         return A
     A = A.tocsr()
     A.sort_indices()
+    from ... import native
+
+    out = native.nongalerkin_filter_native(A, tol, lump)
+    if out is not None:
+        return out
     n = A.shape[0]
     d = np.sqrt(np.abs(A.diagonal()))
     d[d == 0] = 1.0

@@ -97,6 +97,8 @@ def save_amg_hierarchy(amg, path: str) -> None:
         arrays[f"A{l}_data"] = Mc.data
         arrays[f"A{l}_shape"] = np.array(Mc.shape)
     for l, P in enumerate(amg._host_P):
+        if P is None and hasattr(amg, "host_P"):
+            P = amg.host_P(l)
         Pc = P.tocsr()
         arrays[f"P{l}_indptr"] = Pc.indptr
         arrays[f"P{l}_indices"] = Pc.indices
@@ -130,6 +132,9 @@ def load_amg_hierarchy(path: str):
     amg._host_P = []
     amg._cf = []
     amg.levels = []
+    amg._fast = None
+    amg._host_A1_unf = None
+    amg._pending_rap = None
     for l in range(L):
         amg._host_A.append(
             sp.csr_matrix(
