@@ -116,8 +116,9 @@ def ij_assemble_device(rows, cols, values, is_set, shape):
     arrays), in arrival order.  Semantics match the host accumulator:
     the LAST Set wins and only Adds arriving after it accumulate on top;
     with no Set, all Adds sum.  Runs as eager jnp ops (one-shot setup
-    work); index arithmetic needs row*ncols+col to fit the active int
-    dtype (int64 under x64, else int32).
+    work).  Entries are keyed by the (row, col) PAIR via a two-key
+    lexsort — no row*ncols+col product, so nothing overflows int32 for
+    any matrix whose individual dimensions fit the active int dtype.
 
     Returns (urows, ucols, uvals) device arrays of the assembled unique
     entries, sorted by (row, col) — ready for CSRMatrix.from_coo or a
@@ -132,15 +133,18 @@ def ij_assemble_device(rows, cols, values, is_set, shape):
     values = jnp.asarray(values)
     is_set = jnp.asarray(is_set, bool)
     m = int(rows.shape[0])
-    ncols = int(shape[1])
+    del shape  # dimensions only bound the inputs; keys are pairs
     seq = jnp.arange(m, dtype=idt)
 
-    key = rows * ncols + cols
-    order = jnp.lexsort((seq, key))
-    key_s, seq_s, val_s, set_s = key[order], seq[order], values[order], is_set[order]
+    order = jnp.lexsort((seq, cols, rows))
+    row_s, col_s = rows[order], cols[order]
+    seq_s, val_s, set_s = seq[order], values[order], is_set[order]
 
-    # segment ids over sorted unique keys
-    new_seg = jnp.concatenate([jnp.ones(1, bool), key_s[1:] != key_s[:-1]])
+    # segment ids over sorted unique (row, col) pairs
+    new_seg = jnp.concatenate([
+        jnp.ones(1, bool),
+        (row_s[1:] != row_s[:-1]) | (col_s[1:] != col_s[:-1]),
+    ])
     seg = jnp.cumsum(new_seg.astype(idt)) - 1
     nseg = int(seg[-1]) + 1 if m else 0
 
@@ -153,8 +157,7 @@ def ij_assemble_device(rows, cols, values, is_set, shape):
     uvals = jax.ops.segment_sum(jnp.where(keep, val_s, 0.0), seg,
                                 num_segments=nseg)
     first_idx = jnp.flatnonzero(new_seg, size=nseg)
-    ukey = key_s[first_idx]
-    return ukey // ncols, ukey % ncols, uvals
+    return row_s[first_idx], col_s[first_idx], uvals
 
 
 class IJMatrixDevice(IJMatrix):

@@ -498,22 +498,14 @@ int iluk_factor(const int64_t *indptr, const int64_t *indices,
             while (b >= 0 && occ[b] > v) { occ[b + 1] = occ[b]; b--; }
             occ[b + 1] = v;
         }
+        /* the elimination relies on U.i[U.p[k]] == k (diag stored
+         * first); a structurally-missing diagonal must therefore be
+         * inserted BEFORE the row's j > i entries, not appended
+         * (ADVICE r2: appending made later rows skip elimination
+         * against this row as a silent zero pivot) */
         int has_diag = 0;
-        for (int64_t t = 0; t < cnt; ++t) {
-            int64_t j = occ[t];
-            if (j < i) buf_push(&L, j, w[j]);
-            else {
-                if (U.nnz == ulev_cap) { /* keep ulev in step with U */ }
-                buf_push(&U, j, (j == i && w[j] == 0.0) ? 1e-30 : w[j]);
-                if (U.cap > ulev_cap) {
-                    ulev = (int32_t *)realloc(ulev, U.cap * sizeof(int32_t));
-                    ulev_cap = U.cap;
-                }
-                ulev[U.nnz - 1] = lev[j];
-                if (j == i) has_diag = 1;
-            }
-            w[j] = 0.0; pos[j] = 0;
-        }
+        for (int64_t t = 0; t < cnt; ++t)
+            if (occ[t] == i) { has_diag = 1; break; }
         if (!has_diag) {
             buf_push(&U, i, 1e-30);
             if (U.cap > ulev_cap) {
@@ -521,6 +513,19 @@ int iluk_factor(const int64_t *indptr, const int64_t *indices,
                 ulev_cap = U.cap;
             }
             ulev[U.nnz - 1] = 0;
+        }
+        for (int64_t t = 0; t < cnt; ++t) {
+            int64_t j = occ[t];
+            if (j < i) buf_push(&L, j, w[j]);
+            else {
+                buf_push(&U, j, (j == i && w[j] == 0.0) ? 1e-30 : w[j]);
+                if (U.cap > ulev_cap) {
+                    ulev = (int32_t *)realloc(ulev, U.cap * sizeof(int32_t));
+                    ulev_cap = U.cap;
+                }
+                ulev[U.nnz - 1] = lev[j];
+            }
+            w[j] = 0.0; pos[j] = 0;
         }
         L.p[i + 1] = L.nnz;
         U.p[i + 1] = U.nnz;

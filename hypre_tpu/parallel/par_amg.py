@@ -79,6 +79,23 @@ class ParAMG:
         dt = dtype or np.dtype(amg.opts.dtype)
         S = mesh.shape[axis]
 
+        # distributed smoother support is explicit (ADVICE r2): any
+        # relax type outside the diagonal-sweep families would silently
+        # degenerate to one Jacobi sweep on sharded levels while the
+        # replicated tail ran the real smoother — reject instead,
+        # mirroring _plan_embed's gate style.
+        unsupported = (
+            {amg.opts.relax_down, amg.opts.relax_up}
+            - _L1_TYPES - _DIAG_TYPES
+        )
+        if unsupported:
+            raise NotImplementedError(
+                f"ParAMG: relax type(s) {sorted(unsupported)} have no "
+                "sharded implementation (supported: hybrid/Jacobi "
+                f"families {sorted(_DIAG_TYPES)} and l1 variants "
+                f"{sorted(_L1_TYPES)})"
+            )
+
         self.par_levels: list[_ParLevel] = []
         self.split = 0
         L = amg.num_levels

@@ -208,10 +208,15 @@ class AMGDDDevice:
                 )
                 pc = np.zeros((D, nmax, wp), np.int32)
                 pv = np.zeros((D, nmax, wp), dtype)
-                rc = np.zeros((D, ncmax, 64), np.int32)
-                # R = P^T stored as ELL too
-                rv = np.zeros((D, ncmax, 64), dtype)
-                wr = 1
+                # R = P^T stored as ELL too — width from the ACTUAL
+                # transpose row widths (ADVICE r2: a hard-coded 64
+                # overflowed for coarse points with >64 interpolants)
+                wr = max(
+                    int(np.diff(dom[l]["P"].T.tocsr().indptr).max(initial=1))
+                    for dom in dd.domains
+                )
+                rc = np.zeros((D, ncmax, wr), np.int32)
+                rv = np.zeros((D, ncmax, wr), dtype)
                 for d, dom in enumerate(dd.domains):
                     Pl = dom[l]["P"].tocsr()
                     nl, nc = Pl.shape
@@ -222,15 +227,14 @@ class AMGDDDevice:
                     pv[d, r, k] = Pl.data
                     Rl = Pl.T.tocsr()
                     rnR = np.diff(Rl.indptr)
-                    wr = max(wr, int(rnR.max(initial=1)))
                     rr = np.repeat(np.arange(nc), rnR)
                     kk = np.arange(Rl.nnz) - np.repeat(Rl.indptr[:-1], rnR)
                     rc[d, rr, kk] = Rl.indices
                     rv[d, rr, kk] = Rl.data
                 ent["pcols"] = jnp.asarray(pc)
                 ent["pvals"] = jnp.asarray(pv)
-                ent["rcols"] = jnp.asarray(rc[:, :, :wr])
-                ent["rvals"] = jnp.asarray(rv[:, :, :wr])
+                ent["rcols"] = jnp.asarray(rc)
+                ent["rvals"] = jnp.asarray(rv)
             else:
                 nmaxL = nmax
                 inv = np.zeros((D, nmaxL, nmaxL), dtype)
