@@ -40,14 +40,27 @@ class _ParLevel:
     l1inv: jax.Array  # sharded, padded by rows
     dinv: jax.Array
     cmask: jax.Array  # sharded bool (CF_marker > 0), for relax_order=1
+    gs: dict | None = None  # (forward, l1) -> ParGSSchedule
 
 
-# relax types whose distributed semantics degenerate to a diagonal-
-# scaled simultaneous sweep.  hypre's hybrid GS family (3/4/6) is GS
-# within a rank + Jacobi across ranks; on a data-parallel machine the
-# rank is a lane, so the across-rank behavior (weighted Jacobi) is the
-# faithful limit.  l1 variants (8/13/14/18) keep their l1 divisor —
-# hypre's own massively-parallel recommendation (par_relax.c).
+# Jacobi-family relax types: simultaneous diagonal-scaled sweeps, math
+# identical at any shard count.  18 = l1-Jacobi (option-1 norm), 0/7
+# weighted Jacobi, 5 chaotic GS (== Jacobi on a data-parallel machine).
+_JACOBI_TYPES = frozenset({0, 5, 7})
+_L1_JACOBI_TYPES = frozenset({18})
+# hybrid GS family: hypre DEFINES these by the process decomposition
+# (par_relax.c:1050-1086) — sequential GS inside each rank's diagonal
+# block, Jacobi across ranks.  Implemented faithfully per shard
+# (parallel/par_gs.py); iteration counts are shard-count-dependent
+# exactly as hypre's are rank-count-dependent.  1/2 ("sequential" GS)
+# run with hybrid semantics too — hypre's true cross-rank ordering
+# would serialize the mesh (documented deviation).
+_GS_FWD = frozenset({1, 3, 13})
+_GS_BWD = frozenset({2, 4, 14})
+_GS_SYM = frozenset({6, 8})
+_GS_L1 = frozenset({8, 13, 14})
+_GS_TYPES = _GS_FWD | _GS_BWD | _GS_SYM
+# legacy aliases (round-2 names, kept for external callers)
 _L1_TYPES = frozenset({8, 13, 14, 18})
 _DIAG_TYPES = frozenset({0, 1, 2, 3, 4, 5, 6, 7})
 
@@ -79,22 +92,31 @@ class ParAMG:
         dt = dtype or np.dtype(amg.opts.dtype)
         S = mesh.shape[axis]
 
-        # distributed smoother support is explicit (ADVICE r2): any
-        # relax type outside the diagonal-sweep families would silently
-        # degenerate to one Jacobi sweep on sharded levels while the
-        # replicated tail ran the real smoother — reject instead,
-        # mirroring _plan_embed's gate style.
-        unsupported = (
-            {amg.opts.relax_down, amg.opts.relax_up}
-            - _L1_TYPES - _DIAG_TYPES
-        )
+        # distributed smoother support is explicit (ADVICE r2): reject
+        # anything without a sharded implementation instead of silently
+        # degenerating it (round-2 collapsed everything to one Jacobi
+        # sweep; GS families are now faithful, par_gs.py).
+        rtypes = {amg.opts.relax_down, amg.opts.relax_up}
+        unsupported = rtypes - _JACOBI_TYPES - _L1_JACOBI_TYPES - _GS_TYPES
         if unsupported:
             raise NotImplementedError(
                 f"ParAMG: relax type(s) {sorted(unsupported)} have no "
-                "sharded implementation (supported: hybrid/Jacobi "
-                f"families {sorted(_DIAG_TYPES)} and l1 variants "
-                f"{sorted(_L1_TYPES)})"
+                "sharded implementation (supported: Jacobi "
+                f"{sorted(_JACOBI_TYPES | _L1_JACOBI_TYPES)} and hybrid "
+                f"GS {sorted(_GS_TYPES)})"
             )
+        if amg.opts.relax_order == 1 and rtypes & _GS_TYPES:
+            raise NotImplementedError(
+                "ParAMG: CF-ordered sweeps (relax_order=1) are not "
+                "implemented for the sharded hybrid-GS family"
+            )
+        gs_needed = []  # (forward, l1)
+        for rt in rtypes & _GS_TYPES:
+            l1 = rt in _GS_L1
+            if rt in _GS_FWD or rt in _GS_SYM:
+                gs_needed.append((True, l1))
+            if rt in _GS_BWD or rt in _GS_SYM:
+                gs_needed.append((False, l1))
 
         self.par_levels: list[_ParLevel] = []
         self.split = 0
@@ -122,6 +144,17 @@ class ParAMG:
             )
             diag = Ah.diagonal()
             l1 = np.asarray(np.abs(Ah).sum(axis=1)).ravel()
+            gs = None
+            if gs_needed:
+                from .par_gs import build_par_gs_schedule
+
+                gs = {
+                    key: build_par_gs_schedule(
+                        Ah, Ap.part, mesh, axis, forward=key[0], l1=key[1],
+                        dtype=dt,
+                    )
+                    for key in set(gs_needed)
+                }
             self.par_levels.append(
                 _ParLevel(
                     A=Ap,
@@ -134,6 +167,7 @@ class ParAMG:
                         np.where(diag == 0, 0.0, 1.0 / np.where(diag == 0, 1, diag)).astype(dt)
                     ),
                     cmask=Ap.pad_vec(amg._cf[l] > 0),
+                    gs=gs,
                 )
             )
 
@@ -176,10 +210,33 @@ class ParAMG:
         return self._vc(0, jnp.zeros_like(f) if u is None else u, f)
 
     def _smooth_par(self, lvl: _ParLevel, relax_type: int, u, f, up: bool):
-        """Distributed smoother dispatch (see _L1_TYPES note above).
+        """Distributed smoother dispatch: Jacobi families as
+        simultaneous sweeps, hybrid GS (par_relax.c:1050-1086) as
+        per-shard sequential GS + Jacobi across shards (par_gs.py).
         relax_order=1 runs C-then-F down / F-then-C up (par_cycle.c:398)."""
         o = self.amg.opts
         w = jnp.asarray(o.relax_weight, f.dtype)
+
+        if relax_type in _GS_TYPES:
+            from .par_gs import par_gauss_seidel
+
+            directions = []
+            if relax_type in _GS_FWD or relax_type in _GS_SYM:
+                directions.append(True)
+            if relax_type in _GS_BWD or relax_type in _GS_SYM:
+                directions.append(False)
+            l1 = relax_type in _GS_L1
+            mv, dmv = lvl.A.matvec_fn, lvl.A.diag_matvec_fn
+            for _ in range(max(1, o.num_sweeps)):
+                for fwd in directions:
+                    # offd contribution frozen at sweep start (the
+                    # across-rank Jacobi half of the hybrid)
+                    g = f - (mv(u) - dmv(u))
+                    u = par_gauss_seidel(
+                        lvl.gs[(fwd, l1)], self.mesh, self.axis, u, g, w
+                    )
+            return u
+
         div = lvl.l1inv if relax_type in _L1_TYPES else lvl.dinv
         mv = lvl.A.matvec_fn
 

@@ -206,6 +206,32 @@ class ParCSR:
     def matvec_fn(self):
         return self._matvec
 
+    @property
+    def diag_matvec_fn(self):
+        """y = A_diagblock @ x (within-shard columns only, no exchange)
+        — the hybrid-GS "offd" split: A_offd @ x = matvec(x) - this."""
+        if getattr(self, "_diag_matvec", None) is None:
+            def body(dc, dv, x):
+                dc, dv = dc[0], dv[0]
+                x_blk = x.reshape(-1)
+                with jax.named_scope("MATVEC"):
+                    return jnp.sum(dv * x_blk[dc], axis=-1)
+
+            mapped = jax.shard_map(
+                body,
+                mesh=self.mesh,
+                in_specs=(
+                    P(self.axis, None, None),
+                    P(self.axis, None, None),
+                    P(self.axis),
+                ),
+                out_specs=P(self.axis),
+            )
+            self._diag_matvec = jax.jit(
+                lambda x: mapped(self.diag_cols, self.diag_data, x)
+            )
+        return self._diag_matvec
+
     # ------------------------------------------------------------------
     def pad_vec(self, v) -> jax.Array:
         """Host/global OUTPUT-space vector [n] -> padded sharded array."""

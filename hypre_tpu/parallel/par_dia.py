@@ -125,6 +125,40 @@ class ParDIA:
     def matvec_fn(self):
         return self._matvec
 
+    @property
+    def diag_matvec_fn(self):
+        """Within-shard product: the strip halos read as zero, so only
+        local columns contribute (the hybrid-GS diagonal-block split)."""
+        if getattr(self, "_diag_matvec", None) is None:
+            per = self.part.rows_per_shard
+            h = max(self.halo, 1)
+            offsets = self.offsets
+
+            def body(d, x):
+                d = d[0]
+                x_blk = x.reshape(-1)
+                xe = jnp.concatenate([
+                    jnp.zeros(h, x_blk.dtype), x_blk,
+                    jnp.zeros(h, x_blk.dtype),
+                ])
+                with jax.named_scope("MATVEC"):
+                    acc = None
+                    for k, off in enumerate(offsets):
+                        t = d[k] * jax.lax.dynamic_slice_in_dim(
+                            xe, h + off, per
+                        )
+                        acc = t if acc is None else acc + t
+                return acc if acc is not None else jnp.zeros_like(x_blk)
+
+            mapped = jax.shard_map(
+                body,
+                mesh=self.mesh,
+                in_specs=(P(self.axis, None, None), P(self.axis)),
+                out_specs=P(self.axis),
+            )
+            self._diag_matvec = jax.jit(lambda x: mapped(self.data, x))
+        return self._diag_matvec
+
     # ------------------------------------------------------------------
     def pad_vec(self, v) -> jax.Array:
         out = np.zeros(self.part.n_padded, dtype=np.asarray(v).dtype)

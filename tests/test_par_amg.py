@@ -116,3 +116,93 @@ def test_par_dia_fine_level_and_row_blocks():
                                rtol=1e-10)
     np.testing.assert_allclose(Ad.unpad(Ad.matvec(Ad.pad_vec(x))), y_ref,
                                rtol=1e-10)
+
+
+def _host_hybrid_gs(Ah, part_per, S, u, f, w, forward, l1):
+    """Reference model of par_relax.c:1050-1086: sequential GS inside
+    each rank's diagonal block, Jacobi across (off-block columns read
+    the sweep-start iterate)."""
+    n = Ah.shape[0]
+    u = u.copy()
+    u0 = u.copy()
+    indptr, indices, data = Ah.indptr, Ah.indices, Ah.data
+    for s in range(S):
+        lo, hi = s * part_per, min((s + 1) * part_per, n)
+        order = range(lo, hi) if forward else range(hi - 1, lo - 1, -1)
+        for i in order:
+            acc = 0.0
+            diag = 0.0
+            offd_abs = 0.0
+            for p in range(indptr[i], indptr[i + 1]):
+                j = indices[p]
+                if j == i:
+                    diag = data[p]
+                inside = lo <= j < hi
+                acc += data[p] * (u[j] if inside else u0[j])
+                if not inside:
+                    offd_abs += abs(data[p])
+            div = (abs(diag) + offd_abs) if l1 else diag
+            if l1 and diag < 0:
+                div = -div
+            if div != 0:
+                u[i] += w * (f[i] - acc) / div
+    return u
+
+
+@pytest.mark.parametrize("relax", [3, 4, 6, 13])
+def test_par_hybrid_gs_faithful(relax):
+    """Sharded relax 3/4/6/13 == hypre's hybrid semantics (GS within
+    each shard block, Jacobi across), validated against a direct host
+    simulation sweep for sweep."""
+    A = laplacian_7pt(10, 10, 10)
+    amg = BoomerAMG(
+        A,
+        BoomerAMGOptions(
+            coarsen_type="pmis", interp_type="classical", P_max_elmts=4,
+            relax_down=relax, relax_up=relax, embed_level1=False,
+        ),
+    )
+    mesh = make_mesh(4)
+    pamg = ParAMG(amg, mesh, repl_threshold=200)
+    assert pamg.split >= 1
+    lvl = pamg.par_levels[0]
+    Ah = amg._host_A[0]
+    n = Ah.shape[0]
+    per = lvl.A.part.rows_per_shard
+    rng = np.random.default_rng(3)
+    u_host = rng.standard_normal(n)
+    f_host = rng.standard_normal(n)
+
+    u = lvl.A.pad_vec(u_host)
+    f = lvl.A.pad_vec(f_host)
+    z = np.asarray(pamg._smooth_par(lvl, relax, u, f, up=False))[:n]
+
+    w = amg.opts.relax_weight
+    ref = u_host.copy()
+    dirs = {3: [True], 4: [False], 6: [True, False], 13: [True]}[relax]
+    for fwd in dirs:
+        ref = _host_hybrid_gs(Ah, per, 4, ref, f_host, w, fwd, relax == 13)
+    np.testing.assert_allclose(z, ref, rtol=1e-11, atol=1e-12)
+
+
+def test_par_hybrid_gs_convergence():
+    """relax 6 hybrid SSOR as the sharded smoother: PCG converges and
+    the count is stable for a fixed shard count."""
+    A = laplacian_7pt(10, 10, 10)
+    n = A.num_rows
+    amg = BoomerAMG(
+        A,
+        BoomerAMGOptions(
+            coarsen_type="pmis", interp_type="classical", P_max_elmts=4,
+            relax_down=6, relax_up=6, embed_level1=False,
+        ),
+    )
+    mesh = make_mesh(4)
+    pamg = ParAMG(amg, mesh, repl_threshold=200)
+    b = pamg.fine.pad_vec(np.ones(n))
+    res = pcg(
+        pamg.fine.matvec_fn, b, M=pamg.precond,
+        opts=PCGOptions(tol=1e-8, max_iter=60),
+    )
+    assert bool(res.converged)
+    assert int(res.num_iterations) <= 12
