@@ -67,6 +67,15 @@ def main():
     # AMG setup — warm it before the timers
     jax.block_until_ready(jax.device_put(np.zeros(8, dtype=dt)))
 
+    # reference-oracle iteration counts for THIS protocol (hypre 2.20
+    # ij driver, -laplacian -solver 1 -pmis -interptype 0 -Pmx 4
+    # -rlx 18 -tol 1e-6, b = ones, two-norm test; scripts/
+    # build_reference_oracle.sh, run 2026-08-17 on this machine).  The
+    # host f64 path reproduces these EXACTLY; the production device
+    # path's truncation tie-set differs (documented in
+    # ops/device_setup.py) and converges in <= the oracle count.
+    ORACLE_ITERS = {48: 20, 96: 25, 256: 36}
+
     # ---- problem + setup -------------------------------------------------
     t0 = time.perf_counter()
     A = laplacian_7pt(nx, nx, nx)
@@ -98,7 +107,10 @@ def main():
     )
     setup_time = time.perf_counter() - t0
 
-    b = jnp.asarray((A.to_scipy() @ np.ones(n)).astype(dt))
+    # b = ones and the TWO-NORM test: the reference ij driver's exact
+    # protocol (ij.c RHS + HYPRE_PCGSetTwoNorm(1)), so `iterations` is
+    # directly comparable to the oracle counts above.
+    b = jnp.ones(n, dtype=dt)
 
     # hierarchy passed as a jit ARG (not a closure constant — remote
     # runtimes re-upload constants per call)
@@ -108,7 +120,8 @@ def main():
     def solve(levels, b):
         op = lambda x: spmv(levels[0].A, x)
         M = lambda r: amg.cycle(r, levels=levels)
-        return pcg(op, b, M=M, opts=PCGOptions(tol=args.tol, max_iter=200))
+        return pcg(op, b, M=M, opts=PCGOptions(
+            tol=args.tol, max_iter=200, two_norm=True))
 
     # compile + converged-solve timing.  Sync via a SCALAR readback:
     # block_until_ready alone can return early through remote-device
@@ -220,6 +233,9 @@ def main():
         "device": jax.devices()[0].device_kind,
         "dtype": args.dtype,
     }
+    if nx in ORACLE_ITERS:
+        out["oracle_iterations"] = ORACLE_ITERS[nx]
+        out["beats_or_matches_oracle"] = iters <= ORACLE_ITERS[nx]
     print(json.dumps(out))
 
 

@@ -80,20 +80,26 @@ s = s.replace('#include <sblas.h>\n#endif', '#include <sblas.h>', 1)
 open('parcsr_ls/par_relax.c', 'w').write(s)
 
 s = open('distributed_ls/ParaSails/Matrix.h').read()
-s = s.replace('#ifdef __ve__\n#include <ftrace.h>\n#include <sblas.h>\n#endif',
-              '#include <ftrace.h>\n#include <sblas.h>', 1)
-s = s.replace('''#ifdef __ve__
-   HYPRE_Int flag;
-   HYPRE_Int t_flag;
+# unguard every VE block (whitespace inside varies between snapshots):
+# drop the #ifdef __ve__ / matching #endif lines, keep the contents
+out, depth = [], 0
+for line in s.splitlines(keepends=True):
+    st = line.strip()
+    if st == '#ifdef __ve__':
+        depth += 1
+        continue
+    if depth and st == '#endif':
+        depth -= 1
+        continue
+    out.append(line)
+assert depth == 0
+open('distributed_ls/ParaSails/Matrix.h', 'w').write(''.join(out))
 
-   sblas_handle_t hnd;
-   sblas_handle_t t_hnd;
-
-#endif''', '''   HYPRE_Int flag;
-   HYPRE_Int t_flag;
-   sblas_handle_t hnd;
-   sblas_handle_t t_hnd;''', 1)
-open('distributed_ls/ParaSails/Matrix.h', 'w').write(s)
+s = open('distributed_ls/ParaSails/Matrix.c').read()
+if '#include <ftrace.h>' not in s:
+    s = s.replace('#include "Matrix.h"',
+                  '#include <ftrace.h>\n#include "Matrix.h"', 1)
+open('distributed_ls/ParaSails/Matrix.c', 'w').write(s)
 EOF
 
 ./configure --without-MPI --disable-fortran CC=gcc CXX=g++ > /tmp/hypre_configure.log 2>&1
