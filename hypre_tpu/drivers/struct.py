@@ -60,6 +60,12 @@ def run(argv=None):
     nx, ny, nz = flag("-n", 3, [10, 10, 10], int) or [10, 10, 10]
     cx, cy, cz = flag("-c", 3, [1.0, 1.0, 1.0])
     dim = flag("-d", 1, 3, int)
+    # -P/-b decomposition (test/struct.c semantics): global extent =
+    # n * b * P per dim; each of the first prod(P) virtual ranks owns
+    # prod(b) boxes; -np ranks beyond prod(P) own NOTHING (emptyproc).
+    Pgrid = flag("-P", 3, None, int)
+    Bblock = flag("-b", 3, [1, 1, 1], int) or [1, 1, 1]
+    vnp = flag("-np", 1, 0, int)
     solver_id = flag("-solver", 1, 0, int)
     n_pre, n_post = flag("-v", 2, [1, 1], int) or [1, 1]
     relax = flag("-relax", 1, 1, int)
@@ -71,18 +77,67 @@ def run(argv=None):
         nz = 1
         cz = 0.0
     shape = (nx, ny, nz) if dim == 3 else (nx, ny)
-    ones = np.ones(shape)
-    ent = {(0,) * dim: 2 * (cx + cy + (cz if dim == 3 else 0)) * ones}
 
     def off(d, s):
         o = [0] * dim
         o[d] = s
         return tuple(o)
 
-    for d, c in enumerate([cx, cy, cz][:dim]):
-        ent[off(d, -1)] = -c * ones
-        ent[off(d, 1)] = -c * ones
-    A = StructMatrix.from_dict(ent, StructGrid(shape))
+    if Pgrid is not None:
+        # multi-box path: distribute, build per-box data, run a
+        # multi-box matvec consistency check, assemble canonical
+        from ..struct.box import distribute_PB
+        from ..struct.multibox import (
+            MultiBoxGrid,
+            MultiBoxVector,
+            multibox_matvec,
+        )
+
+        Pg = list(Pgrid)[:dim]
+        Bb = list(Bblock)[:dim]
+        nloc = [nx, ny, nz][:dim]
+        owners, gbox = distribute_PB(tuple(nloc), tuple(Pg), tuple(Bb),
+                                     vnp or int(np.prod(Pg)))
+        shape = gbox.shape
+        grid_mb = MultiBoxGrid([b for _, b in owners])
+        assert grid_mb.is_rectangular()
+        coefs = [cx, cy, cz][:dim]
+        diag_val = 2 * sum(coefs)
+        ent_mb = {(0,) * dim: {}}
+        for d, c in enumerate(coefs):
+            ent_mb[off(d, -1)] = {}
+            ent_mb[off(d, 1)] = {}
+        for i in grid_mb.nonempty:
+            bshape = grid_mb.boxes[i].shape
+            ent_mb[(0,) * dim][i] = diag_val * np.ones(bshape)
+            for d, c in enumerate(coefs):
+                ent_mb[off(d, -1)][i] = -c * np.ones(bshape)
+                ent_mb[off(d, 1)][i] = -c * np.ones(bshape)
+        # canonical assembly through the box maps
+        ent = {
+            o: np.asarray(
+                MultiBoxVector(grid_mb, per_box).to_global()
+            )
+            for o, per_box in ent_mb.items()
+        }
+        # the multi-box matvec (ghost plans from box intersections)
+        # must agree with the canonical stencil apply
+        rng = np.random.default_rng(0)
+        xt = rng.standard_normal(shape)
+        xs = MultiBoxVector.from_global(grid_mb, xt)
+        y_mb = np.asarray(multibox_matvec(grid_mb, ent_mb, xs).to_global())
+        A = StructMatrix.from_dict(
+            {o: jnp.asarray(v) for o, v in ent.items()}, StructGrid(shape)
+        )
+        y_ref = np.asarray(struct_matvec(A, jnp.asarray(xt)))
+        np.testing.assert_allclose(y_mb, y_ref, rtol=1e-12, atol=1e-12)
+    else:
+        ones = np.ones(shape)
+        ent = {(0,) * dim: 2 * (cx + cy + (cz if dim == 3 else 0)) * ones}
+        for d, c in enumerate([cx, cy, cz][:dim]):
+            ent[off(d, -1)] = -c * ones
+            ent[off(d, 1)] = -c * ones
+        A = StructMatrix.from_dict(ent, StructGrid(shape))
     b = jnp.ones(shape)
 
     pf_opts = PFMGOptions(
