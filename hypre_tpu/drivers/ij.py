@@ -139,10 +139,17 @@ def run(argv=None):
     relax = {"down": 13, "up": 14}
     if rlx >= 0:
         relax = {"down": rlx, "up": {3: 4, 13: 14}.get(rlx, rlx)}
+    smtype = flag("-smtype", 1, 0, int)
+    smlv = flag("-smlv", 1, 0, int)
+    eu_level = flag("-eu_level", 1, 1, int)
+
     amg_opts = BoomerAMGOptions(
         coarsen_type=coarsen,
         interp_type=interp,
         P_max_elmts=pmx,
+        smooth_type=smtype,
+        smooth_num_levels=smlv,
+        euclid_fill=eu_level,
         strong_threshold=theta,
         max_row_sum=mxrs,
         relax_down=relax["down"],

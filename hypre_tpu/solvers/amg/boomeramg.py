@@ -135,6 +135,16 @@ class BoomerAMGOptions:
     num_sweeps: int = 1
     cheby_order: int = 2
     cheby_ratio: float = 0.3
+    # complex smoothers (par_amg.h smooth_type / smooth_num_levels;
+    # par_cycle.c replaces relaxation with the aux smoother on levels
+    # below smooth_num_levels):
+    #   9 = Euclid parallel ILU(k) over row-block subdomains with the
+    #       SubdomainGraph coloring (solvers/amg/euclid.py)
+    smooth_type: int = 0
+    smooth_num_levels: int = 0
+    euclid_domains: int = 4       # Euclid -np analog (subdomain count)
+    euclid_fill: int = 1          # Euclid -level (ILU fill)
+    euclid_colored: bool = True   # colored block GS vs block Jacobi
     # cycling
     cycle_type: int = 1  # 1 = V, 2 = W (par_cycle.c lev_counter semantics)
     fcycle: bool = False  # F-cycle flag (par_cycle.c:202-206, 613-615)
@@ -210,6 +220,7 @@ class AMGLevel:
     gs_bwd: Optional[GSSchedule]
     cheby: Optional[ChebyData]
     coarse_inv: Optional[jax.Array]  # dense pinv on coarsest
+    euclid: Optional[object] = None  # EuclidData (smooth_type 9)
 
 
 class BoomerAMG:
@@ -438,7 +449,7 @@ class BoomerAMG:
             return False
         if o.post_interp_type or o.restrict_type or o.additive >= 0:
             return False
-        if {o.relax_down, o.relax_up} - {0, 7, 18}:
+        if {o.relax_down, o.relax_up} - {0, 7, 18} or o.smooth_num_levels:
             return False
         n, m = A.shape
         shape = tuple(int(s) for s in o.lattice_shape)
@@ -757,6 +768,19 @@ class BoomerAMG:
         if 16 in relax_types and not coarsest:
             cheby = cheby_setup(Ah, o.cheby_order, o.cheby_ratio)
 
+        euclid = None
+        if (
+            o.smooth_type == 9
+            and not coarsest
+            and len(self.levels) < o.smooth_num_levels
+        ):
+            from .euclid import build_euclid
+
+            euclid = build_euclid(
+                A, num_domains=o.euclid_domains,
+                fill_level=o.euclid_fill, colored=o.euclid_colored,
+            )
+
         coarse_inv = None
         if coarsest:
             coarse_inv = np.linalg.pinv(A.toarray(), rcond=1e-12).astype(dt)
@@ -776,6 +800,7 @@ class BoomerAMG:
             gs_bwd=gs_bwd,
             cheby=cheby,
             coarse_inv=coarse_inv,
+            euclid=euclid,
         )
 
     def _plan_embed(self):
@@ -789,6 +814,8 @@ class BoomerAMG:
             return None
         if {o.relax_down, o.relax_up} - {0, 7, 18}:
             return None  # embedded smoothing implemented for Jacobi family only
+        if o.smooth_num_levels > 0:
+            return None  # aux smoothers operate on the compact layout
         # fine operator must itself freeze to DIA (freeze_auto's criteria:
         # square, above the dense threshold, few distinct diagonals)
         A0 = self._host_A[0]
@@ -1228,6 +1255,14 @@ class BoomerAMG:
         w = o.relax_weight
         if relax_type == 9:
             return lvl.coarse_inv @ f
+        if lvl.euclid is not None:
+            # aux smoother replaces relaxation (par_cycle.c
+            # smooth_num_levels branch; smooth_type 9 = Euclid)
+            from .euclid import euclid_smooth
+
+            return euclid_smooth(
+                lvl.euclid, lambda v: spmv(lvl.A, v), u, f, w
+            )
         if relax_type in (0, 5, 7, 18):
             # 0/7 weighted Jacobi; 5 chaotic GS (order-free on a data-
             # parallel machine == Jacobi, par_relax.c's own caveat);
