@@ -207,13 +207,16 @@ class ParAMG:
     def cycle(self, f, u=None):
         """One multigrid cycle on mesh-sharded vectors (f padded+sharded),
         honoring the base hierarchy's cycle_type (1 = V, 2 = W)."""
-        return self._vc(0, jnp.zeros_like(f) if u is None else u, f)
+        return self._vc(0, jnp.zeros_like(f) if u is None else u, f,
+                        u_zero=u is None)
 
-    def _smooth_par(self, lvl: _ParLevel, relax_type: int, u, f, up: bool):
+    def _smooth_par(self, lvl: _ParLevel, relax_type: int, u, f, up: bool,
+                    u_zero: bool = False):
         """Distributed smoother dispatch: Jacobi families as
         simultaneous sweeps, hybrid GS (par_relax.c:1050-1086) as
         per-shard sequential GS + Jacobi across shards (par_gs.py).
-        relax_order=1 runs C-then-F down / F-then-C up (par_cycle.c:398)."""
+        relax_order=1 runs C-then-F down / F-then-C up (par_cycle.c:398).
+        u_zero: u == 0 — Jacobi sweeps skip the A @ 0 matvec."""
         o = self.amg.opts
         w = jnp.asarray(o.relax_weight, f.dtype)
 
@@ -240,23 +243,23 @@ class ParAMG:
         div = lvl.l1inv if relax_type in _L1_TYPES else lvl.dinv
         mv = lvl.A.matvec_fn
 
-        def sweep(u, mask=None):
+        def sweep(u, mask=None, u_zero=False):
             with jax.named_scope("RELAX"):
-                upd = w * div * (f - mv(u))
+                upd = w * div * (f if u_zero else f - mv(u))
                 if mask is not None:
                     upd = jnp.where(mask, upd, 0)
-                return u + upd
+                return upd if u_zero else u + upd
 
-        for _ in range(max(1, o.num_sweeps)):
+        for s in range(max(1, o.num_sweeps)):
             if o.relax_order == 1:
                 order = (~lvl.cmask, lvl.cmask) if up else (lvl.cmask, ~lvl.cmask)
-                for m in order:
-                    u = sweep(u, m)
+                for mi, m in enumerate(order):
+                    u = sweep(u, m, u_zero=u_zero and s == 0 and mi == 0)
             else:
-                u = sweep(u)
+                u = sweep(u, u_zero=u_zero and s == 0)
         return u
 
-    def _vc(self, l, u, f):
+    def _vc(self, l, u, f, u_zero=False):
         o = self.amg.opts
         if l == self.split:
             # replicated tail: slice to true size, run the base cycle
@@ -267,12 +270,14 @@ class ParAMG:
             f_r = f[:lvl_n]
             top = max(1, o.cycle_type) if self.split > 0 else None
             u_r = self.amg._vcycle(
-                self.tail_levels, 0, u[:lvl_n], f_r, top_counter=top
+                self.tail_levels, 0, u[:lvl_n], f_r, top_counter=top,
+                fine_u_zero=u_zero,
             )
             return jnp.pad(u_r, (0, f.shape[0] - lvl_n))
         lvl = self.par_levels[l]
         mv = lvl.A.matvec_fn
-        u = self._smooth_par(lvl, o.relax_down, u, f, up=False)
+        u = self._smooth_par(lvl, o.relax_down, u, f, up=False,
+                             u_zero=u_zero)
         # par_cycle.c lev_counter semantics, traced statically: every
         # level below the finest descends cycle_type times, recomputing
         # the residual from the improved u and re-smoothing between
@@ -281,7 +286,7 @@ class ParAMG:
         for v in range(visits):
             r = f - mv(u)
             fc = lvl.R.matvec_fn(r)
-            uc = self._vc(l + 1, jnp.zeros_like(fc), fc)
+            uc = self._vc(l + 1, jnp.zeros_like(fc), fc, u_zero=True)
             u = u + lvl.P.matvec_fn(uc)
             u = self._smooth_par(lvl, o.relax_up, u, f, up=True)
         return u

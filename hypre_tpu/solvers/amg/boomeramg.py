@@ -15,6 +15,7 @@ lax.while_loop.  relax_order CF sweeps follow par_cycle.c:398-414
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Optional
 
 import jax
@@ -236,6 +237,7 @@ class BoomerAMG:
         self._cf: list[np.ndarray] = []
         self._host_A1_unf = None
         self._pending_rap = None
+        self._pending_embed = None
         self._fast = None  # device level-0 chain products (device_setup)
         self._setup(A)  # host numpy/scipy hierarchy (levels >= fast depth)
         self._freeze_hierarchy()
@@ -677,6 +679,34 @@ class BoomerAMG:
         self.levels = list(jax.device_put(tuple(self.levels)))
         if self._pending_rap is not None:
             self._run_device_rap()
+        if self._pending_embed is not None:
+            self._run_embed_scatter()
+
+    def _run_embed_scatter(self) -> None:
+        """Expand the compact level-1 triple to its embedded DIA form on
+        device (one scatter — see _build_embed_level1)."""
+        from ...ops.dia import DIAMatrix
+
+        p = self._pending_embed
+        self._pending_embed = None
+
+        @partial(jax.jit, static_argnames=("noff", "width"))
+        def scatter(koff, pos, vals, *, noff, width):
+            out = jnp.zeros((noff, width), vals.dtype)
+            return out.at[koff, pos].set(vals)
+
+        data = scatter(
+            jnp.asarray(p["koff"]), jnp.asarray(p["pos"]),
+            jnp.asarray(p["vals"]),
+            noff=len(p["offsets"]), width=p["width"],
+        )
+        self.levels[1] = dataclasses.replace(
+            self.levels[1],
+            A=DIAMatrix(
+                data=data, offsets=p["offsets"],
+                num_rows=p["n"], num_cols=p["n"],
+            ),
+        )
 
     def _run_device_rap(self) -> None:
         """Materialize the level-1 embedded operator on device (see
@@ -905,7 +935,25 @@ class BoomerAMG:
             )
             A_emb = None  # materialized in _run_device_rap after transfer
         else:
-            A_emb = build_embedded_dia(A1, cpos0, cpos0, n0, mdt, device=False)
+            # ship the COMPACT triple and scatter into the embedded
+            # [noff, width] array ON DEVICE: the dense-diagonal form is
+            # ~97% zeros, so the compact form is ~3x less tunnel
+            # traffic, and the expansion is one scatter op (tiny jit —
+            # no dependence on remote-compiler health)
+            from ...ops.dia import _dia_width, embedded_offsets
+
+            offs_e = embedded_offsets(A1, cpos0, cpos0)
+            A1c = A1.tocoo()
+            off_of = cpos0[A1c.col] - cpos0[A1c.row]
+            self._pending_embed = dict(
+                koff=np.searchsorted(offs_e, off_of).astype(np.int32),
+                pos=cpos0[A1c.row].astype(np.int32),
+                vals=A1c.data.astype(mdt),
+                offsets=tuple(int(x) for x in offs_e),
+                width=_dia_width(n0, n0, offs_e, mdt.itemsize),
+                n=n0, mdt=mdt,
+            )
+            A_emb = None  # materialized in _run_embed_scatter
         lvl1 = dataclasses.replace(
             lvl1,
             A=A_emb,
@@ -1250,7 +1298,13 @@ class BoomerAMG:
     # constants — correct, but some runtimes (remote-device tunnels)
     # re-upload constants per call, which murders performance.
     # ------------------------------------------------------------------
-    def _smooth(self, lvl: AMGLevel, relax_type: int, u, f, up: bool):
+    def _smooth(self, lvl: AMGLevel, relax_type: int, u, f, up: bool,
+                u_zero: bool = False):
+        """u_zero: caller guarantees u == 0 — the first down-smooth of
+        every level inside a preconditioner cycle.  Jacobi-family sweeps
+        then skip the A @ 0 matvec (bitwise-identical result; ~one
+        matvec saved per level per cycle — the single biggest V-cycle
+        HBM cost after the smoothers themselves)."""
         o = self.opts
         w = o.relax_weight
         if relax_type == 9:
@@ -1269,10 +1323,17 @@ class BoomerAMG:
             # 18 l1-Jacobi
             div = lvl.l1inv if relax_type == 18 else lvl.dinv
             if o.relax_order == 1:
+                first = True
                 order = (~lvl.cmask, lvl.cmask) if up else (lvl.cmask, ~lvl.cmask)
                 for mask in order:
-                    u = jacobi_cf(lvl.A, div, u, f, mask, w)
+                    if u_zero and first:
+                        u = jnp.where(mask, w * div * f, 0.0)
+                    else:
+                        u = jacobi_cf(lvl.A, div, u, f, mask, w)
+                    first = False
                 return u
+            if u_zero:
+                return w * div * f
             return jacobi(lvl.A, div, u, f, w)
         if relax_type in (1, 2, 3, 13):
             # sequential/hybrid forward GS (np=1: true GS; 13 = L1-GS
@@ -1325,11 +1386,12 @@ class BoomerAMG:
         """One V-cycle.  Pass `levels` explicitly inside jits (see note
         above); defaults to this instance's hierarchy."""
         levels = self.levels if levels is None else levels
+        u_zero = u is None
         if u is None:
             u = jnp.zeros_like(f)
         if self.opts.additive >= 0:
             return u + self._additive_cycle(levels, f - spmv(levels[0].A, u) if u is not f else f)
-        return self._vcycle(levels, 0, u, f)
+        return self._vcycle(levels, 0, u, f, fine_u_zero=u_zero)
 
     def _additive_cycle(self, levels, r):
         """Additive correction (par_add_cycle.c hypre_BoomerAMGAdditiveCycle):
@@ -1354,14 +1416,18 @@ class BoomerAMG:
             e = cors[l] + spmv(levels[l].P, e)
         return e
 
-    def _vcycle(self, levels, l: int, u, f, top_counter: int | None = None):
+    def _vcycle(self, levels, l: int, u, f, top_counter: int | None = None,
+                fine_u_zero: bool = False):
         """hypre's nonrecursive cycle state machine (par_cycle.c:255-621),
         traced statically: lev_counter controls V/W revisits, fcycle_lev
         drives the F-cycle.  With cycle_type=1, fcycle=False this is the
         classic V-cycle.  `top_counter` overrides the finest level's
         descent count — used when these levels are the replicated TAIL of
         a distributed hierarchy whose top is a mid-hierarchy level (a
-        W-cycle descends cycle_type times there, not once)."""
+        W-cycle descends cycle_type times there, not once).
+        `fine_u_zero`: the incoming u is exactly zero (preconditioner
+        application) — first smooths then skip their A @ 0 matvecs
+        (bitwise-identical, see _smooth)."""
         assert l == 0
         o = self.opts
         L = len(levels)
@@ -1371,6 +1437,8 @@ class BoomerAMG:
         U: list = [None] * L
         F: list = [None] * L
         U[0], F[0] = u, f
+        uz = [False] * L  # "U[level] is exactly zero" tracking
+        uz[0] = fine_u_zero
         lev_counter = [top_counter if top_counter is not None else 1] + [
             1 if o.fcycle else o.cycle_type
         ] * (L - 1)
@@ -1387,17 +1455,21 @@ class BoomerAMG:
                 U[level] = self._smooth(
                     lvl, o.relax_coarse, U[level], F[level], up=False
                 )
+                uz[level] = False
             else:
                 rt = o.relax_down if cycle_param in (0, 1) else o.relax_up
                 for _ in range(o.num_sweeps):
                     U[level] = self._smooth(
-                        lvl, rt, U[level], F[level], up=(cycle_param == 2)
+                        lvl, rt, U[level], F[level], up=(cycle_param == 2),
+                        u_zero=uz[level],
                     )
+                    uz[level] = False
             lev_counter[level] -= 1
             if lev_counter[level] >= 0 and level != L - 1:
                 r = F[level] - spmv(lvl.A, U[level])
                 F[level + 1] = spmv(lvl.R, r)
                 U[level + 1] = jnp.zeros_like(F[level + 1])
+                uz[level + 1] = True
                 level += 1
                 lev_counter[level] = max(lev_counter[level], o.cycle_type)
                 cycle_param = 1 if level < L - 1 else 3
