@@ -97,6 +97,15 @@ def run(argv=None):
     solver_id = flag("-solver", 1, 19, int)
     tol = flag("-tol", 1, 1e-6)
     max_iter = flag("-max_iter", 1, 200, int)
+    infile = flag("-in", 1, None, cast=str)
+    rfac = flag("-r", 3, None, int)
+    rhsone = flag("-rhsone")
+    flag("-P", 3, None, int)  # accepted: np=1-equivalent by contract
+    flag("-b", 3, None, int)
+
+    if infile is not None:
+        return _run_infile(infile, rfac, solver_id, tol, max_iter,
+                           bool(rhsone))
 
     g, A = build_two_part(nx, ny, nz, dim)
     b = full(g, 1.0)
@@ -137,6 +146,78 @@ def run(argv=None):
     else:
         raise SystemExit(f"solver {solver_id} not implemented")
 
+    print(f"Iterations = {int(res.num_iterations)}")
+    print(f"Final Relative Residual Norm = {float(res.rel_residual_norm):e}")
+    return res
+
+
+def _run_infile(path, rfac, solver_id, tol, max_iter, rhsone):
+    """Grid-spec file path (the reference's `-in FILE` mode): parse,
+    apply -r refinement, assemble, solve.  RHS defaults to the cosine
+    exact-solution protocol (sstruct.c:3355-3430, incl. the var-number-
+    as-vartype quirk in the cosine box); -rhsone selects b = 1."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.dia import freeze_auto, spmv as op_spmv
+    from ..ops.csr import CSRMatrix
+    from ..solvers.krylov import PCGOptions, pcg
+    from ..sstruct.assemble import AssembledSystem
+    from ..sstruct.infile import map_refinement, read_infile
+
+    data = read_infile(path)
+    if rfac:
+        map_refinement(data, list(rfac))
+    sysm = AssembledSystem(data)
+    As = sysm.A.to_scipy()
+    n = As.shape[0]
+
+    if rhsone:
+        b = np.ones(n)
+    else:
+        x_exact = np.zeros(n)
+        nd = data.ndim
+        for p in range(data.nparts):
+            ilo, iup = data.extents[p]
+            clo, cup = ilo.point()[:nd], iup.point()[:nd]
+            for v in range(len(data.vartypes[p])):
+                # sstruct.c passes the var NUMBER as the vartype here
+                from ..sstruct.assemble import _var_box
+
+                vlo, vup = _var_box(clo, cup, min(v, 7), nd)
+                scale = (p + 1.0) * (v + 1.0)
+                import itertools as _it
+
+                for idx in _it.product(*[
+                        range(vlo[d], vup[d] + 1) for d in range(nd)]):
+                    gidx = sysm.gid(p, v, list(idx) + [0] * (3 - nd))
+                    if gidx is not None:
+                        x_exact[gidx] = scale * np.cos(sum(idx) / 10.0)
+        b = As @ x_exact
+
+    E = freeze_auto(CSRMatrix.from_scipy(As))
+    op = lambda x: op_spmv(E, x)
+    bj = jnp.asarray(b)
+    if solver_id == 18 or (10 <= solver_id < 20):
+        dinv = jnp.asarray(1.0 / As.diagonal())
+        res = pcg(op, bj, M=lambda r: dinv * r,
+                  opts=PCGOptions(tol=tol, max_iter=max_iter, two_norm=True))
+    elif solver_id == 20:
+        # PCG + BoomerAMG on the flattened composite (object_type
+        # PARCSR; the VE-stubbed oracle build aborts here, so the
+        # pinned count is a framework regression, not [REF])
+        from ..solvers.amg import BoomerAMG, BoomerAMGOptions
+
+        amg = BoomerAMG(
+            CSRMatrix.from_scipy(As),
+            BoomerAMGOptions(coarsen_type="pmis", interp_type="classical",
+                             P_max_elmts=4, relax_down=18, relax_up=18),
+        )
+        res = pcg(op, bj, M=amg.precond,
+                  opts=PCGOptions(tol=tol, max_iter=max_iter, two_norm=True))
+    else:
+        res = pcg(op, bj,
+                  opts=PCGOptions(tol=tol, max_iter=max_iter, two_norm=True))
     print(f"Iterations = {int(res.num_iterations)}")
     print(f"Final Relative Residual Norm = {float(res.rel_residual_norm):e}")
     return res

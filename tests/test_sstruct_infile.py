@@ -1,0 +1,68 @@
+"""Grid-spec (.in) file replay: the reference sstruct corpus runs
+as-is (round-2 missing item #9), pinned against oracle runs of the
+reference binary (scripts/build_reference_oracle.sh, solver 18 =
+PCG + diagonal scaling, cosine exact-solution RHS protocol)."""
+
+import numpy as np
+import pytest
+
+REF = "/root/reference/src/test/TEST_sstruct/"
+
+CASES = [
+    # (file, rfactor, oracle iterations, oracle rel residual)
+    ("sstruct.in.amr.2D", (2, 1, 1), 20, 8.332985e-07),
+    ("sstruct.in.amr.2Dc", None, 19, 6.550985e-07),
+    ("sstruct.in.amr.2Dc", (2, 1, 1), 20, 8.510163e-07),
+    ("sstruct.in.cube", None, 4, None),
+    ("sstruct.in.cube", (2, 1, 1), 9, 1.982144e-07),
+    ("sstruct.in.block", None, 4, None),
+    ("sstruct.in.block", (2, 1, 1), 8, 5.926141e-07),
+]
+
+
+@pytest.mark.parametrize("fname,r,oracle_iters,oracle_rel", CASES)
+def test_infile_oracle_parity(fname, r, oracle_iters, oracle_rel):
+    from hypre_tpu.drivers import sstruct as drv
+
+    args = ["-in", REF + fname, "-solver", "18"]
+    if r:
+        args += ["-r"] + [str(x) for x in r]
+    res = drv.run(args)
+    assert int(res.num_iterations) == oracle_iters
+    if oracle_rel is not None:
+        assert np.isclose(
+            float(res.rel_residual_norm), oracle_rel, rtol=1e-5
+        )
+
+
+def test_infile_amr_matrix_matches_hypre_print():
+    """The assembled composite operator is ENTRYWISE the reference's
+    (validated against hypre's printed S+U system during development);
+    here: structural invariants + exact U-entry values."""
+    from hypre_tpu.sstruct.assemble import AssembledSystem
+    from hypre_tpu.sstruct.infile import map_refinement, read_infile
+
+    data = read_infile(REF + "sstruct.in.amr.2D")
+    map_refinement(data, [2, 1, 1])
+    sysm = AssembledSystem(data)
+    A = sysm.A.to_scipy()
+    assert A.shape[0] == 17 * 17 + 17 * 9  # node boxes of the two parts
+    U = sysm.A.u_host.to_scipy()
+    assert U.nnz == 18  # 9 coarse->fine + 9 fine->coarse couplings
+    assert np.allclose(U.data, -1.0)
+    # stencil part is the 5-pt operator with dropped out-of-box legs
+    S = A - U
+    assert np.allclose(S.diagonal(), 5.0)
+
+
+def test_infile_solver20_amg_on_composite():
+    """PCG + BoomerAMG on the flattened user AMR composite (the
+    object_type=PARCSR path; framework-pinned — the VE-stubbed oracle
+    build aborts in its hybrid-GS relax here)."""
+    from hypre_tpu.drivers import sstruct as drv
+
+    res = drv.run(
+        ["-in", REF + "sstruct.in.amr.2D", "-solver", "20", "-r", "2", "1", "1"]
+    )
+    assert bool(res.converged) or float(res.rel_residual_norm) < 1e-6
+    assert int(res.num_iterations) <= 10
