@@ -168,6 +168,24 @@ def _run_infile(path, rfac, solver_id, tol, max_iter, rhsone):
     data = read_infile(path)
     if rfac:
         map_refinement(data, list(rfac))
+
+    if 50 <= solver_id < 100:
+        # sstruct_fac solver family: FAC with SysPFMG RB-GS relaxation
+        # (relax 2 for id>90, sstruct_fac.c:1996-2002), 20 cycles, 1e-6
+        from ..solvers.sstruct_ls.fac_amr import FACAMROptions, FACAMRSolver
+
+        # the reference driver hard-sets 20 cycles / 1e-6
+        # (sstruct_fac.c:1990-1991)
+        fac = FACAMRSolver(data, FACAMROptions(tol=1.0e-6, max_iter=20))
+        x0 = {p: np.ones(fac.shape[p]) for p in range(fac.nparts)}
+        res = fac.solve(x_parts=x0)
+        print(f"Iterations = {int(res.num_iterations)}")
+        print(
+            "Final Relative Residual Norm = "
+            f"{float(res.rel_residual_norm):e}"
+        )
+        return res
+
     sysm = AssembledSystem(data)
     As = sysm.A.to_scipy()
     n = As.shape[0]

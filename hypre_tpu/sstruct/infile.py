@@ -104,6 +104,8 @@ class ProblemData:
     graph_entries: list = dataclasses.field(default_factory=list)
     matset: list = dataclasses.field(default_factory=list)
     matadd: list = dataclasses.field(default_factory=list)
+    fac_parts: dict = dataclasses.field(default_factory=dict)
+    # part -> (plevel, rfactor[3]) — sstruct_fac.c:619-624 "FacParts:"
 
 
 def _tokens_after(line: str, key: str) -> str:
@@ -243,6 +245,13 @@ def read_infile(path: str) -> ProblemData:
                 )
                 (data.matset if key == "MatrixSetValues:" else data.matadd
                  ).append(box)
+            elif line.startswith("FacParts:"):
+                toks = _tokens_after(line, "FacParts:")
+                part, plevel = [int(x) for x in toks.split()[:2]]
+                rfac = _ints_in_brackets(toks)[0]
+                data.fac_parts[part] = (
+                    plevel, rfac + [1] * (3 - len(rfac))
+                )
             # ProcessPool*/FEM*/RhsAdd are accepted silently
     return data
 
