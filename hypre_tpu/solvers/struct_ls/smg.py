@@ -31,7 +31,11 @@ from ...struct.matrix import StructMatrix, struct_matvec
 from ..krylov.common import SolverResult
 from .pfmg import _build_P  # reuse the semicoarsening P assembler
 
-_PLANE_DENSE_MAX = 4096
+# largest plane (points) solved by precomputed dense inverses; beyond
+# this the batched-2D recursive SMG takes over.  Dense storage is
+# [nz, npl, npl] per level: 1024 keeps that <= 8 MB/plane-set, while
+# 4096 (the round-2 value) would need 8.6 GB at 64^3.
+_PLANE_DENSE_MAX = 1024
 
 
 @dataclasses.dataclass(frozen=True)
@@ -192,6 +196,7 @@ class SMG:
     def __init__(self, A: StructMatrix, opts: SMGOptions = SMGOptions()):
         self.opts = opts
         self.levels: list[_Level] = []
+        self._fns: dict = {}  # per-level compiled V-cycle pieces
         # setup scans .data per stencil entry; expand constant entries
         self._setup(A.densify())
 
@@ -309,21 +314,85 @@ class SMG:
         x = x.at[tuple(sl_odd)].add(lvl.p_lo * e_lo + lvl.p_hi * e_hi)
         return x
 
-    def _vcycle(self, l, b):
-        o = self.opts
+    def _level_fns(self, l):
+        """Per-level JITTED V-cycle pieces, cached.
+
+        The round-2 formulation traced the ENTIRE multilevel recursion
+        (every 3-D level x its batched-2D plane SMG) into one XLA
+        program; at full depth that graph crashes XLA:CPU's compiler
+        (stack overflow) and forced a max_levels clamp in the tests.
+        hypre's own structure is per-level function calls
+        (smg_solve.c:181-290) — mirroring that, each level compiles a
+        handful of SMALL programs (residual, plane-set update,
+        restrict, interp) and a host loop drives the cycle; the plane
+        solves themselves (dense einsum or the batched-2D SMG, which is
+        host-driven the same way) stay OUT of these graphs, so no
+        program ever contains more than one level's stencil work."""
+        fns = self._fns.get(l)
+        if fns is not None:
+            return fns
         lvl = self.levels[l]
+        a = lvl.cdir
+
+        @jax.jit
+        def resid(x, b):
+            return b - struct_matvec(lvl.A, x)
+
+        @jax.jit
+        def to_planes(r):
+            return jnp.moveaxis(r, a, 0).reshape(r.shape[a], -1)
+
+        @jax.jit
+        def upd(x, e, parity):
+            shape = x.shape
+            nz = shape[a]
+            xm = jnp.moveaxis(x, a, 0).reshape(nz, -1)
+            mask = (jnp.arange(nz) % 2 == parity)[:, None]
+            xm = xm + jnp.where(mask, e, 0.0)
+            rest = tuple(s for d, s in enumerate(shape) if d != a)
+            return jnp.moveaxis(xm.reshape((nz,) + rest), 0, a)
+
+        fns = {"resid": resid, "to_planes": to_planes, "upd": upd}
+        if l < self.num_levels - 1:
+            @jax.jit
+            def restrict_only(r):
+                return self._restrict(lvl, r)
+
+            @jax.jit
+            def interp(x, ec):
+                return self._interp_add(lvl, x, ec)
+
+            fns["restrict"] = restrict_only
+            fns["interp"] = interp
+        self._fns[l] = fns
+        return fns
+
+    def _plane_update_host(self, l, x, b, parity):
+        """One parity half of the plane block-GS, host-dispatched."""
+        fns = self._level_fns(l)
+        r = fns["resid"](x, b)
+        e = self.levels[l].planes.solve(fns["to_planes"](r))
+        return fns["upd"](x, e, parity)
+
+    def _relax_host(self, l, x, b, sweeps, up=False):
+        order = (1, 0) if up else (0, 1)
+        for _ in range(int(sweeps)):
+            for par in order:
+                x = self._plane_update_host(l, x, b, par)
+        return x
+
+    def _vcycle(self, l, b):
+        """Levels l..coarsest, driven from host over per-level programs."""
+        o = self.opts
+        fns = self._level_fns(l)
         if l == self.num_levels - 1:
             # coarsest: single plane set — exact plane solve
-            x = jnp.zeros_like(b)
-            x = self._plane_solve_update(lvl, x, b, 0)
-            x = self._plane_solve_update(lvl, x, b, 1)
-            return x
-        x = self._relax(lvl, jnp.zeros_like(b), b, o.num_pre_relax)
-        r = b - struct_matvec(lvl.A, x)
-        ec = self._vcycle(l + 1, self._restrict(lvl, r))
-        x = self._interp_add(lvl, x, ec)
-        x = self._relax(lvl, x, b, o.num_post_relax, up=True)
-        return x
+            x = self._plane_update_host(l, jnp.zeros_like(b), b, 0)
+            return self._plane_update_host(l, x, b, 1)
+        x = self._relax_host(l, jnp.zeros_like(b), b, o.num_pre_relax)
+        ec = self._vcycle(l + 1, fns["restrict"](fns["resid"](x, b)))
+        x = fns["interp"](x, ec)
+        return self._relax_host(l, x, b, o.num_post_relax, up=True)
 
     def cycle(self, f, u=None):
         o = self.opts
@@ -353,30 +422,26 @@ class SMG:
         converged = False
         it_done = 0
 
-        @jax.jit
-        def half_cycle(x, pre_zero):
-            xp = self._relax(lvl0, x, b, o.num_pre_relax)
-            r = b - struct_matvec(lvl0.A, xp)
-            return xp, r, jnp.vdot(r, r)
+        fns0 = self._level_fns(0)
 
         @jax.jit
-        def rest(x, r):
-            if self.num_levels > 1:
-                x = self._interp_add(
-                    lvl0, x, self._vcycle(1, self._restrict(lvl0, r))
-                )
-            return self._relax(lvl0, x, b, o.num_post_relax, up=True)
+        def sqnorm(r):
+            return jnp.vdot(r, r)
 
         for it in range(o.max_iter):
-            x, r, rr = half_cycle(x, it == 0)
-            rr = float(rr)
+            x = self._relax_host(0, x, b, o.num_pre_relax)
+            r = fns0["resid"](x, b)
+            rr = float(sqnorm(r))
             norms[it] = float(np.sqrt(rr))
             rel = np.sqrt(rr / max(b_dot_b, 1e-300))
             it_done = it
             if rr / max(b_dot_b, 1e-300) < eps and it > 0:
                 converged = True
                 break
-            x = rest(x, r)
+            if self.num_levels > 1:
+                ec = self._vcycle(1, fns0["restrict"](r))
+                x = fns0["interp"](x, ec)
+            x = self._relax_host(0, x, b, o.num_post_relax, up=True)
         return SolverResult(
             x=x,
             num_iterations=jnp.asarray(it_done),

@@ -229,34 +229,63 @@ class BatchedSMG2D:
         x = x.at[:, 1::2].add(p_lo * e_lo + p_hi * e_hi)
         return x
 
-    def _vcycle(self, l, b):
+    def _level_fns(self, l):
+        """Per-2-D-level compiled pieces (descend / ascend / bottom),
+        cached — same bounded-program structure as the 3-D SMG
+        (smg.SMG._level_fns): no XLA program ever contains more than
+        one 2-D level's relax work."""
+        if not hasattr(self, "_fns"):
+            self._fns = {}
+        fns = self._fns.get(l)
+        if fns is not None:
+            return fns
         lvl = self.levels[l]
         if l == len(self.levels) - 1:
-            x = jnp.zeros_like(b)
-            x = self._line_update(lvl, x, b, 0)
-            x = self._line_update(lvl, x, b, 1)
-            return x
-        x = self._relax(lvl, jnp.zeros_like(b), b, self.pre)
-        r = b - _apply2d(lvl["entries"], x)
-        ec = self._vcycle(l + 1, self._restrict(lvl, r))
-        x = self._interp_add(lvl, x, ec)
-        x = self._relax(lvl, x, b, self.post, up=True)
-        return x
+            @jax.jit
+            def bottom(b):
+                x = jnp.zeros_like(b)
+                x = self._line_update(lvl, x, b, 0)
+                return self._line_update(lvl, x, b, 1)
 
-    def _solve_impl(self, b, cycles: int):
-        x = self._vcycle(0, b)
-        for _ in range(cycles - 1):
-            r = b - _apply2d(self.levels[0]["entries"], x)
-            x = x + self._vcycle(0, r)
-        return x
+            @jax.jit
+            def resid(x, b):
+                return b - _apply2d(lvl["entries"], x)
+
+            fns = {"bottom": bottom, "resid": resid}
+        else:
+            @jax.jit
+            def down(b):
+                x = self._relax(lvl, jnp.zeros_like(b), b, self.pre)
+                r = b - _apply2d(lvl["entries"], x)
+                return x, self._restrict(lvl, r)
+
+            @jax.jit
+            def up(x, b, ec):
+                x = self._interp_add(lvl, x, ec)
+                return self._relax(lvl, x, b, self.post, up=True)
+
+            @jax.jit
+            def resid(x, b):
+                return b - _apply2d(lvl["entries"], x)
+
+            fns = {"down": down, "up": up, "resid": resid}
+        self._fns[l] = fns
+        return fns
+
+    def _vcycle(self, l, b):
+        if l == len(self.levels) - 1:
+            return self._level_fns(l)["bottom"](b)
+        fns = self._level_fns(l)
+        x, bc = fns["down"](b)
+        ec = self._vcycle(l + 1, bc)
+        return fns["up"](x, b, ec)
 
     def solve(self, b, cycles: int = 1):
         """Approximate plane solves: `cycles` V-cycles, zero guess
-        (hypre runs one V-cycle per relax; setup uses a few).  Jitted:
-        setup-time weight solves would otherwise dispatch thousands of
-        eager ops."""
-        if not hasattr(self, "_solve_jit"):
-            self._solve_jit = jax.jit(
-                self._solve_impl, static_argnames="cycles"
-            )
-        return self._solve_jit(b, cycles=cycles)
+        (hypre runs one V-cycle per relax; setup uses a few), driven
+        from host over the per-level programs."""
+        x = self._vcycle(0, b)
+        for _ in range(cycles - 1):
+            r = self._level_fns(0)["resid"](x, b)
+            x = x + self._vcycle(0, r)
+        return x

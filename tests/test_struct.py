@@ -207,16 +207,15 @@ def test_smg_recursive_plane_solver():
     try:
         A_csr = laplacian_7pt(n, n, n).to_scipy()
         A = StructMatrix.from_scipy(A_csr, (n, n, n), periodic=(0, 0, 0))
-        # max_levels bounds the nested 3D-levels x 2D-SMG graph depth:
-        # the full-depth graph is big enough to crash XLA:CPU's compiler
-        # (stack overflow) depending on process state
-        smg = SMG(A, SMGOptions(tol=1e-6, max_iter=60, max_levels=3))
+        # FULL depth: per-level compiled V-cycle pieces keep each XLA
+        # program bounded (the round-2 single-graph formulation needed a
+        # max_levels=3 clamp to avoid an XLA:CPU compiler stack overflow)
+        smg = SMG(A, SMGOptions(tol=1e-6, max_iter=60))
         b = jnp.asarray(np.asarray(A_csr @ np.ones(n**3)).reshape(n, n, n))
         res = smg.solve(b)
         assert bool(res.converged)
-        # truncated hierarchy (max_levels=3) costs extra outer
-        # iterations; full depth converges in 5 (4 with exact planes)
-        assert int(res.num_iterations) <= 20
+        # full-depth recursive-plane hierarchy: 5 iters (4 exact-plane)
+        assert int(res.num_iterations) <= 8
         assert np.allclose(np.asarray(res.x).ravel(), 1.0, atol=1e-4)
     finally:
         smg_mod._PLANE_DENSE_MAX = old
