@@ -183,6 +183,23 @@ class BoomerAMGOptions:
     # the host-side build.
     relocate_max_bytes: int = 3 << 30
     max_relocated_offsets: int = 8192
+    # offset budgets for the relocated SOLVE-phase forms (0 = unlimited).
+    # Deep Galerkin operators' relocated diagonal unions explode (661/883
+    # offsets at 96^3 levels 2/3 — 25-120x the true nnz in storage); the
+    # filters below cap them by keeping the heaviest-|mass| offsets and
+    # lumping/rescaling row-sum-preservingly (rap.offset_budget_filter
+    # for A; dia.parity_offset_budget_filter for P/R).  BOTH DEFAULT OFF
+    # — measured on TPU at 96^3 (scripts/eval_reloc_budget.py), the tail
+    # offsets carry real mass and truncating them destroys convergence:
+    # P-budget 96 -> 16->29 iters at 64^3 and PCG breakdown at 96^3;
+    # A-budget 128 -> 200-iter divergence at 96^3 with BOTH "strong"
+    # (row-wise, asymmetric) and "diag" (symmetry-preserving) lumping.
+    # Offset compression must come from displacement-aware relocation
+    # (a pure permutation — zero convergence risk), not entry dropping.
+    # The filters are kept for experimentation at higher budgets.
+    relocate_offset_budget: int = 0
+    transfer_offset_budget: int = 0
+    relocate_lump: str = "diag"
     # run the level-0 PMIS independent-set iteration ON DEVICE
     # (solvers/amg/device_coarsen.py — shift-algebra strength + integer-
     # exact measures, CF bit-identical to the host path).  The strength
@@ -1084,19 +1101,29 @@ class BoomerAMG:
             # NEVER split the x axis unless forced: x is the minor (lane)
             # dimension on TPU and a stride-2 slice there is a
             # catastrophic XLA relayout (measured 10.8 ms at 96^3 vs
-            # 71 us for the y/z-only split).
-            for cand in (
-                (1, 2, 2), (1, 2, 1), (1, 1, 2),
-                (2, 2, 2), (2, 2, 1), (2, 1, 2), (2, 1, 1),
-            ):
-                if any(s % f for s, f in zip(lat_shape, cand)):
-                    continue
-                nc = (lat_shape[0] // cand[0]) * (lat_shape[1] // cand[1]) * (
-                    lat_shape[2] // cand[2]
-                )
-                if npts <= 0.85 * nc:
-                    return cand
-            return None
+            # 71 us for the y/z-only split).  Among the y/z candidates,
+            # pick the FITTING one with the FEWEST cells: lattice load
+            # factor is a direct multiplier on every relocated
+            # operator's stored width (first-fit left level 2 at 26%
+            # load — a silent 2x on the V-cycle's dominant HBM term).
+            best = None
+            for fx in (1, 2):
+                for fy in (1, 2, 4):
+                    for fz in (1, 2, 4):
+                        if fx * fy * fz == 1:
+                            continue
+                        if any(s % f for s, f in zip(lat_shape, (fx, fy, fz))):
+                            continue
+                        nc = (
+                            (lat_shape[0] // fx)
+                            * (lat_shape[1] // fy)
+                            * (lat_shape[2] // fz)
+                        )
+                        if npts > 0.85 * nc:
+                            continue
+                        if best is None or (fx, nc) < (best[0][0], best[1]):
+                            best = ((fx, fy, fz), nc)
+            return best[0] if best else None
 
         # state: level k-1 lives on `lat_shape` with its points at
         # `pos_prev` (fine level-1 points sit at their true positions)
@@ -1120,6 +1147,8 @@ class BoomerAMG:
             A_k = self._host_A[k]
             if n_k > 6144:
                 cnt = embedded_offset_count(A_k, rcell, rcell)
+                if o.relocate_offset_budget > 0:
+                    cnt = min(cnt, o.relocate_offset_budget)
                 if cnt > o.max_relocated_offsets or (
                     cnt * ncells * itemsize > o.relocate_max_bytes
                 ):
@@ -1137,6 +1166,11 @@ class BoomerAMG:
                     Pf.T.tocsr(), rcell, lat_shape, factors, True
                 ),
             )
+            if o.transfer_offset_budget > 0:
+                # budget + per-row rescue entries (bounded by the rescue
+                # rows' distinct offsets; small in practice).  OFF by
+                # default — see the option comment (convergence hazard).
+                pr_offs = min(pr_offs, 2 * o.transfer_offset_budget)
             if pr_offs > o.max_relocated_offsets or (
                 pr_offs * ncells * itemsize > o.relocate_max_bytes
             ):
@@ -1191,6 +1225,13 @@ class BoomerAMG:
 
             # --- the relocated A_k ----------------------------------------
             if n_k > 6144:
+                if o.relocate_offset_budget > 0:
+                    from .rap import offset_budget_filter
+
+                    A_k = offset_budget_filter(
+                        A_k, rcell, o.relocate_offset_budget,
+                        lump=o.relocate_lump,
+                    )
                 A_new = build_embedded_dia(
                     A_k, rcell, rcell, ncells, mdt, device=False
                 )
@@ -1207,6 +1248,12 @@ class BoomerAMG:
                 )
 
             # --- parity transfer ops between lattice k-1 and k ------------
+            if o.transfer_offset_budget > 0:
+                from ...ops.dia import parity_offset_budget_filter
+
+                Pf = parity_offset_budget_filter(
+                    Pf, rcell, lat_shape, factors, o.transfer_offset_budget
+                )
             Pop = build_parity_interp(
                 Pf, rcell, lat_shape, factors, mdt, device=False
             )

@@ -74,6 +74,17 @@ def nongalerkin_filter(A: sp.csr_matrix, tol: float,
         kept_T = (len(kept_sorted) > 0) & (kept_sorted[posT] == keyT)
         keep = keep | kept_T
 
+    return _lump_and_rebuild(A, keep, rows, cols, lump)
+
+
+def _lump_and_rebuild(A, keep, rows, cols, lump: str) -> sp.csr_matrix:
+    """Drop entries where ~keep, lumping the dropped mass so row sums
+    are preserved ("diag" onto the diagonal, "strong" over the row's
+    kept off-diagonals by |value| — par_nongalerkin.c's neighbor
+    redistribution), then rebuild canonical CSR."""
+    import numpy as np
+
+    n = A.shape[0]
     dropped = ~keep
     dropped_sum = np.bincount(
         rows[dropped], weights=A.data[dropped], minlength=n
@@ -106,3 +117,59 @@ def nongalerkin_filter(A: sp.csr_matrix, tol: float,
     out = out + sp.diags(dropped_sum)
     out.sort_indices()
     return out.tocsr()
+
+
+def offset_budget_filter(
+    A: sp.csr_matrix, pos, budget: int, lump: str = "strong"
+) -> sp.csr_matrix:
+    """Sparsify a RELOCATED coarse operator to its `budget` heaviest
+    lattice diagonals.
+
+    The lattice-relocated DIA form of a deep Galerkin operator stores
+    noffs x ncells where noffs is the number of DISTINCT embedded
+    offsets pos[j] - pos[i] — observed 661/883 at 96^3 levels 2/3,
+    i.e. 25-120x the true nnz content, and the dominant HBM cost of the
+    whole V-cycle.  This filter keeps entries on the `budget` offsets
+    carrying the most |value| mass (in symmetric +/- pairs, diagonal
+    always kept) and lumps dropped mass row-sum-preservingly — the
+    par_nongalerkin.c sparsification rationale (Falgout-Schroder) with
+    offset-rarity as the drop criterion instead of magnitude.  Applied
+    to the SOLVE-phase operator only; the host hierarchy (and the
+    coarser Galerkin products built from it) is untouched.
+    """
+    import numpy as np
+
+    A = A.tocsr()
+    A.sort_indices()
+    n = A.shape[0]
+    pos = np.asarray(pos, dtype=np.int64)
+    rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(A.indptr))
+    cols = A.indices
+    offs = pos[cols] - pos[rows]
+    uoff, inv = np.unique(offs, return_inverse=True)
+    if budget <= 0 or len(uoff) <= budget:
+        return A
+    mass = np.bincount(inv, weights=np.abs(A.data))
+    # pair mass: an offset and its negative are kept or dropped together
+    neg = np.searchsorted(uoff, -uoff)
+    has_neg = (neg < len(uoff)) & (uoff[np.minimum(neg, len(uoff) - 1)] == -uoff)
+    pair_mass = mass + np.where(has_neg, mass[np.minimum(neg, len(uoff) - 1)], 0.0)
+    order = np.argsort(-pair_mass, kind="stable")
+    kept = np.zeros(len(uoff), dtype=bool)
+    zero_at = np.searchsorted(uoff, 0)
+    count = 0
+    if zero_at < len(uoff) and uoff[zero_at] == 0:
+        kept[zero_at] = True
+        count = 1
+    for oi in order:
+        if count >= budget:
+            break
+        if kept[oi]:
+            continue
+        kept[oi] = True
+        count += 1
+        if has_neg[oi] and not kept[neg[oi]]:
+            kept[neg[oi]] = True
+            count += 1
+    keep = kept[inv] | (rows == cols)
+    return _lump_and_rebuild(A, keep, rows, cols, lump)
