@@ -21,6 +21,12 @@ import numpy as np
 
 
 def main():
+    # warm-heap allocator tuning: on lazy-memory VMs cold mmap faults
+    # otherwise dominate setup (see utils/malloc_tuning.py)
+    from hypre_tpu.utils import tune_host_malloc
+
+    tune_host_malloc()
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=96, help="grid edge (size^3 DOFs)")
     # float32 default: this TPU generation emulates f64 at ~1000x cost;

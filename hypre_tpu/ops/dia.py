@@ -49,6 +49,86 @@ class DenseMatrix:
         return (self.num_rows, self.num_cols)
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class COOTail:
+    """Exact low-frequency remainder of a lattice operator.
+
+    Relocated DIA forms pay ncells * itemsize of streamed bytes PER
+    stored diagonal regardless of how many entries live on it; deep AMG
+    levels have long tails of diagonals carrying a handful of entries
+    each (the desired-diff floor of the relocation).  Entries on those
+    rare diagonals are stored here as sorted COO and applied as
+    gather + segment-sum + unique-scatter (~5 ns/entry measured on
+    v5e) -- the operator stays EXACT, unlike non-Galerkin dropping; only
+    the evaluation is split by diagonal frequency (cusparse-HYB's
+    ELL+COO split, re-cut for lattice DIA).
+    """
+
+    rows_u: jax.Array  # int32 [nseg]  distinct output rows, sorted
+    seg: jax.Array     # int32 [T]     entry -> index into rows_u
+    cols: jax.Array    # int32 [T]
+    vals: jax.Array    # [T]
+
+    @property
+    def nnz(self):
+        return self.vals.shape[0]
+
+
+def tail_apply(tail: COOTail, x: jax.Array, y: jax.Array) -> jax.Array:
+    contrib = tail.vals.astype(x.dtype) * x[tail.cols]
+    per_row = jax.ops.segment_sum(
+        contrib, tail.seg, num_segments=tail.rows_u.shape[0]
+    )
+    return y.at[tail.rows_u].add(per_row, unique_indices=True)
+
+
+def _build_tail(rows, cols, vals, dtype, device=True) -> COOTail:
+    order = np.argsort(rows, kind="stable")
+    rows, cols, vals = rows[order], cols[order], vals[order]
+    rows_u, seg = np.unique(rows, return_inverse=True)
+    arr = (jnp.asarray if device else np.asarray)
+    return COOTail(
+        rows_u=arr(rows_u.astype(np.int32)),
+        seg=arr(seg.astype(np.int32)),
+        cols=arr(cols.astype(np.int32)),
+        vals=arr(vals.astype(dtype)),
+    )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class DIAWithTail:
+    """Hybrid lattice operator: streamed DIA majority + exact COOTail."""
+
+    dia: DIAMatrix
+    tail: COOTail
+
+    @property
+    def num_rows(self):
+        return self.dia.num_rows
+
+    @property
+    def num_cols(self):
+        return self.dia.num_cols
+
+    @property
+    def shape(self):
+        return self.dia.shape
+
+
+def tail_min_count(ncells: int, itemsize: int) -> int:
+    """Keep a diagonal in DIA only if it carries at least this many
+    entries.  One stored diagonal costs its streamed bytes
+    (ncells*itemsize / ~573 GB/s) PLUS ~0.19 us of amortized kernel
+    dispatch (the offset-chunked Pallas kernel runs ~12 us of fixed cost
+    per 64-offset chunk — dominant for small-ncells deep levels); a tail
+    entry costs ~5.2 ns (both measured, scripts/exp_tail_apply.py and
+    the level-3 row of scripts/profile_cycle_levels.py).  Break-even:
+    count >= ncells*itemsize*3.36e-4 + 37."""
+    return max(2, int(ncells * itemsize * 3.36e-4) + 37)
+
+
 def _dia_width(n: int, m: int, offsets, itemsize: int = 4) -> int:
     """Stored diagonal width: pad square matrices to the Pallas kernel's
     block grid at freeze time so no per-matvec padding is needed."""
@@ -103,6 +183,8 @@ def dia_spmv(A: DIAMatrix, x: jax.Array) -> jax.Array:
 
     n, m = A.shape
     with jax.named_scope("MATVEC"):
+        if not A.offsets:  # all entries live in a sibling COOTail
+            return jnp.zeros(n, x.dtype)
         if pallas_dia_ok(A, x):
             return pallas_dia_spmv(A, x)
         # pad x so every shifted read is a static slice
@@ -179,7 +261,7 @@ class ScatterOp:
 
 def build_embedded_dia(
     M, rpos: np.ndarray, cpos: np.ndarray, n_emb: int, dtype=None,
-    device: bool = True,
+    device: bool = True, tail_min: int = 0,
 ) -> DIAMatrix:
     """Lift a compressed sparse operator onto a lattice embedding.
 
@@ -191,17 +273,36 @@ def build_embedded_dia(
     few) — trading padded bandwidth for the TPU's slow HBM gathers.
     """
     Mc = M.tocoo()
-    offs = cpos[Mc.col] - rpos[Mc.row]
-    uniq, k = _uniq_offsets(offs, n_emb, n_emb)
+    rows_emb = rpos[Mc.row]
+    cols_emb = cpos[Mc.col]
+    offs = cols_emb - rows_emb
+    vals = Mc.data
     dt = np.dtype(dtype or Mc.data.dtype)
+    tail = None
+    if tail_min:
+        uniq0, k0 = _uniq_offsets(offs, n_emb, n_emb)
+        cnt = np.bincount(k0, minlength=len(uniq0))
+        low = cnt < tail_min
+        if low.any() and not low.all():
+            in_tail = low[k0]
+            tail = _build_tail(
+                rows_emb[in_tail], cols_emb[in_tail], vals[in_tail], dt,
+                device=device,
+            )
+            rows_emb, cols_emb, offs, vals = (
+                rows_emb[~in_tail], cols_emb[~in_tail], offs[~in_tail],
+                vals[~in_tail],
+            )
+    uniq, k = _uniq_offsets(offs, n_emb, n_emb)
     data = np.zeros((len(uniq), _dia_width(n_emb, n_emb, uniq, dt.itemsize)), dtype=dt)
-    data[k, rpos[Mc.row]] = Mc.data.astype(dt)
-    return DIAMatrix(
+    data[k, rows_emb] = vals.astype(dt)
+    dia = DIAMatrix(
         data=jnp.asarray(data) if device else data,
         offsets=tuple(int(o) for o in uniq),
         num_rows=n_emb,
         num_cols=n_emb,
     )
+    return DIAWithTail(dia=dia, tail=tail) if tail is not None else dia
 
 
 def embedded_offsets(M, rpos, cpos) -> np.ndarray:
@@ -216,8 +317,19 @@ def embedded_offsets(M, rpos, cpos) -> np.ndarray:
     return np.flatnonzero(present) + lo
 
 
-def embedded_offset_count(M, rpos, cpos) -> int:
-    return len(embedded_offsets(M, rpos, cpos))
+def embedded_offset_count(M, rpos, cpos, tail_min: int = 0) -> int:
+    """Distinct embedded offsets; with tail_min, only those KEPT by a
+    tailed build (carrying >= tail_min entries)."""
+    if not tail_min:
+        return len(embedded_offsets(M, rpos, cpos))
+    Mc = M.tocoo()
+    if Mc.nnz == 0:
+        return 0
+    offs = cpos[Mc.col] - rpos[Mc.row]
+    _, inv = np.unique(offs, return_inverse=True)
+    cnt = np.bincount(inv)
+    kept = int((cnt >= tail_min).sum())
+    return kept if kept else len(cnt)
 
 
 # ---------------------------------------------------------------------------
@@ -272,6 +384,8 @@ class ParityRestrictOp:
     mats: tuple  # 2^k DIAMatrix, square on the cell lattice
     fine_shape: tuple = dataclasses.field(metadata=dict(static=True))
     factors: tuple = dataclasses.field(metadata=dict(static=True))
+    # exact rare-diagonal remainder: rows = cells, cols = FLAT fine
+    tail: COOTail | None = None
 
     @property
     def num_rows(self):
@@ -291,6 +405,8 @@ class ParityInterpOp:
     mats: tuple  # 2^k DIAMatrix, square on the cell lattice
     fine_shape: tuple = dataclasses.field(metadata=dict(static=True))
     factors: tuple = dataclasses.field(metadata=dict(static=True))
+    # exact rare-diagonal remainder: rows = FLAT fine, cols = cells
+    tail: COOTail | None = None
 
     @property
     def num_rows(self):
@@ -346,7 +462,19 @@ def _per_parity_dia(rows_cell, cols_cell, parity, vals, ncells, nparity, dtype,
     return tuple(mats)
 
 
-def build_parity_restrict(M, rcell, fine_shape, factors, dtype=None, device=True):
+def _parity_tail_mask(rows_cell, cols_cell, parity, ncells, tail_min):
+    """Entries on (parity, offset) diagonals with < tail_min entries."""
+    key = parity.astype(np.int64) * (2 * ncells + 1) + (
+        cols_cell - rows_cell + ncells
+    )
+    ukey, inv = np.unique(key, return_inverse=True)
+    cnt = np.bincount(inv)
+    low = cnt[inv] < tail_min
+    return low if low.any() and not low.all() else None
+
+
+def build_parity_restrict(M, rcell, fine_shape, factors, dtype=None, device=True,
+                          tail_min: int = 0):
     """M: scipy sparse (n_pts x n_fine) with rows = coarse points, cols =
     fine lattice indices; rcell[i] = assigned cell of point i."""
     nx, ny, nz = fine_shape
@@ -354,14 +482,28 @@ def build_parity_restrict(M, rcell, fine_shape, factors, dtype=None, device=True
     ncells = (nx // fx) * (ny // fy) * (nz // fz)
     Mc = M.tocoo()
     ccell, par = _cells_of_fine(Mc.col.astype(np.int64), fine_shape, factors)
+    rows_cell, vals = rcell[Mc.row], Mc.data
+    cols_fine = Mc.col.astype(np.int64)
+    dt = np.dtype(dtype or Mc.data.dtype)
+    tail = None
+    if tail_min:
+        low = _parity_tail_mask(rows_cell, ccell, par, ncells, tail_min)
+        if low is not None:
+            tail = _build_tail(
+                rows_cell[low], cols_fine[low], vals[low], dt, device=device
+            )
+            rows_cell, ccell, par, vals = (
+                rows_cell[~low], ccell[~low], par[~low], vals[~low]
+            )
     mats = _per_parity_dia(
-        rcell[Mc.row], ccell, par, Mc.data, ncells, fx * fy * fz,
-        dtype or Mc.data.dtype, device=device,
+        rows_cell, ccell, par, vals, ncells, fx * fy * fz, dt, device=device,
     )
-    return ParityRestrictOp(mats=mats, fine_shape=tuple(fine_shape), factors=tuple(factors))
+    return ParityRestrictOp(mats=mats, fine_shape=tuple(fine_shape),
+                            factors=tuple(factors), tail=tail)
 
 
-def build_parity_interp(M, ccol, fine_shape, factors, dtype=None, device=True):
+def build_parity_interp(M, ccol, fine_shape, factors, dtype=None, device=True,
+                        tail_min: int = 0):
     """M: scipy sparse (n_fine x n_pts) with rows = fine lattice indices,
     cols = coarse points; ccol[j] = assigned cell of point j."""
     nx, ny, nz = fine_shape
@@ -369,11 +511,24 @@ def build_parity_interp(M, ccol, fine_shape, factors, dtype=None, device=True):
     ncells = (nx // fx) * (ny // fy) * (nz // fz)
     Mc = M.tocoo()
     rcell, par = _cells_of_fine(Mc.row.astype(np.int64), fine_shape, factors)
+    cols_cell, vals = ccol[Mc.col], Mc.data
+    rows_fine = Mc.row.astype(np.int64)
+    dt = np.dtype(dtype or Mc.data.dtype)
+    tail = None
+    if tail_min:
+        low = _parity_tail_mask(rcell, cols_cell, par, ncells, tail_min)
+        if low is not None:
+            tail = _build_tail(
+                rows_fine[low], cols_cell[low], vals[low], dt, device=device
+            )
+            rcell, cols_cell, par, vals = (
+                rcell[~low], cols_cell[~low], par[~low], vals[~low]
+            )
     mats = _per_parity_dia(
-        rcell, ccol[Mc.col], par, Mc.data, ncells, fx * fy * fz,
-        dtype or Mc.data.dtype, device=device,
+        rcell, cols_cell, par, vals, ncells, fx * fy * fz, dt, device=device,
     )
-    return ParityInterpOp(mats=mats, fine_shape=tuple(fine_shape), factors=tuple(factors))
+    return ParityInterpOp(mats=mats, fine_shape=tuple(fine_shape),
+                          factors=tuple(factors), tail=tail)
 
 
 def parity_offset_count(ops) -> int:
@@ -381,7 +536,7 @@ def parity_offset_count(ops) -> int:
 
 
 def parity_offset_count_plan(
-    M, point_cell, fine_shape, factors, restrict: bool
+    M, point_cell, fine_shape, factors, restrict: bool, tail_min: int = 0
 ) -> int:
     """Total DIA offsets a parity restrict/interp build would produce,
     WITHOUT building it (setup planning).  restrict=True: M rows are
@@ -400,6 +555,11 @@ def parity_offset_count_plan(
         rcell, par = _cells_of_fine(Mc.row.astype(np.int64), fine_shape, factors)
         r, c = rcell, point_cell[Mc.col]
     key = par.astype(np.int64) * (2 * ncells + 1) + (c - r + ncells)
+    if tail_min:
+        _, inv = np.unique(key, return_inverse=True)
+        cnt = np.bincount(inv)
+        kept = int((cnt >= tail_min).sum())
+        return kept if kept else len(cnt)  # all-tail degenerates to keep
     return len(np.unique(key))
 
 
@@ -553,6 +713,8 @@ def spmv(A, x: jax.Array) -> jax.Array:
     (dispatch is static)."""
     if isinstance(A, DIAMatrix):
         return dia_spmv(A, x)
+    if isinstance(A, DIAWithTail):
+        return tail_apply(A.tail, x, dia_spmv(A.dia, x))
     if isinstance(A, DenseMatrix):
         return dense_spmv(A, x)
     if isinstance(A, GatherOp):
@@ -566,8 +728,13 @@ def spmv(A, x: jax.Array) -> jax.Array:
         for m, xp in zip(A.mats, parts):
             t = dia_spmv(m, xp)
             acc = t if acc is None else acc + t
+        if A.tail is not None:  # rows = cells, cols = flat fine
+            acc = tail_apply(A.tail, x, acc)
         return acc
     if isinstance(A, ParityInterpOp):
         parts = [dia_spmv(m, x) for m in A.mats]
-        return parity_merge(parts, A.fine_shape, A.factors)
+        y = parity_merge(parts, A.fine_shape, A.factors)
+        if A.tail is not None:  # rows = flat fine, cols = cells
+            y = tail_apply(A.tail, x, y)
+        return y
     return ell_spmv(A, x)[: A.num_rows]

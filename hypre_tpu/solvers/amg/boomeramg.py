@@ -25,7 +25,7 @@ import scipy.sparse as sp
 
 from ...ops.csr import CSRMatrix, ELLMatrix
 from ...ops.spmv import ell_spmv
-from ...ops.dia import freeze_auto, spmv
+from ...ops.dia import DenseMatrix, GatherOp, ScatterOp, freeze_auto, spmv
 from ...utils.timing import timed
 from ..krylov.common import SolverResult
 from .coarsen import (
@@ -200,6 +200,25 @@ class BoomerAMGOptions:
     relocate_offset_budget: int = 0
     transfer_offset_budget: int = 0
     relocate_lump: str = "diag"
+    # EXACT hybrid split of the relocated forms: diagonals carrying
+    # fewer than tail_min_count(ncells, itemsize) entries move to a
+    # COOTail (gather + segment-sum + scatter, ~5 ns/entry on v5e)
+    # instead of paying a full ncells-wide streamed lane.  Unlike the
+    # budget filters above this drops NOTHING -- the operator is exact,
+    # so convergence is untouched; only the evaluation route of the
+    # rare-diagonal entries changes (ops/dia.py COOTail).
+    relocate_tail: bool = True
+    # collapse the ENTIRE sub-V-cycle below the first level with
+    # n <= collapse_coarse_n into one precomputed dense operator.  With
+    # linear smoothers (Jacobi/l1-Jacobi) and a fixed V(1,1) schedule
+    # the sub-cycle applied to a zero initial guess IS a fixed linear
+    # map; materializing it (a ~n^2 dense matrix, built bottom-up with
+    # ~6 small MXU matmuls per level in one jit) replaces the deep
+    # levels' dozens of tiny kernel dispatches -- the measured V-cycle
+    # floor once streaming is fixed -- with a single dense matvec.
+    # Exact linear algebra: the preconditioner is unchanged up to
+    # rounding.  0 disables.
+    collapse_coarse_n: int = 2048
     # run the level-0 PMIS independent-set iteration ON DEVICE
     # (solvers/amg/device_coarsen.py — shift-algebra strength + integer-
     # exact measures, CF bit-identical to the host path).  The strength
@@ -698,6 +717,7 @@ class BoomerAMG:
             self._run_device_rap()
         if self._pending_embed is not None:
             self._run_embed_scatter()
+        self._build_coarse_collapse()
 
     def _run_embed_scatter(self) -> None:
         """Expand the compact level-1 triple to its embedded DIA form on
@@ -1061,6 +1081,93 @@ class BoomerAMG:
         self.levels[0] = lvl0
         self.levels[1] = lvl1
 
+    def _build_coarse_collapse(self) -> None:
+        """Materialize the sub-V-cycle below the first small level as one
+        dense operator and truncate the frozen hierarchy there (see
+        BoomerAMGOptions.collapse_coarse_n).
+
+        The V-cycle below level ls, applied to a zero initial guess, is
+        the fixed linear map
+            M_l = post(I - A X) . [X + P M_{l+1} R (I - A X)],
+            X = pre-smooth polynomial, bottom M_{L-1} = pinv(A)
+        for the linear smoothers (relax 0/5/7/18: x += w*div*(f - Ax)).
+        We evaluate the recurrence bottom-up with dense MXU matmuls in
+        one jit and install the result as levels[ls].coarse_inv, so the
+        cycle state machine's existing relax_coarse=9 branch applies it
+        as the coarse solve.  Exact linear algebra -- the preconditioner
+        changes only by f32 rounding; what it removes is the deep
+        levels' per-op dispatch floor (measured ~the entire gap between
+        cycle time and streaming time at 96^3 once tails landed).
+        Reference role: par_cycle.c's recursion below small levels +
+        par_relax.c relax 9; the collapse itself is TPU-native (the
+        reference has no reason to do this -- its kernel launches are
+        cheap relative to its levels)."""
+        o = self.opts
+        if (o.collapse_coarse_n <= 0 or o.cycle_type != 1 or o.fcycle
+                or o.additive >= 0 or o.relax_order == 1
+                or o.relax_coarse != 9 or o.smooth_num_levels > 0
+                or not {o.relax_down, o.relax_up} <= {0, 5, 7, 18}):
+            return
+        L = len(self._host_A)
+        ls = next(
+            (l for l in range(1, L - 1)
+             if self._host_A[l].shape[0] <= o.collapse_coarse_n),
+            None,
+        )
+        if ls is None or self.levels[-1].coarse_inv is None:
+            return
+        if any(self.levels[l].euclid is not None for l in range(ls, L)):
+            return
+        dt = np.dtype(o.dtype)
+        w = o.relax_weight
+        sweeps = o.num_sweeps
+        mats = []
+        for l in range(ls, L - 1):
+            Ah = self._host_A[l]
+            Ph = self._host_P[l]
+            Rh = self._host_R[l]
+            Rd = Rh.toarray() if Rh is not None else Ph.toarray().T
+            diag = Ah.diagonal()
+            dinv = np.where(diag == 0, 0.0, 1.0 / np.where(diag == 0, 1.0, diag))
+            l1 = self._l1_norms(Ah)
+            l1inv = np.where(l1 == 0, 0.0, 1.0 / np.where(l1 == 0, 1.0, l1))
+            mats.append((
+                jnp.asarray(Ah.toarray().astype(dt)),
+                jnp.asarray(Ph.toarray().astype(dt)),
+                jnp.asarray(np.ascontiguousarray(Rd).astype(dt)),
+                jnp.asarray((w * (l1inv if o.relax_down == 18 else dinv)).astype(dt)),
+                jnp.asarray((w * (l1inv if o.relax_up == 18 else dinv)).astype(dt)),
+            ))
+
+        def build(mats, Binv):
+            M = Binv.astype(dt)
+            for A, P, R, wdn, wup in reversed(mats):
+                n = A.shape[0]
+                eye = jnp.eye(n, dtype=A.dtype)
+                X = wdn[:, None] * eye  # zero-guess first sweep
+                for _ in range(sweeps - 1):
+                    X = X + wdn[:, None] * (eye - A @ X)
+                X = X + P @ (M @ (R @ (eye - A @ X)))
+                for _ in range(sweeps):
+                    X = X + wup[:, None] * (eye - A @ X)
+                M = X
+            return M
+
+        M = jax.jit(build)(mats, self.levels[-1].coarse_inv)
+        n_ls = self._host_A[ls].shape[0]
+        dense = DenseMatrix(data=M, num_rows=n_ls, num_cols=n_ls)
+        reloc = getattr(self, "_reloc_cells", {})
+        if ls in reloc:
+            rcell, ncells = reloc[ls]
+            rc = jnp.asarray(rcell.astype(np.int32))
+            op = ScatterOp(inner=GatherOp(inner=dense, pos=rc), pos=rc,
+                           n_out=ncells)
+        else:
+            op = dense
+        self.levels = self.levels[:ls] + [dataclasses.replace(
+            self.levels[ls], coarse_inv=op, P=None, R=None,
+        )]
+
     def _plan_reloc(self, cpos0) -> list:
         """Plan the relocation chain (see _build_relocated): per level k,
         the distinct-cell assignment rcell and lattice/factor geometry,
@@ -1072,6 +1179,7 @@ class BoomerAMG:
             embedded_offset_count,
             parity_offset_count_plan,
             relocate_to_cells,
+            tail_min_count,
         )
 
         o = self.opts
@@ -1145,8 +1253,9 @@ class BoomerAMG:
             if rcell is None:
                 break
             A_k = self._host_A[k]
+            tmin = tail_min_count(ncells, itemsize) if o.relocate_tail else 0
             if n_k > 6144:
-                cnt = embedded_offset_count(A_k, rcell, rcell)
+                cnt = embedded_offset_count(A_k, rcell, rcell, tail_min=tmin)
                 if o.relocate_offset_budget > 0:
                     cnt = min(cnt, o.relocate_offset_budget)
                 if cnt > o.max_relocated_offsets or (
@@ -1161,9 +1270,12 @@ class BoomerAMG:
                 shape=(ncells_prev, n_k),
             )
             pr_offs = max(
-                parity_offset_count_plan(Pf, rcell, lat_shape, factors, False),
                 parity_offset_count_plan(
-                    Pf.T.tocsr(), rcell, lat_shape, factors, True
+                    Pf, rcell, lat_shape, factors, False, tail_min=tmin
+                ),
+                parity_offset_count_plan(
+                    Pf.T.tocsr(), rcell, lat_shape, factors, True,
+                    tail_min=tmin,
                 ),
             )
             if o.transfer_offset_budget > 0:
@@ -1177,7 +1289,7 @@ class BoomerAMG:
                 break
             plan.append(dict(
                 k=k, rcell=rcell, lat_shape=lat_shape, factors=factors,
-                cell_shape=cell_shape, ncells=ncells, Pf=Pf,
+                cell_shape=cell_shape, ncells=ncells, Pf=Pf, tail_min=tmin,
             ))
             lat_shape = cell_shape
             pos_prev = rcell
@@ -1213,6 +1325,9 @@ class BoomerAMG:
         dt = np.dtype(o.dtype)
         mdt = np.dtype(o.mat_dtype or o.dtype)
         relocated_ks = {ent["k"] for ent in plan}
+        self._reloc_cells = {
+            ent["k"]: (ent["rcell"], ent["ncells"]) for ent in plan
+        }
         for ent in plan:
             k = ent["k"]
             rcell = ent["rcell"]
@@ -1233,7 +1348,8 @@ class BoomerAMG:
                         lump=o.relocate_lump,
                     )
                 A_new = build_embedded_dia(
-                    A_k, rcell, rcell, ncells, mdt, device=False
+                    A_k, rcell, rcell, ncells, mdt, device=False,
+                    tail_min=ent.get("tail_min", 0),
                 )
             else:
                 # dense-MXU core behind tiny gather/scatter
@@ -1255,10 +1371,12 @@ class BoomerAMG:
                     Pf, rcell, lat_shape, factors, o.transfer_offset_budget
                 )
             Pop = build_parity_interp(
-                Pf, rcell, lat_shape, factors, mdt, device=False
+                Pf, rcell, lat_shape, factors, mdt, device=False,
+                tail_min=ent.get("tail_min", 0),
             )
             Rop = build_parity_restrict(
-                Pf.T.tocsr(), rcell, lat_shape, factors, mdt, device=False
+                Pf.T.tocsr(), rcell, lat_shape, factors, mdt, device=False,
+                tail_min=ent.get("tail_min", 0),
             )
 
             # --- commit level k --------------------------------------------
@@ -1355,7 +1473,10 @@ class BoomerAMG:
         o = self.opts
         w = o.relax_weight
         if relax_type == 9:
-            return lvl.coarse_inv @ f
+            ci = lvl.coarse_inv
+            if isinstance(ci, (ScatterOp, GatherOp, DenseMatrix)):
+                return spmv(ci, f)  # collapsed sub-cycle operator
+            return ci @ f
         if lvl.euclid is not None:
             # aux smoother replaces relaxation (par_cycle.c
             # smooth_num_levels branch; smooth_type 9 = Euclid)

@@ -11,6 +11,8 @@ Usage: python scripts/profile_cycle_levels.py [size]
 import os
 import sys
 import time
+import functools
+print = functools.partial(print, flush=True)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

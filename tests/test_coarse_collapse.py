@@ -1,0 +1,65 @@
+"""Dense sub-cycle collapse (BoomerAMGOptions.collapse_coarse_n): the
+V-cycle below the first small level is a fixed linear operator for the
+linear smoothers; materializing it must leave the preconditioner
+unchanged up to rounding -- identical PCG iteration counts and matching
+solutions vs the uncollapsed hierarchy.
+"""
+import jax.numpy as jnp
+import numpy as np
+
+from hypre_tpu.models import laplacian_7pt
+from hypre_tpu.ops.dia import spmv
+from hypre_tpu.solvers.amg import BoomerAMG, BoomerAMGOptions
+from hypre_tpu.solvers.krylov import PCGOptions, pcg
+
+COMMON = dict(
+    coarsen_type="pmis", interp_type="ext+i", P_max_elmts=4,
+    relax_down=18, relax_up=18, dtype="float64",
+)
+
+
+def _solve(amg, b):
+    op = lambda x, E=amg.levels[0].A: spmv(E, x)
+    return pcg(op, b, M=amg.precond, opts=PCGOptions(tol=1e-8, max_iter=100))
+
+
+def test_collapse_matches_uncollapsed():
+    nx = 24
+    n = nx**3
+    A = laplacian_7pt(nx, nx, nx)
+    b = jnp.asarray(A.to_scipy() @ np.ones(n))
+    off = BoomerAMG(A, BoomerAMGOptions(**COMMON, collapse_coarse_n=0))
+    on = BoomerAMG(A, BoomerAMGOptions(**COMMON, collapse_coarse_n=2048))
+    assert len(on.levels) < len(off.levels)
+    r0, r1 = _solve(off, b), _solve(on, b)
+    assert int(r0.num_iterations) == int(r1.num_iterations)
+    np.testing.assert_allclose(np.asarray(r0.x), np.asarray(r1.x), atol=1e-9)
+
+
+def test_collapse_with_relocated_lattice():
+    nx = 24
+    n = nx**3
+    A = laplacian_7pt(nx, nx, nx)
+    b = jnp.asarray(A.to_scipy() @ np.ones(n))
+    common = dict(**COMMON, relocate_min_n2=0, lattice_shape=(nx, nx, nx))
+    off = BoomerAMG(A, BoomerAMGOptions(**common, collapse_coarse_n=0))
+    on = BoomerAMG(A, BoomerAMGOptions(**common, collapse_coarse_n=2048))
+    assert len(on.levels) < len(off.levels)
+    r0, r1 = _solve(off, b), _solve(on, b)
+    assert int(r0.num_iterations) == int(r1.num_iterations)
+    np.testing.assert_allclose(np.asarray(r0.x), np.asarray(r1.x), atol=1e-9)
+
+
+def test_collapse_gated_off_for_nonlinear_smoothers():
+    nx = 16
+    A = laplacian_7pt(nx, nx, nx)
+    amg = BoomerAMG(
+        A,
+        BoomerAMGOptions(
+            coarsen_type="pmis", interp_type="ext+i", dtype="float64",
+            relax_down=6, relax_up=6, collapse_coarse_n=2048,
+        ),
+    )
+    # hybrid SSOR is not in the linear-collapse set: full hierarchy kept
+    assert amg.levels[-1].P is None  # true coarsest present
+    assert len(amg.levels) == len(amg._host_A)
