@@ -49,28 +49,56 @@ class SStructMaxwell:
         U=None,
         opts: SStructMaxwellOptions = SStructMaxwellOptions(),
         use_tv: bool | None = None,
+        origins=None,
+        global_shape=None,
     ):
         """use_tv: run the PNedelec TV multigrid (MaxwellTV below) when
         the problem is a single factor-2-coarsenable part — the
-        reference's native Maxwell cycle; defaults to auto.  Multi-part
-        or odd-shaped problems use the AMS auxiliary-space path."""
+        reference's native Maxwell cycle; defaults to auto.
+
+        origins + global_shape: the parts tile one global box (each
+        part's cell box at `origins[p]`); shared edge DOFs on part
+        interfaces are identified geometrically (sstruct/shared_dof.py,
+        the sstruct_sharedDOFComm.c role) and the global edge system is
+        subassembled from the per-part contributions — built with
+        ownership weighting (models/maxwell.py curlcurl_matrix_part,
+        the maxwell_TV_setup.c parallel-assembly role).  The composed
+        system then runs the SAME PNedelec TV multigrid as a
+        single-part problem when the global box is factor-2 coarsenable
+        — multi-part Maxwell TV.  Other multi-part problems use the AMS
+        auxiliary-space path."""
         import scipy.sparse as sp
 
         self.opts = opts
         self.tv = None
-        if use_tv is None:
-            use_tv = (
-                len(parts) == 1 and U is None
-                and all(s % 2 == 0 for s in parts[0])
+        self.edge_maps = None
+        if origins is not None:
+            from ...sstruct.shared_dof import (
+                shared_node_edge_maps,
+                subassemble,
             )
-        if use_tv and len(parts) == 1 and U is None:
-            A0 = A_parts[0]
-            A0c = A0 if isinstance(A0, CSRMatrix) else CSRMatrix.from_scipy(A0)
-            self.tv = MaxwellTV(
-                tuple(parts[0]), A0c,
-                MaxwellTVOptions(tol=opts.tol, max_iter=opts.max_iter),
+
+            if global_shape is None:
+                global_shape = tuple(
+                    max(o[d] + s[d] for o, s in zip(origins, parts))
+                    for d in range(3)
+                )
+            nmaps, nn, emaps, ne = shared_node_edge_maps(parts, origins)
+            self.edge_maps = emaps
+            self.n_edges = ne
+            A_glob = subassemble(A_parts, emaps, ne)
+            self._init_single(
+                tuple(global_shape), CSRMatrix.from_scipy(A_glob), opts,
+                use_tv,
             )
-            self.A = A0c
+            return
+        if len(parts) == 1 and U is None:
+            self._init_single(
+                tuple(parts[0]),
+                A_parts[0] if isinstance(A_parts[0], CSRMatrix)
+                else CSRMatrix.from_scipy(A_parts[0]),
+                opts, use_tv,
+            )
             return
         Gs, coords, sizes = [], [], []
         for shape in parts:
@@ -90,10 +118,44 @@ class SStructMaxwell:
         self.ams = AMS(self.A, CSRMatrix.from_scipy(Gall), xyz_all, opts.ams)
         self.edge_offsets = np.cumsum([0] + sizes)
 
+    def _init_single(self, shape, A0c: CSRMatrix, opts, use_tv):
+        """One (possibly subassembled) box: PNedelec TV multigrid when
+        factor-2 coarsenable, AMS auxiliary space otherwise."""
+        if use_tv is None:
+            use_tv = all(s % 2 == 0 for s in shape)
+        if use_tv:
+            self.tv = MaxwellTV(
+                tuple(shape), A0c,
+                MaxwellTVOptions(tol=opts.tol, max_iter=opts.max_iter),
+            )
+            self.A = A0c
+            return
+        G, _C, xyz, _ne = edge_structure(*shape)
+        self.A = A0c
+        self.ams = AMS(A0c, G, xyz, opts.ams)
+
     def solve(self, b, x0=None) -> SolverResult:
         if self.tv is not None:
             return self.tv.solve(b)
         return self.ams.solve(b, tol=self.opts.tol, max_iter=self.opts.max_iter)
+
+    def solve_parts(self, b_parts) -> SolverResult:
+        """Solve with per-part right-hand sides (shared-DOF problems):
+        b_glob = sum_p S_p^T b_p, the FEM-subassembly convention (each
+        part contributes its owned share of a shared edge's load)."""
+        from ...sstruct.shared_dof import scatter_to_global
+
+        b = scatter_to_global(b_parts, self.edge_maps, self.n_edges)
+        import jax.numpy as jnp
+
+        return self.solve(jnp.asarray(b))
+
+    def part_values(self, x_glob, part: int):
+        """Gather a global edge vector back to part `part`'s local
+        numbering (shared DOFs replicate the single global value)."""
+        import numpy as np
+
+        return np.asarray(x_glob)[self.edge_maps[part]]
 
     def precond(self, r):
         if self.tv is not None:
