@@ -293,6 +293,7 @@ def main():
         "spmv_roofline_frac": round(spmv_gbs / hbm_gbs, 3),
         "operator_complexity": round(opcx, 4),
         "num_levels": amg.num_levels,
+        "num_frozen_levels": amg.num_frozen_levels,
         "interp": interp,
         "device": jax.devices()[0].device_kind,
         "dtype": args.dtype,

@@ -108,6 +108,12 @@ def run(argv=None):
     ilu_type = flag("-ilu_type", 1, 0, int)  # 0 ILU(k) | 1 ILUT
     ilu_lfil = flag("-ilu_lfil", 1, 0, int)
     ilu_drop = flag("-ilu_droptol", 1, 0.01)
+    ns = flag("-ns", 1, 1, int)
+    ns_down = flag("-ns_down", 1, 0, int)
+    ns_up = flag("-ns_up", 1, 0, int)
+    ns_coarse = flag("-ns_coarse", 1, 0, int)
+    min_cs = flag("-min_cs", 1, 0, int)
+    sabs = flag("-Sabs")
     xisone = flag("-xisone")
     rhsrand = flag("-rhsrand")
     rhszero = flag("-rhszero")
@@ -162,6 +168,12 @@ def run(argv=None):
         gsmg=gsmg,
         relax_order=cf_order,
         restrict_type=restri,
+        num_sweeps=ns,
+        num_sweeps_down=ns_down or None,
+        num_sweeps_up=ns_up or None,
+        num_sweeps_coarse=ns_coarse or None,
+        min_coarse_size=min_cs,
+        strength_abs=bool(sabs),
         lattice_shape=None if (sysl and sysl > 1) else ((nx, ny) if use9 else (nx, ny, nz)),
     )
 

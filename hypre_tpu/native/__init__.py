@@ -294,6 +294,36 @@ def strength_classical(A, theta: float, max_row_sum: float, sabs: bool = False):
         lib.strength_bound = True
     M = A.tocsr() if not hasattr(A, "to_scipy") else A.to_scipy()
     n = M.shape[0]
+    import scipy.sparse as sp
+
+    if (M.indices.dtype == np.int32 and M.indptr.dtype == np.int32
+            and M.data.dtype == np.float64):
+        # zero-conversion path on scipy's native int32 arrays
+        if not hasattr(lib, "strength32_bound"):
+            I32 = ctypes.POINTER(ctypes.c_int32)
+            D = ctypes.POINTER(ctypes.c_double)
+            lib.strength_classical_i32.argtypes = [
+                I32, I32, D, ctypes.c_int64, ctypes.c_double,
+                ctypes.c_double, ctypes.c_int, I32, I32,
+            ]
+            lib.strength_classical_i32.restype = ctypes.c_int64
+            lib.strength32_bound = True
+        ai = np.ascontiguousarray(M.indptr)
+        aj = np.ascontiguousarray(M.indices)
+        ad = np.ascontiguousarray(M.data)
+        Sp = np.empty(n + 1, dtype=np.int32)
+        Si = np.empty(max(M.nnz, 1), dtype=np.int32)
+        i32p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+        nnz = lib.strength_classical_i32(
+            i32p(ai), i32p(aj), _dptr(ad), n,
+            ctypes.c_double(theta), ctypes.c_double(max_row_sum),
+            ctypes.c_int(1 if sabs else 0), i32p(Sp), i32p(Si),
+        )
+        return sp.csr_matrix(
+            (np.ones(int(nnz), dtype=np.float32), Si[:nnz], Sp),
+            shape=(n, n),
+        )
+
     ai = np.ascontiguousarray(M.indptr, dtype=np.int64)
     aj = np.ascontiguousarray(M.indices, dtype=np.int64)
     ad = np.ascontiguousarray(M.data, dtype=np.float64)
@@ -304,12 +334,11 @@ def strength_classical(A, theta: float, max_row_sum: float, sabs: bool = False):
         ctypes.c_double(theta), ctypes.c_double(max_row_sum),
         ctypes.c_int(1 if sabs else 0), _ptr(Sp), _ptr(Si),
     )
-    import scipy.sparse as sp
-
     # int32 index arrays: scipy ops on mixed/int64 indices silently
     # upcast every downstream product (~2x slower SpGEMM)
     return sp.csr_matrix(
-        (np.ones(int(nnz)), Si[:nnz].astype(np.int32), Sp.astype(np.int32)),
+        (np.ones(int(nnz), dtype=np.float32),
+         Si[:nnz].astype(np.int32), Sp.astype(np.int32)),
         shape=(n, n),
     )
 
@@ -490,28 +519,249 @@ def nongalerkin_filter_native(A, tol: float, lump: str = "diag"):
         lib.ngf_bound = True
     import scipy.sparse as sp
 
-    Ap, Ai, Ax = _as_c_csr(A)
     n = A.shape[0]
-    I64 = ctypes.POINTER(ctypes.c_int64)
-    D = ctypes.POINTER(ctypes.c_double)
-    Cp = I64(); Ci = I64(); Cx = D()
-    nnz = lib.nongalerkin_filter_c(
-        _ptr(Ap), _ptr(Ai), _dptr(Ax), n, ctypes.c_double(tol),
-        ctypes.c_int(1 if lump == "strong" else 0),
-        ctypes.byref(Cp), ctypes.byref(Ci), ctypes.byref(Cx),
-    )
-    indptr = np.ctypeslib.as_array(Cp, shape=(n + 1,)).copy()
-    indices = np.ctypeslib.as_array(Ci, shape=(max(nnz, 1),))[:nnz].copy()
-    data = np.ctypeslib.as_array(Cx, shape=(max(nnz, 1),))[:nnz].copy()
-    lib.ilu_free_ptr(ctypes.cast(Cp, ctypes.c_void_p))
-    lib.ilu_free_ptr(ctypes.cast(Ci, ctypes.c_void_p))
-    lib.ilu_free_ptr(ctypes.cast(Cx, ctypes.c_void_p))
-    out = sp.csr_matrix(
-        (data, indices.astype(np.int32), indptr.astype(np.int32)),
-        shape=A.shape,
-    )
+    M = A.tocsr() if not sp.issparse(A) or A.format != "csr" else A
+    if (M.indices.dtype == np.int32 and M.indptr.dtype == np.int32
+            and M.data.dtype == np.float64 and M.has_sorted_indices):
+        # zero-copy two-pass path on scipy's native arrays
+        if not hasattr(lib, "ngf32_bound"):
+            I64 = ctypes.POINTER(ctypes.c_int64)
+            I32 = ctypes.POINTER(ctypes.c_int32)
+            D = ctypes.POINTER(ctypes.c_double)
+            U8 = ctypes.POINTER(ctypes.c_uint8)
+            lib.nongalerkin_count_i32.argtypes = [
+                I32, I32, D, ctypes.c_int64, ctypes.c_double, U8, I64]
+            lib.nongalerkin_count_i32.restype = ctypes.c_int64
+            lib.nongalerkin_fill_i32.argtypes = [
+                I32, I32, D, ctypes.c_int64, ctypes.c_int, U8, I64, I32, D]
+            lib.nongalerkin_fill_i32.restype = None
+            lib.ngf32_bound = True
+        ip = np.ascontiguousarray(M.indptr)
+        ix = np.ascontiguousarray(M.indices)
+        ax = np.ascontiguousarray(M.data)
+        keep2 = np.empty(max(M.nnz, 1), dtype=np.uint8)
+        Cp = np.empty(n + 1, dtype=np.int64)
+        i32p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+        u8p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+        nnz = lib.nongalerkin_count_i32(
+            i32p(ip), i32p(ix), _dptr(ax), n, ctypes.c_double(tol),
+            u8p(keep2), _ptr(Cp))
+        Ci = np.empty(max(nnz, 1), dtype=np.int32)
+        Cx = np.empty(max(nnz, 1), dtype=np.float64)
+        lib.nongalerkin_fill_i32(
+            i32p(ip), i32p(ix), _dptr(ax), n,
+            ctypes.c_int(1 if lump == "strong" else 0),
+            u8p(keep2), _ptr(Cp), i32p(Ci), _dptr(Cx))
+        out = sp.csr_matrix(
+            (Cx[:nnz], Ci[:nnz], Cp.astype(np.int32)), shape=A.shape)
+    else:
+        Ap, Ai, Ax = _as_c_csr(A)
+        I64 = ctypes.POINTER(ctypes.c_int64)
+        D = ctypes.POINTER(ctypes.c_double)
+        Cp = I64(); Ci = I64(); Cx = D()
+        nnz = lib.nongalerkin_filter_c(
+            _ptr(Ap), _ptr(Ai), _dptr(Ax), n, ctypes.c_double(tol),
+            ctypes.c_int(1 if lump == "strong" else 0),
+            ctypes.byref(Cp), ctypes.byref(Ci), ctypes.byref(Cx),
+        )
+        indptr = np.ctypeslib.as_array(Cp, shape=(n + 1,)).copy()
+        indices = np.ctypeslib.as_array(Ci, shape=(max(nnz, 1),))[:nnz].copy()
+        data = np.ctypeslib.as_array(Cx, shape=(max(nnz, 1),))[:nnz].copy()
+        lib.ilu_free_ptr(ctypes.cast(Cp, ctypes.c_void_p))
+        lib.ilu_free_ptr(ctypes.cast(Ci, ctypes.c_void_p))
+        lib.ilu_free_ptr(ctypes.cast(Cx, ctypes.c_void_p))
+        out = sp.csr_matrix(
+            (data, indices.astype(np.int32), indptr.astype(np.int32)),
+            shape=A.shape,
+        )
     # the numpy path's final `out + sp.diags(...)` canonicalizes and
     # prunes exact zeros (e.g. a fully-lumped row cancelling its own
     # diagonal); match it
     out.eliminate_zeros()
     return out
+
+
+def dia_convert(indptr, indices, data, n: int, m: int, width_of, dtype):
+    """Native CSR->DIA conversion (see kernels.c dia_offsets/dia_fill).
+
+    width_of: callable (uniq offsets)->stored width (Pallas padding
+    policy lives with the caller).  Returns (uniq offsets int64, data
+    [noff, width] in `dtype`) or None without a compiler.  bfloat16 is
+    filled as f32 then converted in one vectorized pass.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    if not hasattr(lib, "dia_bound"):
+        I64 = ctypes.POINTER(ctypes.c_int64)
+        D = ctypes.POINTER(ctypes.c_double)
+        F = ctypes.POINTER(ctypes.c_float)
+        U8 = ctypes.POINTER(ctypes.c_uint8)
+        lib.dia_offsets.argtypes = [I64, I64, ctypes.c_int64,
+                                    ctypes.c_int64, U8, I64]
+        lib.dia_offsets.restype = ctypes.c_int64
+        lib.dia_fill_f64.argtypes = [I64, I64, D, ctypes.c_int64,
+                                     ctypes.c_int64, I64, ctypes.c_int64,
+                                     ctypes.c_int64, D]
+        lib.dia_fill_f64.restype = None
+        lib.dia_fill_f32.argtypes = [I64, I64, D, ctypes.c_int64,
+                                     ctypes.c_int64, I64, ctypes.c_int64,
+                                     ctypes.c_int64, F]
+        lib.dia_fill_f32.restype = None
+        lib.dia_bound = True
+    ai = np.ascontiguousarray(indptr, dtype=np.int64)
+    aj = np.ascontiguousarray(indices, dtype=np.int64)
+    ad = np.ascontiguousarray(data, dtype=np.float64)
+    mark = np.zeros(n + m - 1, dtype=np.uint8)
+    uniq = np.zeros(n + m - 1, dtype=np.int64)
+    noff = lib.dia_offsets(
+        _ptr(ai), _ptr(aj), n, m,
+        mark.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), _ptr(uniq))
+    uniq = uniq[:noff].copy()
+    width = int(width_of(uniq))
+    dt = np.dtype(dtype)
+    fill_dt = np.float64 if dt == np.float64 else np.float32
+    out = np.zeros((noff, width), dtype=fill_dt)
+    fill = lib.dia_fill_f64 if fill_dt == np.float64 else lib.dia_fill_f32
+    fill(_ptr(ai), _ptr(aj), _dptr(ad), n, m, _ptr(uniq), noff, width,
+         out.ctypes.data_as(ctypes.POINTER(
+             ctypes.c_double if fill_dt == np.float64 else ctypes.c_float)))
+    if dt != fill_dt:
+        out = out.astype(dt)
+    return uniq, out
+
+
+def dia_offsets_only(indptr, indices, n: int, m: int):
+    """Distinct diagonal offsets of a CSR pattern (native); None without
+    a compiler."""
+    lib = _load()
+    if lib is None:
+        return None
+    if not hasattr(lib, "dia_bound"):
+        I64 = ctypes.POINTER(ctypes.c_int64)
+        U8 = ctypes.POINTER(ctypes.c_uint8)
+        lib.dia_offsets.argtypes = [I64, I64, ctypes.c_int64,
+                                    ctypes.c_int64, U8, I64]
+        lib.dia_offsets.restype = ctypes.c_int64
+    ai = np.ascontiguousarray(indptr, dtype=np.int64)
+    aj = np.ascontiguousarray(indices, dtype=np.int64)
+    mark = np.zeros(n + m - 1, dtype=np.uint8)
+    uniq = np.zeros(n + m - 1, dtype=np.int64)
+    noff = lib.dia_offsets(
+        _ptr(ai), _ptr(aj), n, m,
+        mark.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), _ptr(uniq))
+    return uniq[:noff].copy()
+
+
+def coo_dia_convert(rows, cols, vals, n: int, width_of, dtype,
+                    counts: bool = False):
+    """Embedded-COO -> DIA (see kernels.c coo_dia_*).  rows/cols are
+    positions on an n-point lattice; offsets are cols-rows.  Returns
+    (uniq, data[, cnt]) or None without a compiler."""
+    lib = _load()
+    if lib is None:
+        return None
+    if not hasattr(lib, "coo_dia_bound"):
+        I64 = ctypes.POINTER(ctypes.c_int64)
+        D = ctypes.POINTER(ctypes.c_double)
+        F = ctypes.POINTER(ctypes.c_float)
+        U8 = ctypes.POINTER(ctypes.c_uint8)
+        lib.coo_dia_offsets.argtypes = [I64, I64, ctypes.c_int64,
+                                        ctypes.c_int64, U8, I64, I64]
+        lib.coo_dia_offsets.restype = ctypes.c_int64
+        for fn, P in ((lib.coo_dia_fill_f32, F), (lib.coo_dia_fill_f64, D)):
+            fn.argtypes = [I64, I64, D, ctypes.c_int64, ctypes.c_int64,
+                           I64, ctypes.c_int64, ctypes.c_int64, P]
+            fn.restype = None
+        lib.coo_dia_bound = True
+    r = np.ascontiguousarray(rows, dtype=np.int64)
+    c = np.ascontiguousarray(cols, dtype=np.int64)
+    v = np.ascontiguousarray(vals, dtype=np.float64)
+    nnz = len(v)
+    mark = np.zeros(max(2 * n - 1, 1), dtype=np.uint8)
+    uniq = np.zeros(max(2 * n - 1, 1), dtype=np.int64)
+    cnt = np.zeros(max(2 * n - 1, 1), dtype=np.int64)
+    noff = lib.coo_dia_offsets(
+        _ptr(r), _ptr(c), nnz, n,
+        mark.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        _ptr(uniq), _ptr(cnt))
+    uniq = uniq[:noff].copy()
+    cnt = cnt[:noff].copy()
+    width = int(width_of(uniq))
+    dt = np.dtype(dtype)
+    fill_dt = np.float64 if dt == np.float64 else np.float32
+    out = np.zeros((noff, width), dtype=fill_dt)
+    fill = lib.coo_dia_fill_f64 if fill_dt == np.float64 else lib.coo_dia_fill_f32
+    fill(_ptr(r), _ptr(c), _dptr(v), nnz, n, _ptr(uniq), noff, width,
+         out.ctypes.data_as(ctypes.POINTER(
+             ctypes.c_double if fill_dt == np.float64 else ctypes.c_float)))
+    if dt != fill_dt:
+        out = out.astype(dt)
+    return (uniq, out, cnt) if counts else (uniq, out)
+
+
+def coo_dia_counts(rows, cols, n: int):
+    """(uniq offsets, per-offset entry counts) for an embedded COO;
+    None without a compiler."""
+    lib = _load()
+    if lib is None:
+        return None
+    if not hasattr(lib, "coo_dia_bound"):
+        # bind via the full converter once
+        coo_dia_convert(np.zeros(0, np.int64), np.zeros(0, np.int64),
+                        np.zeros(0), 1, lambda u: 1, np.float64)
+    r = np.ascontiguousarray(rows, dtype=np.int64)
+    c = np.ascontiguousarray(cols, dtype=np.int64)
+    mark = np.zeros(max(2 * n - 1, 1), dtype=np.uint8)
+    uniq = np.zeros(max(2 * n - 1, 1), dtype=np.int64)
+    cnt = np.zeros(max(2 * n - 1, 1), dtype=np.int64)
+    noff = lib.coo_dia_offsets(
+        _ptr(r), _ptr(c), len(r), n,
+        mark.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        _ptr(uniq), _ptr(cnt))
+    return uniq[:noff].copy(), cnt[:noff].copy()
+
+
+def embedded_counts(mrow, mcol, rpos, cpos, n: int):
+    """(uniq embedded offsets, per-offset counts) for off = cpos[col] -
+    rpos[row]; None without a compiler.  Accepts int32 or int64
+    row/col without copying."""
+    lib = _load()
+    if lib is None:
+        return None
+    if not hasattr(lib, "emb_bound"):
+        I64 = ctypes.POINTER(ctypes.c_int64)
+        I32 = ctypes.POINTER(ctypes.c_int32)
+        U8 = ctypes.POINTER(ctypes.c_uint8)
+        lib.embedded_offsets_i32.argtypes = [I32, I32, ctypes.c_int64,
+                                             I64, I64, ctypes.c_int64,
+                                             U8, I64, I64]
+        lib.embedded_offsets_i32.restype = ctypes.c_int64
+        lib.embedded_offsets_i64.argtypes = [I64, I64, ctypes.c_int64,
+                                             I64, I64, ctypes.c_int64,
+                                             U8, I64, I64]
+        lib.embedded_offsets_i64.restype = ctypes.c_int64
+        lib.emb_bound = True
+    mrow = np.asarray(mrow)
+    mcol = np.asarray(mcol)
+    if mrow.dtype == np.int32 and mcol.dtype == np.int32:
+        fn = lib.embedded_offsets_i32
+        r = np.ascontiguousarray(mrow)
+        c = np.ascontiguousarray(mcol)
+        rp = r.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+        cp = c.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+    else:
+        fn = lib.embedded_offsets_i64
+        r = np.ascontiguousarray(mrow, dtype=np.int64)
+        c = np.ascontiguousarray(mcol, dtype=np.int64)
+        rp = _ptr(r)
+        cp = _ptr(c)
+    rpos_a = np.ascontiguousarray(rpos, dtype=np.int64)
+    cpos_a = np.ascontiguousarray(cpos, dtype=np.int64)
+    mark = np.zeros(max(2 * n - 1, 1), dtype=np.uint8)
+    uniq = np.zeros(max(2 * n - 1, 1), dtype=np.int64)
+    cnt = np.zeros(max(2 * n - 1, 1), dtype=np.int64)
+    noff = fn(rp, cp, len(r), _ptr(rpos_a), _ptr(cpos_a), n,
+              mark.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+              _ptr(uniq), _ptr(cnt))
+    return uniq[:noff].copy(), cnt[:noff].copy()

@@ -1072,3 +1072,280 @@ int64_t nongalerkin_filter_c(
     *Cp_o = Cp; *Ci_o = Ci; *Cx_o = Cx;
     return out_nnz;
 }
+
+/* DIA conversion (seq_mv csr_matrix.c reorder/format role, re-cut for
+ * the TPU DIA freeze path).  Two entry points so the Python side can
+ * allocate exactly:
+ *   dia_offsets: presence bitmap over [-(n-1), m-1] -> sorted distinct
+ *     diagonal offsets; returns their count.  mark must be a caller
+ *     zeroed byte buffer of n+m-1; uniq must hold n+m-1 int64.
+ *   dia_fill: one linear pass writing data[k*width + i] = A[i, i+off_k]
+ *     via an offset->k lookup table built from uniq.  Replaces the
+ *     numpy repeat + searchsorted + fancy-scatter chain (the profiled
+ *     setup hot spot at 96^3+). */
+int64_t dia_offsets(const int64_t *Ap, const int64_t *Ai, int64_t n,
+                    int64_t m, unsigned char *mark, int64_t *uniq)
+{
+    (void)m;
+    for (int64_t i = 0; i < n; ++i)
+        for (int64_t p = Ap[i]; p < Ap[i + 1]; ++p)
+            mark[Ai[p] - i + (n - 1)] = 1;
+    int64_t cnt = 0;
+    int64_t span = n + m - 1;
+    for (int64_t o = 0; o < span; ++o)
+        if (mark[o]) uniq[cnt++] = o - (n - 1);
+    return cnt;
+}
+
+void dia_fill_f64(const int64_t *Ap, const int64_t *Ai, const double *Ax,
+                  int64_t n, int64_t m, const int64_t *uniq, int64_t noff,
+                  int64_t width, double *out)
+{
+    int64_t *lut = (int64_t *)malloc((n + m - 1) * sizeof(int64_t));
+    for (int64_t k = 0; k < noff; ++k) lut[uniq[k] + (n - 1)] = k;
+    for (int64_t i = 0; i < n; ++i)
+        for (int64_t p = Ap[i]; p < Ap[i + 1]; ++p)
+            out[lut[Ai[p] - i + (n - 1)] * width + i] = Ax[p];
+    free(lut);
+}
+
+void dia_fill_f32(const int64_t *Ap, const int64_t *Ai, const double *Ax,
+                  int64_t n, int64_t m, const int64_t *uniq, int64_t noff,
+                  int64_t width, float *out)
+{
+    int64_t *lut = (int64_t *)malloc((n + m - 1) * sizeof(int64_t));
+    for (int64_t k = 0; k < noff; ++k) lut[uniq[k] + (n - 1)] = k;
+    for (int64_t i = 0; i < n; ++i)
+        for (int64_t p = Ap[i]; p < Ap[i + 1]; ++p)
+            out[lut[Ai[p] - i + (n - 1)] * width + i] = (float)Ax[p];
+    free(lut);
+}
+
+/* COO (already embedded: off = col - row) variants for
+ * build_embedded_dia: offsets+counts in one linear pass pair, fill
+ * without the numpy fancy scatter. */
+int64_t coo_dia_offsets(const int64_t *rows, const int64_t *cols,
+                        int64_t nnz, int64_t n, unsigned char *mark,
+                        int64_t *uniq, int64_t *cnt)
+{
+    for (int64_t p = 0; p < nnz; ++p)
+        mark[cols[p] - rows[p] + (n - 1)] = 1;
+    int64_t noff = 0;
+    for (int64_t o = 0; o < 2 * n - 1; ++o)
+        if (mark[o]) uniq[noff++] = o - (n - 1);
+    int64_t *lut = (int64_t *)malloc((2 * n - 1) * sizeof(int64_t));
+    for (int64_t k = 0; k < noff; ++k) { lut[uniq[k] + (n - 1)] = k; cnt[k] = 0; }
+    for (int64_t p = 0; p < nnz; ++p)
+        ++cnt[lut[cols[p] - rows[p] + (n - 1)]];
+    free(lut);
+    return noff;
+}
+
+void coo_dia_fill_f32(const int64_t *rows, const int64_t *cols,
+                      const double *vals, int64_t nnz, int64_t n,
+                      const int64_t *uniq, int64_t noff, int64_t width,
+                      float *out)
+{
+    int64_t *lut = (int64_t *)malloc((2 * n - 1) * sizeof(int64_t));
+    for (int64_t k = 0; k < noff; ++k) lut[uniq[k] + (n - 1)] = k;
+    for (int64_t p = 0; p < nnz; ++p)
+        out[lut[cols[p] - rows[p] + (n - 1)] * width + rows[p]] = (float)vals[p];
+    free(lut);
+}
+
+void coo_dia_fill_f64(const int64_t *rows, const int64_t *cols,
+                      const double *vals, int64_t nnz, int64_t n,
+                      const int64_t *uniq, int64_t noff, int64_t width,
+                      double *out)
+{
+    int64_t *lut = (int64_t *)malloc((2 * n - 1) * sizeof(int64_t));
+    for (int64_t k = 0; k < noff; ++k) lut[uniq[k] + (n - 1)] = k;
+    for (int64_t p = 0; p < nnz; ++p)
+        out[lut[cols[p] - rows[p] + (n - 1)] * width + rows[p]] = vals[p];
+    free(lut);
+}
+
+/* Embedded-offset enumeration for the lattice relocation planner
+ * (ops/dia.py embedded_offsets / embedded_offset_count): given a
+ * compressed operator M (COO row/col) and lattice position maps
+ * rpos/cpos, enumerate the distinct embedded diagonals
+ * off = cpos[col] - rpos[row] and their entry counts in two linear
+ * passes, with no nnz-sized temporaries.  i32 variant avoids the
+ * int64 conversion copies of scipy's default index dtype. */
+#define EMB_OFFSETS_BODY(ITYPE)                                           \
+    for (int64_t p = 0; p < nnz; ++p)                                     \
+        mark[cpos[mcol[p]] - rpos[mrow[p]] + (n - 1)] = 1;                \
+    int64_t noff = 0;                                                     \
+    for (int64_t o = 0; o < 2 * n - 1; ++o)                               \
+        if (mark[o]) uniq[noff++] = o - (n - 1);                          \
+    int64_t *lut = (int64_t *)malloc((2 * n - 1) * sizeof(int64_t));      \
+    for (int64_t k = 0; k < noff; ++k) { lut[uniq[k] + (n - 1)] = k; cnt[k] = 0; } \
+    for (int64_t p = 0; p < nnz; ++p)                                     \
+        ++cnt[lut[cpos[mcol[p]] - rpos[mrow[p]] + (n - 1)]];              \
+    free(lut);                                                            \
+    return noff;
+
+int64_t embedded_offsets_i32(const int32_t *mrow, const int32_t *mcol,
+                             int64_t nnz, const int64_t *rpos,
+                             const int64_t *cpos, int64_t n,
+                             unsigned char *mark, int64_t *uniq,
+                             int64_t *cnt)
+{
+    EMB_OFFSETS_BODY(int32_t)
+}
+
+int64_t embedded_offsets_i64(const int64_t *mrow, const int64_t *mcol,
+                             int64_t nnz, const int64_t *rpos,
+                             const int64_t *cpos, int64_t n,
+                             unsigned char *mark, int64_t *uniq,
+                             int64_t *cnt)
+{
+    EMB_OFFSETS_BODY(int64_t)
+}
+
+/* Two-pass, int32-CSR variant of the non-Galerkin filter: operates
+ * directly on scipy's native int32 index arrays and fills caller
+ * (numpy-)allocated outputs, eliminating the int64 conversion and the
+ * malloc->copy round trips of nongalerkin_filter_c (profiled at ~7 s
+ * of pure memcpy per 96^3 setup on a 1-core host). */
+int64_t nongalerkin_count_i32(const int32_t *Ap, const int32_t *Ai,
+                              const double *Ax, int64_t n, double tol,
+                              unsigned char *keep2, int64_t *Cp)
+{
+    double *d = (double *)malloc(n * sizeof(double));
+    for (int64_t i = 0; i < n; ++i) {
+        double v = 0.0;
+        for (int64_t p = Ap[i]; p < Ap[i + 1]; ++p)
+            if (Ai[p] == i) { v = Ax[p]; break; }
+        v = sqrt(fabs(v));
+        d[i] = (v == 0.0) ? 1.0 : v;
+    }
+    int64_t nnz = Ap[n];
+    unsigned char *keep = (unsigned char *)malloc(nnz);
+    for (int64_t i = 0; i < n; ++i)
+        for (int64_t p = Ap[i]; p < Ap[i + 1]; ++p) {
+            int32_t j = Ai[p];
+            keep[p] = (j == i) || !(fabs(Ax[p]) < tol * d[i] * d[j]);
+        }
+    for (int64_t p = 0; p < nnz; ++p) keep2[p] = keep[p];
+    for (int64_t i = 0; i < n; ++i)
+        for (int64_t p = Ap[i]; p < Ap[i + 1]; ++p) {
+            if (keep2[p]) continue;
+            int32_t j = Ai[p];
+            int64_t lo = Ap[j], hi = Ap[j + 1] - 1, pos = -1;
+            while (lo <= hi) {
+                int64_t mid = (lo + hi) >> 1;
+                if (Ai[mid] == (int32_t)i) { pos = mid; break; }
+                if (Ai[mid] < (int32_t)i) lo = mid + 1; else hi = mid - 1;
+            }
+            if (pos >= 0 && keep[pos]) keep2[p] = 1;
+        }
+    free(keep);
+    free(d);
+    Cp[0] = 0;
+    int64_t out_nnz = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        int64_t cnt = 0;
+        int has_diag = 0;
+        for (int64_t p = Ap[i]; p < Ap[i + 1]; ++p)
+            if (keep2[p]) { ++cnt; if (Ai[p] == i) has_diag = 1; }
+        if (!has_diag) ++cnt;
+        out_nnz += cnt;
+        Cp[i + 1] = out_nnz;
+    }
+    return out_nnz;
+}
+
+void nongalerkin_fill_i32(const int32_t *Ap, const int32_t *Ai,
+                          const double *Ax, int64_t n, int lump_strong,
+                          const unsigned char *keep2, const int64_t *Cp,
+                          int32_t *Ci, double *Cx)
+{
+    for (int64_t i = 0; i < n; ++i) {
+        double dropped = 0.0, wsum = 0.0;
+        for (int64_t p = Ap[i]; p < Ap[i + 1]; ++p) {
+            if (!keep2[p]) dropped += Ax[p];
+            else if (Ai[p] != i) wsum += fabs(Ax[p]);
+        }
+        int64_t w = Cp[i];
+        int wrote_diag = 0;
+        double scale = (lump_strong && wsum > 0.0) ? dropped / wsum : 0.0;
+        double diag_add = (lump_strong && wsum > 0.0) ? 0.0 : dropped;
+        for (int64_t p = Ap[i]; p < Ap[i + 1]; ++p) {
+            if (!keep2[p]) continue;
+            int32_t j = Ai[p];
+            double v = Ax[p];
+            if (j == (int32_t)i) { v += diag_add; wrote_diag = 1; }
+            else if (scale != 0.0) v += scale * fabs(Ax[p]);
+            Ci[w] = j; Cx[w++] = v;
+        }
+        if (!wrote_diag) {
+            int64_t ins = Cp[i];
+            while (ins < w && Ci[ins] < (int32_t)i) ++ins;
+            for (int64_t q = w; q > ins; --q) { Ci[q] = Ci[q-1]; Cx[q] = Cx[q-1]; }
+            Ci[ins] = (int32_t)i; Cx[ins] = diag_add;
+        }
+    }
+}
+
+/* int32-CSR strength variant: runs on scipy's native index arrays and
+ * emits int32 S indices, removing the per-level int64 conversion
+ * copies (profiled ~2.8 s per 96^3 setup). */
+int64_t strength_classical_i32(const int32_t *indptr, const int32_t *indices,
+                               const double *data, int64_t n,
+                               double theta, double max_row_sum, int sabs,
+                               int32_t *S_indptr, int32_t *S_indices)
+{
+    int64_t nnz = 0;
+    S_indptr[0] = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        double diag = 0.0, row_scale = 0.0, row_sum = 0.0;
+        int64_t p0 = indptr[i], p1 = indptr[i + 1];
+        for (int64_t p = p0; p < p1; ++p)
+            if (indices[p] == (int32_t)i) { diag = data[p]; break; }
+        if (sabs) {
+            for (int64_t p = p0; p < p1; ++p) {
+                double v = fabs(data[p]);
+                row_sum += v;
+                if (indices[p] != (int32_t)i && v > row_scale) row_scale = v;
+            }
+        } else if (diag < 0) {
+            for (int64_t p = p0; p < p1; ++p) {
+                row_sum += data[p];
+                if (indices[p] != (int32_t)i && data[p] > row_scale)
+                    row_scale = data[p];
+            }
+        } else {
+            for (int64_t p = p0; p < p1; ++p) {
+                row_sum += data[p];
+                if (indices[p] != (int32_t)i && data[p] < row_scale)
+                    row_scale = data[p];
+            }
+        }
+        int weak_row = 0;
+        if (max_row_sum < 1.0) {
+            if (sabs)
+                weak_row = row_sum < fabs(diag) * (2.0 - max_row_sum);
+            else
+                weak_row = fabs(row_sum) > fabs(diag) * max_row_sum;
+        }
+        if (!weak_row) {
+            double thresh = theta * row_scale;
+            if (sabs) {
+                for (int64_t p = p0; p < p1; ++p)
+                    if (indices[p] != (int32_t)i && fabs(data[p]) > thresh)
+                        S_indices[nnz++] = indices[p];
+            } else if (diag < 0) {
+                for (int64_t p = p0; p < p1; ++p)
+                    if (indices[p] != (int32_t)i && data[p] > thresh)
+                        S_indices[nnz++] = indices[p];
+            } else {
+                for (int64_t p = p0; p < p1; ++p)
+                    if (indices[p] != (int32_t)i && data[p] < thresh)
+                        S_indices[nnz++] = indices[p];
+            }
+        }
+        S_indptr[i + 1] = (int32_t)nnz;
+    }
+    return nnz;
+}

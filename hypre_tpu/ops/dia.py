@@ -158,12 +158,23 @@ def csr_to_dia(A: CSRMatrix, dtype=None, device: bool = True) -> DIAMatrix | Non
     whole hierarchy into one jax.device_put (setup-time transfer RTTs
     through remote-device tunnels otherwise dominate)."""
     n, m = A.shape
-    rows = np.repeat(np.arange(n), A.row_nnz())
-    offs = A.indices - rows
-    uniq, k = _uniq_offsets(offs, n, m)
     dt = np.dtype(dtype or A.data.dtype)
-    data = np.zeros((len(uniq), _dia_width(n, m, uniq, dt.itemsize)), dtype=dt)
-    data[k, rows] = A.data.astype(data.dtype)
+    from .. import native
+
+    conv = native.dia_convert(
+        A.indptr, A.indices, A.data, n, m,
+        lambda u: _dia_width(n, m, u, dt.itemsize), dt,
+    )
+    if conv is not None:
+        uniq, data = conv
+    else:
+        rows = np.repeat(np.arange(n), A.row_nnz())
+        offs = A.indices - rows
+        uniq, k = _uniq_offsets(offs, n, m)
+        data = np.zeros(
+            (len(uniq), _dia_width(n, m, uniq, dt.itemsize)), dtype=dt
+        )
+        data[k, rows] = A.data.astype(data.dtype)
     return DIAMatrix(
         data=jnp.asarray(data) if device else data,
         offsets=tuple(int(o) for o in uniq),
@@ -225,9 +236,13 @@ def freeze_auto(
             num_cols=m,
         )
     if n == m and A.nnz:
-        rows = np.repeat(np.arange(n), A.row_nnz())
-        noff = len(_uniq_offsets(A.indices - rows, n, m)[0])
-        if noff <= dia_max_offsets:
+        from .. import native
+
+        uniq = native.dia_offsets_only(A.indptr, A.indices, n, m)
+        if uniq is None:
+            rows = np.repeat(np.arange(n), A.row_nnz())
+            uniq = _uniq_offsets(A.indices - rows, n, m)[0]
+        if len(uniq) <= dia_max_offsets:
             return csr_to_dia(A, dtype, device=device)
     return A.to_ell(dtype=dtype, device=device)
 
@@ -272,6 +287,8 @@ def build_embedded_dia(
     whose unknowns live on a sub-lattice (offsets = cpos[c]-rpos[r] are
     few) — trading padded bandwidth for the TPU's slow HBM gathers.
     """
+    from .. import native
+
     Mc = M.tocoo()
     rows_emb = rpos[Mc.row]
     cols_emb = cpos[Mc.col]
@@ -280,8 +297,16 @@ def build_embedded_dia(
     dt = np.dtype(dtype or Mc.data.dtype)
     tail = None
     if tail_min:
-        uniq0, k0 = _uniq_offsets(offs, n_emb, n_emb)
-        cnt = np.bincount(k0, minlength=len(uniq0))
+        cc = native.coo_dia_counts(rows_emb, cols_emb, n_emb)
+        if cc is not None:
+            uniq0, cnt = cc
+            # inverse via O(nnz) lut gather (no per-entry searchsorted)
+            lut = np.zeros(2 * n_emb - 1, dtype=np.int64)
+            lut[uniq0 + (n_emb - 1)] = np.arange(len(uniq0))
+            k0 = lut[offs + (n_emb - 1)]
+        else:
+            uniq0, k0 = _uniq_offsets(offs, n_emb, n_emb)
+            cnt = np.bincount(k0, minlength=len(uniq0))
         low = cnt < tail_min
         if low.any() and not low.all():
             in_tail = low[k0]
@@ -293,9 +318,18 @@ def build_embedded_dia(
                 rows_emb[~in_tail], cols_emb[~in_tail], offs[~in_tail],
                 vals[~in_tail],
             )
-    uniq, k = _uniq_offsets(offs, n_emb, n_emb)
-    data = np.zeros((len(uniq), _dia_width(n_emb, n_emb, uniq, dt.itemsize)), dtype=dt)
-    data[k, rows_emb] = vals.astype(dt)
+    conv = native.coo_dia_convert(
+        rows_emb, cols_emb, vals, n_emb,
+        lambda u: _dia_width(n_emb, n_emb, u, dt.itemsize), dt,
+    )
+    if conv is not None:
+        uniq, data = conv
+    else:
+        uniq, k = _uniq_offsets(offs, n_emb, n_emb)
+        data = np.zeros(
+            (len(uniq), _dia_width(n_emb, n_emb, uniq, dt.itemsize)), dtype=dt
+        )
+        data[k, rows_emb] = vals.astype(dt)
     dia = DIAMatrix(
         data=jnp.asarray(data) if device else data,
         offsets=tuple(int(o) for o in uniq),
@@ -305,29 +339,37 @@ def build_embedded_dia(
     return DIAWithTail(dia=dia, tail=tail) if tail is not None else dia
 
 
-def embedded_offsets(M, rpos, cpos) -> np.ndarray:
-    """Sorted distinct lattice offsets of the embedded form of M."""
+def _embedded_counts(M, rpos, cpos):
+    """(uniq embedded offsets, per-offset counts); native when possible
+    (no nnz-sized temporaries — the relocation planner calls this per
+    candidate lattice factor)."""
+    from .. import native
+
     Mc = M.tocoo()
     if Mc.nnz == 0:
-        return np.zeros(0, dtype=np.int64)
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+    n = max(int(rpos.max()), int(cpos.max())) + 1
+    res = native.embedded_counts(Mc.row, Mc.col, rpos, cpos, n)
+    if res is not None:
+        return res
     offs = cpos[Mc.col] - rpos[Mc.row]
-    lo = int(offs.min())
-    present = np.zeros(int(offs.max()) - lo + 1, dtype=bool)
-    present[offs - lo] = True
-    return np.flatnonzero(present) + lo
+    uniq, inv = np.unique(offs, return_inverse=True)
+    return uniq.astype(np.int64), np.bincount(inv)
+
+
+def embedded_offsets(M, rpos, cpos) -> np.ndarray:
+    """Sorted distinct lattice offsets of the embedded form of M."""
+    return _embedded_counts(M, rpos, cpos)[0]
 
 
 def embedded_offset_count(M, rpos, cpos, tail_min: int = 0) -> int:
     """Distinct embedded offsets; with tail_min, only those KEPT by a
     tailed build (carrying >= tail_min entries)."""
+    uniq, cnt = _embedded_counts(M, rpos, cpos)
     if not tail_min:
-        return len(embedded_offsets(M, rpos, cpos))
-    Mc = M.tocoo()
-    if Mc.nnz == 0:
+        return len(uniq)
+    if len(uniq) == 0:
         return 0
-    offs = cpos[Mc.col] - rpos[Mc.row]
-    _, inv = np.unique(offs, return_inverse=True)
-    cnt = np.bincount(inv)
     kept = int((cnt >= tail_min).sum())
     return kept if kept else len(cnt)
 

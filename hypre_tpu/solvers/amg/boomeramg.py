@@ -134,6 +134,17 @@ class BoomerAMGOptions:
     relax_order: int = 0
     relax_weight: float = 1.0
     num_sweeps: int = 1
+    # per-cycle-position sweep counts (HYPRE_BoomerAMGSetCycleNumSweeps
+    # k=1/2/3; ij driver -ns_down/-ns_up/-ns_coarse); None = num_sweeps
+    num_sweeps_down: Optional[int] = None
+    num_sweeps_up: Optional[int] = None
+    num_sweeps_coarse: Optional[int] = None
+    # stop coarsening once the next coarse grid would fall below this
+    # (HYPRE_BoomerAMGSetMinCoarseSize, ij driver -min_cs)
+    min_coarse_size: int = 0
+    # absolute-value strength test (HYPRE_BoomerAMGSetSabs,
+    # par_strength.c hypre_BoomerAMGCreateSabs)
+    strength_abs: bool = False
     cheby_order: int = 2
     cheby_ratio: float = 0.3
     # complex smoothers (par_amg.h smooth_type / smooth_num_levels;
@@ -298,6 +309,16 @@ class BoomerAMG:
         o = self.opts
         A = A0.to_scipy().tocsr()
         A.sort_indices()
+        # int32 indices + f64 data: scipy's native currency — keeps every
+        # downstream SpGEMM on the fast path and lets the native kernels
+        # run conversion-free on scipy's own arrays
+        if A.indices.dtype != np.int32 and A.shape[0] < np.iinfo(np.int32).max:
+            A = sp.csr_matrix(
+                (A.data.astype(np.float64, copy=False),
+                 A.indices.astype(np.int32), A.indptr.astype(np.int32)),
+                shape=A.shape,
+            )
+            A.has_sorted_indices = True
         nf = o.num_functions
         if o.dof_func is not None:
             dof = np.asarray(o.dof_func, dtype=np.int64)
@@ -326,9 +347,15 @@ class BoomerAMG:
                                 A_si, o.num_samples, seed=o.seed,
                                 dof_func=dof if nf > 1 else None,
                             )
+                        elif o.strength_abs:
+                            from .strength import strength_matrix_abs
+
+                            S = strength_matrix_abs(
+                                A_si, o.strong_threshold, o.max_row_sum
+                            )
                         else:
                             S = strength_matrix(
-                                CSRMatrix.from_scipy(A_si), o.strong_threshold, o.max_row_sum
+                                A_si, o.strong_threshold, o.max_row_sum
                             )
                     with timed("COARSEN"):
                         cf_device = None
@@ -369,8 +396,7 @@ class BoomerAMG:
                             AN = create_nodal_A(A, nf, o.nodal, o.nodal_diag)
                             if o.nodal in (3, 6) or o.nodal_diag > 0:
                                 SN = strength_matrix(
-                                    CSRMatrix.from_scipy(AN),
-                                    o.strong_threshold, o.max_row_sum,
+                                    AN, o.strong_threshold, o.max_row_sum,
                                 )
                             else:
                                 SN = strength_matrix_abs(
@@ -381,7 +407,7 @@ class BoomerAMG:
                         else:
                             cf = self._coarsen(S)
                     nc = int((cf > 0).sum())
-                    if nc == 0 or nc == n:
+                    if nc == 0 or nc == n or nc < o.min_coarse_size:
                         last = True
                 if last:
                     self._host_A.append(A)
@@ -412,7 +438,7 @@ class BoomerAMG:
                         )
                         A_mid = galerkin_rap(A, P1)
                         S2 = strength_matrix(
-                            CSRMatrix.from_scipy(A_mid),
+                            A_mid,
                             o.strong_threshold,
                             o.max_row_sum,
                         )
@@ -692,32 +718,37 @@ class BoomerAMG:
         for ent in reloc:
             skip_A.add(ent["k"])
             skip_PR.add(ent["k"] - 1)
-        for k in range(L):
-            A = self._host_A[k]
-            P = self._host_P[k] if k < L - 1 else None
-            R = (self._host_R[k] if k < L - 1 else None)
-            cf = self._cf[k]
-            self.levels.append(
-                self._freeze_level(
-                    A, P, R, cf if k < L - 1 else None,
-                    skip_A=k in skip_A, skip_PR=k in skip_PR,
-                    coarsest=(k == L - 1),
+        with timed("FREEZE"):
+            for k in range(L):
+                A = self._host_A[k]
+                P = self._host_P[k] if k < L - 1 else None
+                R = (self._host_R[k] if k < L - 1 else None)
+                cf = self._cf[k]
+                self.levels.append(
+                    self._freeze_level(
+                        A, P, R, cf if k < L - 1 else None,
+                        skip_A=k in skip_A, skip_PR=k in skip_PR,
+                        coarsest=(k == L - 1),
+                    )
                 )
-            )
-        if self._fast is not None:
-            will_reloc_l2 = any(ent["k"] == 2 for ent in reloc)
-            self._install_fast_levels(will_reloc_l2)
-        elif cpos0 is not None:
-            will_reloc_l2 = any(ent["k"] == 2 for ent in reloc)
-            self._build_embed_level1(cpos0, will_reloc_l2)
-        if reloc:
-            self._build_relocated(cpos0, reloc)
-        self.levels = list(jax.device_put(tuple(self.levels)))
-        if self._pending_rap is not None:
-            self._run_device_rap()
-        if self._pending_embed is not None:
-            self._run_embed_scatter()
-        self._build_coarse_collapse()
+            if self._fast is not None:
+                will_reloc_l2 = any(ent["k"] == 2 for ent in reloc)
+                self._install_fast_levels(will_reloc_l2)
+            elif cpos0 is not None:
+                will_reloc_l2 = any(ent["k"] == 2 for ent in reloc)
+                self._build_embed_level1(cpos0, will_reloc_l2)
+            if reloc:
+                self._build_relocated(cpos0, reloc)
+        with timed("TRANSFER"):
+            self.levels = list(jax.device_put(tuple(self.levels)))
+            jax.block_until_ready(jax.tree.leaves(self.levels))
+        with timed("DEVICE_FINALIZE"):
+            if self._pending_rap is not None:
+                self._run_device_rap()
+            if self._pending_embed is not None:
+                self._run_embed_scatter()
+        with timed("COLLAPSE"):
+            self._build_coarse_collapse()
 
     def _run_embed_scatter(self) -> None:
         """Expand the compact level-1 triple to its embedded DIA form on
@@ -1106,14 +1137,32 @@ class BoomerAMG:
         if (o.collapse_coarse_n <= 0 or o.cycle_type != 1 or o.fcycle
                 or o.additive >= 0 or o.relax_order == 1
                 or o.relax_coarse != 9 or o.smooth_num_levels > 0
-                or not {o.relax_down, o.relax_up} <= {0, 5, 7, 18}):
+                or not {o.relax_down, o.relax_up} <= {0, 5, 7, 18}
+                or (o.num_sweeps_down or o.num_sweeps) != o.num_sweeps
+                or (o.num_sweeps_up or o.num_sweeps) != o.num_sweeps):
             return
         L = len(self._host_A)
-        ls = next(
-            (l for l in range(1, L - 1)
-             if self._host_A[l].shape[0] <= o.collapse_coarse_n),
-            None,
-        )
+        reloc_map = getattr(self, "_reloc_cells", {})
+
+        def _ls_ok(l: int) -> bool:
+            if self._host_A[l].shape[0] > o.collapse_coarse_n:
+                return False
+            if l in reloc_map:
+                return True  # handled by the gather/scatter wrap below
+            lv = self.levels[l]
+            # the collapsed map is built in HOST indexing: a frozen
+            # level living on an embedded lattice (level-1 embed) or
+            # any non-host layout cannot take it directly
+            if lv.A is not None and lv.A.num_rows != self._host_A[l].shape[0]:
+                return False
+            Rprev = self.levels[l - 1].R
+            if (Rprev is not None
+                    and getattr(Rprev, "num_rows", None)
+                    not in (None, self._host_A[l].shape[0])):
+                return False
+            return True
+
+        ls = next((l for l in range(1, L - 1) if _ls_ok(l)), None)
         if ls is None or self.levels[-1].coarse_inv is None:
             return
         if any(self.levels[l].euclid is not None for l in range(ls, L)):
@@ -1430,6 +1479,13 @@ class BoomerAMG:
     # ------------------------------------------------------------------
     @property
     def num_levels(self) -> int:
+        # logical setup hierarchy depth (par_stats.c "Number of levels");
+        # the frozen execution hierarchy can be shorter when the coarse
+        # sub-cycle is collapsed (see _build_coarse_collapse)
+        return len(self._host_A)
+
+    @property
+    def num_frozen_levels(self) -> int:
         return len(self.levels)
 
     def grid_complexity(self) -> float:
@@ -1620,13 +1676,18 @@ class BoomerAMG:
                 raise RuntimeError("cycle state machine exploded")
             lvl = levels[level]
             if cycle_param == 3:
-                U[level] = self._smooth(
-                    lvl, o.relax_coarse, U[level], F[level], up=False
-                )
+                ns = (o.num_sweeps_coarse or o.num_sweeps
+                      if o.relax_coarse != 9 else 1)
+                for _ in range(ns):
+                    U[level] = self._smooth(
+                        lvl, o.relax_coarse, U[level], F[level], up=False
+                    )
                 uz[level] = False
             else:
                 rt = o.relax_down if cycle_param in (0, 1) else o.relax_up
-                for _ in range(o.num_sweeps):
+                ns = (o.num_sweeps_down if cycle_param in (0, 1)
+                      else o.num_sweeps_up) or o.num_sweeps
+                for _ in range(ns):
                     U[level] = self._smooth(
                         lvl, rt, U[level], F[level], up=(cycle_param == 2),
                         u_zero=uz[level],

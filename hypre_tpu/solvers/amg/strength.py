@@ -24,16 +24,17 @@ from ...ops.csr import CSRMatrix
 def strength_matrix(
     A: CSRMatrix, theta: float = 0.25, max_row_sum: float = 0.9
 ) -> sp.csr_matrix:
-    """Boolean pattern CSR (data all 1.0), diagonal excluded."""
+    """Boolean pattern CSR (data all 1.0), diagonal excluded.
+
+    Accepts a CSRMatrix or a scipy CSR; pass scipy's native int32-index
+    matrix to hit the conversion-free native path."""
     from ... import native
 
-    S = native.strength_classical(
-        A.to_scipy() if hasattr(A, "to_scipy") else A, theta, max_row_sum
-    )
+    M = A.to_scipy() if hasattr(A, "to_scipy") else A.tocsr()
+    S = native.strength_classical(M, theta, max_row_sum)
     if S is not None:
         return S
-    n = A.num_rows
-    M = A.to_scipy()
+    n = M.shape[0]
     diag = M.diagonal()
     indptr, indices, data = M.indptr, M.indices, M.data
 

@@ -4,6 +4,8 @@ import sys, time
 import numpy as np
 sys.path.insert(0, ".")
 import jax
+from hypre_tpu.utils import tune_host_malloc
+tune_host_malloc()
 from hypre_tpu.models import laplacian_7pt
 from hypre_tpu.solvers.amg import BoomerAMG, BoomerAMGOptions
 from hypre_tpu.utils.timing import GLOBAL_TIMER

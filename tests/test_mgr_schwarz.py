@@ -53,3 +53,84 @@ def test_mgr_multilevel():
     b = jnp.ones(n)
     res = mgr.solve(A, b, tol=1e-8)
     assert bool(res.converged)
+
+
+def _mgr_case(opts, tol=1e-9):
+    A = laplacian_5pt_2d(12, 12)
+    n = A.num_rows
+    cm = (np.arange(n) % 2 == 0)
+    mgr = MGR(A, cm, opts)
+    b = jnp.ones(n)
+    res = mgr.solve(A, b, tol=tol)
+    assert bool(res.converged), opts
+    x_ref = spla.spsolve(A.to_scipy().tocsc(), np.ones(n))
+    np.testing.assert_allclose(np.asarray(res.x), x_ref, rtol=1e-4, atol=1e-8)
+    return res
+
+
+def test_mgr_block_variants():
+    """CPR-style block-diagonal-inverse interpolation + block F-relax
+    (par_mgr.c hypre_blockRelax_setup/hypre_blockRelax,
+    hypre_MGRBuildP block path)."""
+    base = _mgr_case(MGROptions())
+    blk = _mgr_case(MGROptions(interp_type="blk_jacobi",
+                               frelax="blk_jacobi", blk_size=2,
+                               num_f_sweeps=2))
+    # block inverse is at least as strong a reduction as point Jacobi
+    assert int(blk.num_iterations) <= int(base.num_iterations) + 2
+
+
+def test_mgr_approx_inv_and_classical():
+    """Approximate-inverse interpolation (par_mgr.c:2696, NSH inverse)
+    and classical modified interpolation (par_mgr.c else-branch)."""
+    _mgr_case(MGROptions(interp_type="approx_inv"))
+    _mgr_case(MGROptions(interp_type="classical"))
+
+
+def test_mgr_restrict_and_galerkin():
+    """Non-injection restriction (MGRBuildP on A^T) and the Galerkin
+    coarse grid (mgr_coarse_grid_method 0): R A P must equal the
+    assembled reduced operator."""
+    import scipy.sparse as sp
+
+    A = laplacian_5pt_2d(10, 10)
+    n = A.num_rows
+    cm = (np.arange(n) % 3 == 0)
+    o = MGROptions(interp_type="jacobi", restrict_type="jacobi",
+                   coarse_grid_method="galerkin")
+    mgr = MGR(A, cm, o)
+    # explicit check of the Galerkin product
+    As = A.to_scipy().tocsr()
+    cidx = np.flatnonzero(cm); fidx = np.flatnonzero(~cm)
+    Aff = As[fidx][:, fidx]; Afc = As[fidx][:, cidx]
+    Acf = As[cidx][:, fidx]; Acc = As[cidx][:, cidx]
+    dffi = 1.0 / Aff.diagonal()
+    Wp = (-sp.diags(dffi) @ Afc).tocsr()
+    Wr = (-Acf @ sp.diags(dffi)).tocsr()
+    Ac_ref = Acc + Acf @ Wp + Wr @ Afc + Wr @ Aff @ Wp
+    Ac_got = mgr.amg._host_A[0]
+    assert abs(Ac_got - Ac_ref).max() < 1e-12
+    b = jnp.ones(n)
+    res = mgr.solve(A, b, tol=1e-9)
+    assert bool(res.converged)
+
+
+def test_mgr_amg_frelax():
+    """Frelax_method 1: a BoomerAMG V-cycle as the F-relaxation."""
+    res = _mgr_case(MGROptions(frelax="amg"))
+    base = _mgr_case(MGROptions())
+    assert int(res.num_iterations) <= int(base.num_iterations)
+
+
+def test_nsh_inverse_quality():
+    """The MR+NSH approximate inverse reduces ||I - A M|| vs diagonal."""
+    import scipy.sparse as sp
+    from hypre_tpu.solvers.amg.mgr import nsh_approx_inverse
+
+    A = laplacian_5pt_2d(8, 8).to_scipy().tocsr()
+    n = A.shape[0]
+    I = sp.identity(n, format="csr")
+    M = nsh_approx_inverse(A, droptol=1e-3, max_row_nnz=8)
+    r_nsh = spla.norm((I - A @ M).tocsr())
+    r_diag = spla.norm((I - A @ sp.diags(1.0 / A.diagonal())).tocsr())
+    assert r_nsh < 0.6 * r_diag
