@@ -592,34 +592,48 @@ def dia_convert(indptr, indices, data, n: int, m: int, width_of, dtype):
     lib = _load()
     if lib is None:
         return None
-    if not hasattr(lib, "dia_bound"):
-        I64 = ctypes.POINTER(ctypes.c_int64)
-        D = ctypes.POINTER(ctypes.c_double)
-        F = ctypes.POINTER(ctypes.c_float)
-        U8 = ctypes.POINTER(ctypes.c_uint8)
-        lib.dia_offsets.argtypes = [I64, I64, ctypes.c_int64,
-                                    ctypes.c_int64, U8, I64]
-        lib.dia_offsets.restype = ctypes.c_int64
-        lib.dia_fill_f64.argtypes = [I64, I64, D, ctypes.c_int64,
-                                     ctypes.c_int64, I64, ctypes.c_int64,
-                                     ctypes.c_int64, D]
-        lib.dia_fill_f64.restype = None
-        lib.dia_fill_f32.argtypes = [I64, I64, D, ctypes.c_int64,
-                                     ctypes.c_int64, I64, ctypes.c_int64,
-                                     ctypes.c_int64, F]
-        lib.dia_fill_f32.restype = None
-        lib.dia_bound = True
-    ai = np.ascontiguousarray(indptr, dtype=np.int64)
-    aj = np.ascontiguousarray(indices, dtype=np.int64)
+    _bind_dia(lib)
     ad = np.ascontiguousarray(data, dtype=np.float64)
     mark = np.zeros(n + m - 1, dtype=np.uint8)
     uniq = np.zeros(n + m - 1, dtype=np.int64)
-    noff = lib.dia_offsets(
-        _ptr(ai), _ptr(aj), n, m,
-        mark.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), _ptr(uniq))
+    u8p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    i32 = (np.asarray(indptr).dtype == np.int32
+           and np.asarray(indices).dtype == np.int32)
+    if i32:
+        ai = np.ascontiguousarray(indptr)
+        aj = np.ascontiguousarray(indices)
+        i32p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+        noff = lib.dia_offsets_i32(i32p(ai), i32p(aj), n, m, u8p(mark),
+                                   _ptr(uniq))
+    else:
+        ai = np.ascontiguousarray(indptr, dtype=np.int64)
+        aj = np.ascontiguousarray(indices, dtype=np.int64)
+        noff = lib.dia_offsets(_ptr(ai), _ptr(aj), n, m, u8p(mark),
+                               _ptr(uniq))
     uniq = uniq[:noff].copy()
     width = int(width_of(uniq))
     dt = np.dtype(dtype)
+    bf16 = dt.name == "bfloat16"
+    if i32 and bf16:
+        # direct bf16 fill: double->float->bf16 RNE in C, bitwise equal
+        # to the fill-f32 + astype(bf16) chain it replaces
+        out = np.zeros((noff, width), dtype=dt)
+        lib.dia_fill_i32_bf16(
+            i32p(ai), i32p(aj), _dptr(ad), n, m, _ptr(uniq), noff, width,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)))
+        return uniq, out
+    if i32:
+        fill_dt = np.float64 if dt == np.float64 else np.float32
+        out = np.zeros((noff, width), dtype=fill_dt)
+        fill = (lib.dia_fill_i32_f64 if fill_dt == np.float64
+                else lib.dia_fill_i32_f32)
+        fill(i32p(ai), i32p(aj), _dptr(ad), n, m, _ptr(uniq), noff, width,
+             out.ctypes.data_as(ctypes.POINTER(
+                 ctypes.c_double if fill_dt == np.float64
+                 else ctypes.c_float)))
+        if dt != fill_dt:
+            out = out.astype(dt)
+        return uniq, out
     fill_dt = np.float64 if dt == np.float64 else np.float32
     out = np.zeros((noff, width), dtype=fill_dt)
     fill = lib.dia_fill_f64 if fill_dt == np.float64 else lib.dia_fill_f32
@@ -631,25 +645,63 @@ def dia_convert(indptr, indices, data, n: int, m: int, width_of, dtype):
     return uniq, out
 
 
+def _bind_dia(lib):
+    if hasattr(lib, "dia_bound"):
+        return
+    I64 = ctypes.POINTER(ctypes.c_int64)
+    I32 = ctypes.POINTER(ctypes.c_int32)
+    D = ctypes.POINTER(ctypes.c_double)
+    F = ctypes.POINTER(ctypes.c_float)
+    U16 = ctypes.POINTER(ctypes.c_uint16)
+    U8 = ctypes.POINTER(ctypes.c_uint8)
+    lib.dia_offsets.argtypes = [I64, I64, ctypes.c_int64,
+                                ctypes.c_int64, U8, I64]
+    lib.dia_offsets.restype = ctypes.c_int64
+    lib.dia_offsets_i32.argtypes = [I32, I32, ctypes.c_int64,
+                                    ctypes.c_int64, U8, I64]
+    lib.dia_offsets_i32.restype = ctypes.c_int64
+    lib.dia_fill_f64.argtypes = [I64, I64, D, ctypes.c_int64,
+                                 ctypes.c_int64, I64, ctypes.c_int64,
+                                 ctypes.c_int64, D]
+    lib.dia_fill_f64.restype = None
+    lib.dia_fill_f32.argtypes = [I64, I64, D, ctypes.c_int64,
+                                 ctypes.c_int64, I64, ctypes.c_int64,
+                                 ctypes.c_int64, F]
+    lib.dia_fill_f32.restype = None
+    for fn, P in ((lib.dia_fill_i32_f64, D), (lib.dia_fill_i32_f32, F),
+                  (lib.dia_fill_i32_bf16, U16)):
+        fn.argtypes = [I32, I32, D, ctypes.c_int64, ctypes.c_int64,
+                       I64, ctypes.c_int64, ctypes.c_int64, P]
+        fn.restype = None
+    lib.coo_dia_fill_bf16.argtypes = [I64, I64, D, ctypes.c_int64,
+                                      ctypes.c_int64, I64, ctypes.c_int64,
+                                      ctypes.c_int64, U16]
+    lib.coo_dia_fill_bf16.restype = None
+    lib.dia_bound = True
+
+
 def dia_offsets_only(indptr, indices, n: int, m: int):
     """Distinct diagonal offsets of a CSR pattern (native); None without
     a compiler."""
     lib = _load()
     if lib is None:
         return None
-    if not hasattr(lib, "dia_bound"):
-        I64 = ctypes.POINTER(ctypes.c_int64)
-        U8 = ctypes.POINTER(ctypes.c_uint8)
-        lib.dia_offsets.argtypes = [I64, I64, ctypes.c_int64,
-                                    ctypes.c_int64, U8, I64]
-        lib.dia_offsets.restype = ctypes.c_int64
-    ai = np.ascontiguousarray(indptr, dtype=np.int64)
-    aj = np.ascontiguousarray(indices, dtype=np.int64)
+    _bind_dia(lib)
     mark = np.zeros(n + m - 1, dtype=np.uint8)
     uniq = np.zeros(n + m - 1, dtype=np.int64)
-    noff = lib.dia_offsets(
-        _ptr(ai), _ptr(aj), n, m,
-        mark.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), _ptr(uniq))
+    u8p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    if (np.asarray(indptr).dtype == np.int32
+            and np.asarray(indices).dtype == np.int32):
+        ai = np.ascontiguousarray(indptr)
+        aj = np.ascontiguousarray(indices)
+        i32p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+        noff = lib.dia_offsets_i32(i32p(ai), i32p(aj), n, m, u8p(mark),
+                                   _ptr(uniq))
+    else:
+        ai = np.ascontiguousarray(indptr, dtype=np.int64)
+        aj = np.ascontiguousarray(indices, dtype=np.int64)
+        noff = lib.dia_offsets(_ptr(ai), _ptr(aj), n, m, u8p(mark),
+                               _ptr(uniq))
     return uniq[:noff].copy()
 
 
@@ -689,6 +741,13 @@ def coo_dia_convert(rows, cols, vals, n: int, width_of, dtype,
     cnt = cnt[:noff].copy()
     width = int(width_of(uniq))
     dt = np.dtype(dtype)
+    if dt.name == "bfloat16":
+        _bind_dia(lib)
+        out = np.zeros((noff, width), dtype=dt)
+        lib.coo_dia_fill_bf16(
+            _ptr(r), _ptr(c), _dptr(v), nnz, n, _ptr(uniq), noff, width,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)))
+        return (uniq, out, cnt) if counts else (uniq, out)
     fill_dt = np.float64 if dt == np.float64 else np.float32
     out = np.zeros((noff, width), dtype=fill_dt)
     fill = lib.coo_dia_fill_f64 if fill_dt == np.float64 else lib.coo_dia_fill_f32

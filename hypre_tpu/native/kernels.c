@@ -10,6 +10,7 @@
 
 #include <stdint.h>
 #include <stdlib.h>
+#include <string.h>
 #include <math.h>
 
 /* Wavefront levels of the lower(upper)-triangular dependency DAG:
@@ -1121,6 +1122,71 @@ void dia_fill_f32(const int64_t *Ap, const int64_t *Ai, const double *Ax,
     free(lut);
 }
 
+/* int32-CSR + direct-target-dtype fill variants: scipy's native index
+ * currency in (no int64 upconversion copies of nnz-sized index
+ * arrays), the frozen buffer's dtype out (no post-fill astype pass —
+ * at 96^3 the f32->bf16 astype alone re-streams the whole hierarchy).
+ * bf16 conversion is double->float (C cast, RNE) then float->bf16 RNE
+ * — bitwise identical to numpy astype(float32).astype(ml_dtypes
+ * .bfloat16), so frozen hierarchies are unchanged. */
+static inline uint16_t f32_to_bf16(float f)
+{
+    uint32_t x;
+    memcpy(&x, &f, 4);
+    if ((x & 0x7fffffffu) > 0x7f800000u)        /* NaN: quiet, keep sign */
+        return (uint16_t)((x >> 16) | 0x0040u);
+    uint32_t round = ((x >> 16) & 1u) + 0x7fffu;
+    return (uint16_t)((x + round) >> 16);
+}
+
+int64_t dia_offsets_i32(const int32_t *Ap, const int32_t *Ai, int64_t n,
+                        int64_t m, unsigned char *mark, int64_t *uniq)
+{
+    (void)m;
+    for (int64_t i = 0; i < n; ++i)
+        for (int64_t p = Ap[i]; p < Ap[i + 1]; ++p)
+            mark[(int64_t)Ai[p] - i + (n - 1)] = 1;
+    int64_t cnt = 0;
+    int64_t span = n + m - 1;
+    for (int64_t o = 0; o < span; ++o)
+        if (mark[o]) uniq[cnt++] = o - (n - 1);
+    return cnt;
+}
+
+#define DIA_FILL_I32_BODY(CONVERT, OTYPE)                                 \
+    int64_t *lut = (int64_t *)malloc((n + m - 1) * sizeof(int64_t));      \
+    for (int64_t k = 0; k < noff; ++k) lut[uniq[k] + (n - 1)] = k;        \
+    for (int64_t i = 0; i < n; ++i)                                       \
+        for (int64_t p = Ap[i]; p < Ap[i + 1]; ++p)                       \
+            out[lut[(int64_t)Ai[p] - i + (n - 1)] * width + i] =          \
+                CONVERT(Ax[p]);                                           \
+    free(lut);
+
+void dia_fill_i32_f64(const int32_t *Ap, const int32_t *Ai,
+                      const double *Ax, int64_t n, int64_t m,
+                      const int64_t *uniq, int64_t noff, int64_t width,
+                      double *out)
+{
+    DIA_FILL_I32_BODY((double), double)
+}
+
+void dia_fill_i32_f32(const int32_t *Ap, const int32_t *Ai,
+                      const double *Ax, int64_t n, int64_t m,
+                      const int64_t *uniq, int64_t noff, int64_t width,
+                      float *out)
+{
+    DIA_FILL_I32_BODY((float), float)
+}
+
+#define D2BF16(x) f32_to_bf16((float)(x))
+void dia_fill_i32_bf16(const int32_t *Ap, const int32_t *Ai,
+                       const double *Ax, int64_t n, int64_t m,
+                       const int64_t *uniq, int64_t noff, int64_t width,
+                       uint16_t *out)
+{
+    DIA_FILL_I32_BODY(D2BF16, uint16_t)
+}
+
 /* COO (already embedded: off = col - row) variants for
  * build_embedded_dia: offsets+counts in one linear pass pair, fill
  * without the numpy fancy scatter. */
@@ -1162,6 +1228,19 @@ void coo_dia_fill_f64(const int64_t *rows, const int64_t *cols,
     for (int64_t k = 0; k < noff; ++k) lut[uniq[k] + (n - 1)] = k;
     for (int64_t p = 0; p < nnz; ++p)
         out[lut[cols[p] - rows[p] + (n - 1)] * width + rows[p]] = vals[p];
+    free(lut);
+}
+
+void coo_dia_fill_bf16(const int64_t *rows, const int64_t *cols,
+                       const double *vals, int64_t nnz, int64_t n,
+                       const int64_t *uniq, int64_t noff, int64_t width,
+                       uint16_t *out)
+{
+    int64_t *lut = (int64_t *)malloc((2 * n - 1) * sizeof(int64_t));
+    for (int64_t k = 0; k < noff; ++k) lut[uniq[k] + (n - 1)] = k;
+    for (int64_t p = 0; p < nnz; ++p)
+        out[lut[cols[p] - rows[p] + (n - 1)] * width + rows[p]] =
+            f32_to_bf16((float)vals[p]);
     free(lut);
 }
 

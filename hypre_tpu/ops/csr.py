@@ -35,8 +35,16 @@ class CSRMatrix:
     __slots__ = ("indptr", "indices", "data", "shape")
 
     def __init__(self, indptr, indices, data, shape):
-        self.indptr = np.asarray(indptr, dtype=np.int64)
-        self.indices = np.asarray(indices, dtype=np.int64)
+        # preserve scipy's int32 index currency (no nnz-sized upcast
+        # copies at wrap time); anything else is normalized to int64
+        indptr = np.asarray(indptr)
+        indices = np.asarray(indices)
+        if indptr.dtype != np.int32:
+            indptr = indptr.astype(np.int64, copy=False)
+        if indices.dtype != np.int32:
+            indices = indices.astype(np.int64, copy=False)
+        self.indptr = indptr
+        self.indices = indices
         self.data = np.asarray(data)
         self.shape = (int(shape[0]), int(shape[1]))
 
@@ -92,15 +100,18 @@ class CSRMatrix:
         n_pad = _round_up(max(n, 1), row_pad)
 
         cols = np.zeros((n_pad, width), dtype=np.int32)
-        vals = np.zeros((n_pad, width), dtype=self.data.dtype)
+        # convert the nnz-sized data ONCE, scatter into the target-dtype
+        # buffer directly (converting the padded [n_pad, width] buffer
+        # afterwards re-streams width/mean_nnz x the bytes)
+        data = self.data if dtype is None else self.data.astype(
+            dtype, copy=False)
+        vals = np.zeros((n_pad, width), dtype=data.dtype)
         # scatter each row's entries into its padded slot (vectorized)
         if self.nnz:
             r = np.repeat(np.arange(n), rn)
             k = np.arange(self.nnz) - np.repeat(self.indptr[:-1], rn)
             cols[r, k] = self.indices
-            vals[r, k] = self.data
-        if dtype is not None:
-            vals = vals.astype(dtype)
+            vals[r, k] = data
         return ELLMatrix(
             cols=jnp.asarray(cols) if device else cols,
             data=jnp.asarray(vals) if device else vals,

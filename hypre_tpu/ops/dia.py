@@ -153,6 +153,18 @@ def _uniq_offsets(offs: np.ndarray, n: int, m: int):
     return uniq, np.searchsorted(uniq, offs)
 
 
+def csr_offsets(indptr, indices, n: int, m: int) -> np.ndarray:
+    """Distinct diagonal offsets of a CSR pattern — native one-pass scan
+    (no nnz-sized row-expansion temporaries); numpy fallback."""
+    from .. import native
+
+    uniq = native.dia_offsets_only(indptr, indices, n, m)
+    if uniq is None:
+        rows = np.repeat(np.arange(n), np.diff(indptr))
+        uniq = _uniq_offsets(np.asarray(indices) - rows, n, m)[0]
+    return uniq
+
+
 def csr_to_dia(A: CSRMatrix, dtype=None, device: bool = True) -> DIAMatrix | None:
     """device=False leaves `data` as numpy for callers that batch the
     whole hierarchy into one jax.device_put (setup-time transfer RTTs

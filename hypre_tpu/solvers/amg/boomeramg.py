@@ -286,6 +286,8 @@ class BoomerAMG:
         self._pending_rap = None
         self._pending_embed = None
         self._fast = None  # device level-0 chain products (device_setup)
+        self._freeze_ex = None  # transfer worker, live only during freeze
+        self._inflight = []
         self._setup(A)  # host numpy/scipy hierarchy (levels >= fast depth)
         self._freeze_hierarchy()
 
@@ -367,13 +369,10 @@ class BoomerAMG:
                             and o.gsmg == 0
                             and o.lattice_shape is not None
                         ):
-                            from ...ops.dia import _uniq_offsets, csr_to_dia
+                            from ...ops.dia import csr_offsets, csr_to_dia
                             from .device_coarsen import device_pmis
 
-                            rows0 = np.repeat(
-                                np.arange(n), np.diff(A.indptr)
-                            )
-                            if len(_uniq_offsets(A.indices - rows0, n, n)[0]) <= 48:
+                            if len(csr_offsets(A.indptr, A.indices, n, n)) <= 48:
                                 D0 = csr_to_dia(
                                     CSRMatrix.from_scipy(A), device=False
                                 )
@@ -521,10 +520,9 @@ class BoomerAMG:
             return False
         if o.max_levels < 3 or n <= o.max_coarse_size:
             return False
-        from ...ops.dia import _uniq_offsets
+        from ...ops.dia import csr_offsets
 
-        rows = np.repeat(np.arange(n), np.diff(A.indptr))
-        return len(_uniq_offsets(A.indices - rows, n, n)[0]) <= 48
+        return len(csr_offsets(A.indptr, A.indices, n, n)) <= 48
 
     def _device_setup_level0(self, A):
         """Run strength -> PMIS -> classical interp -> RAP for level 0
@@ -718,30 +716,71 @@ class BoomerAMG:
         for ent in reloc:
             skip_A.add(ent["k"])
             skip_PR.add(ent["k"] - 1)
-        with timed("FREEZE"):
-            for k in range(L):
-                A = self._host_A[k]
-                P = self._host_P[k] if k < L - 1 else None
-                R = (self._host_R[k] if k < L - 1 else None)
-                cf = self._cf[k]
-                self.levels.append(
-                    self._freeze_level(
+        # pipeline: ship each level from a worker thread WHILE the next
+        # level freezes on the host (device_put releases the GIL during
+        # the tunnel copy, so transfer rides entirely behind freeze
+        # compute; the round-2 shape paid freeze + transfer serially).
+        # The embed/reloc builders likewise _ship_field their products
+        # the moment each is built.
+        from concurrent.futures import ThreadPoolExecutor
+
+        frozen, futures = [], []
+        ex = ThreadPoolExecutor(1)
+        self._freeze_ex, self._inflight = ex, []
+        try:
+            with timed("FREEZE"):
+                for k in range(L):
+                    A = self._host_A[k]
+                    P = self._host_P[k] if k < L - 1 else None
+                    R = (self._host_R[k] if k < L - 1 else None)
+                    cf = self._cf[k]
+                    lvl = self._freeze_level(
                         A, P, R, cf if k < L - 1 else None,
                         skip_A=k in skip_A, skip_PR=k in skip_PR,
                         coarsest=(k == L - 1),
                     )
-                )
-            if self._fast is not None:
-                will_reloc_l2 = any(ent["k"] == 2 for ent in reloc)
-                self._install_fast_levels(will_reloc_l2)
-            elif cpos0 is not None:
-                will_reloc_l2 = any(ent["k"] == 2 for ent in reloc)
-                self._build_embed_level1(cpos0, will_reloc_l2)
-            if reloc:
-                self._build_relocated(cpos0, reloc)
-        with timed("TRANSFER"):
-            self.levels = list(jax.device_put(tuple(self.levels)))
-            jax.block_until_ready(jax.tree.leaves(self.levels))
+                    self.levels.append(lvl)
+                    frozen.append(lvl)
+                    futures.append(ex.submit(jax.device_put, lvl))
+                if self._fast is not None:
+                    will_reloc_l2 = any(ent["k"] == 2 for ent in reloc)
+                    self._install_fast_levels(will_reloc_l2)
+                elif cpos0 is not None:
+                    will_reloc_l2 = any(ent["k"] == 2 for ent in reloc)
+                    self._build_embed_level1(cpos0, will_reloc_l2)
+                if reloc:
+                    self._build_relocated(cpos0, reloc)
+            with timed("TRANSFER"):
+                for k, (lvl, fut) in enumerate(zip(frozen, futures)):
+                    shipped = fut.result()
+                    cur = self.levels[k]
+                    if cur is lvl:
+                        self.levels[k] = shipped
+                    else:
+                        # a builder replaced SOME fields: keep its
+                        # replacements, adopt the shipped copies of every
+                        # untouched field (discarding them would re-ship
+                        # the whole level serially below)
+                        merged = {
+                            f.name: getattr(shipped, f.name)
+                            for f in dataclasses.fields(lvl)
+                            if getattr(cur, f.name) is getattr(lvl, f.name)
+                        }
+                        if merged:
+                            self.levels[k] = dataclasses.replace(
+                                cur, **merged)
+                for k, field, obj, fut in self._inflight:
+                    if getattr(self.levels[k], field) is obj:
+                        self.levels[k] = dataclasses.replace(
+                            self.levels[k], **{field: fut.result()})
+                # anything still numpy (rare leftovers) rides one final
+                # batched put; device leaves pass through untouched
+                self.levels = list(jax.device_put(tuple(self.levels)))
+                jax.block_until_ready(jax.tree.leaves(self.levels))
+        finally:
+            self._freeze_ex = None
+            self._inflight = []
+            ex.shutdown(wait=True)
         with timed("DEVICE_FINALIZE"):
             if self._pending_rap is not None:
                 self._run_device_rap()
@@ -749,6 +788,16 @@ class BoomerAMG:
                 self._run_embed_scatter()
         with timed("COLLAPSE"):
             self._build_coarse_collapse()
+
+    def _ship_field(self, k: int, field: str, obj) -> None:
+        """Start shipping a freshly-built level field to device on the
+        freeze worker thread; _freeze_hierarchy's TRANSFER step swaps in
+        the device copy (identity-guarded, so a later builder overwriting
+        the field simply orphans the early ship)."""
+        if self._freeze_ex is not None and obj is not None:
+            self._inflight.append(
+                (k, field, obj, self._freeze_ex.submit(jax.device_put, obj))
+            )
 
     def _run_embed_scatter(self) -> None:
         """Expand the compact level-1 triple to its embedded DIA form on
@@ -763,9 +812,9 @@ class BoomerAMG:
             out = jnp.zeros((noff, width), vals.dtype)
             return out.at[koff, pos].set(vals)
 
+        res = lambda x: x.result() if hasattr(x, "result") else jnp.asarray(x)
         data = scatter(
-            jnp.asarray(p["koff"]), jnp.asarray(p["pos"]),
-            jnp.asarray(p["vals"]),
+            res(p["koff"]), res(p["pos"]), res(p["vals"]),
             noff=len(p["offsets"]), width=p["width"],
         )
         self.levels[1] = dataclasses.replace(
@@ -920,10 +969,9 @@ class BoomerAMG:
         n0, m0 = A0.shape
         if n0 != m0 or n0 <= 6144 or A0.nnz == 0:
             return None
-        from ...ops.dia import _uniq_offsets
+        from ...ops.dia import csr_offsets
 
-        rows = np.repeat(np.arange(n0), np.diff(A0.indptr))
-        if len(_uniq_offsets(A0.indices - rows, n0, m0)[0]) > 48:
+        if len(csr_offsets(A0.indptr, A0.indices, n0, m0)) > 48:
             return None
         cpos0 = np.flatnonzero(self._cf[0] > 0).astype(np.int64)
         if embedded_offset_count(self._host_A[1], cpos0, cpos0) > o.max_embedded_offsets:
@@ -945,15 +993,15 @@ class BoomerAMG:
 
         use_device_rap = o.device_rap and self._host_A1_unf is not None
         lvl0, lvl1 = self.levels[0], self.levels[1]
-        lvl0 = dataclasses.replace(
-            lvl0,
-            P=build_embedded_dia(P0, idx, cpos0, n0, mdt, device=False),
-            # R = P^T is a pure diagonal permutation — derived on device
-            # (bitwise the host values) when the device-RAP path is on
-            R=None if use_device_rap else build_embedded_dia(
-                P0.T.tocsr(), cpos0, idx, n0, mdt, device=False
-            ),
+        P_emb = build_embedded_dia(P0, idx, cpos0, n0, mdt, device=False)
+        self._ship_field(0, "P", P_emb)  # overlaps the R/A1 build below
+        # R = P^T is a pure diagonal permutation — derived on device
+        # (bitwise the host values) when the device-RAP path is on
+        R_emb = None if use_device_rap else build_embedded_dia(
+            P0.T.tocsr(), cpos0, idx, n0, mdt, device=False
         )
+        self._ship_field(0, "R", R_emb)
+        lvl0 = dataclasses.replace(lvl0, P=P_emb, R=R_emb)
 
         diag1 = A1.diagonal()
         dinv_e = np.zeros(n0, dtype=dt)
@@ -980,6 +1028,8 @@ class BoomerAMG:
             cpos_i32 = cpos0.astype(np.int32)
             new_P = ScatterOp(inner=innerP, pos=cpos_i32, n_out=n0)
             new_R = GatherOp(inner=innerR, pos=cpos_i32)
+            self._ship_field(1, "P", new_P)
+            self._ship_field(1, "R", new_R)
         # _host_A1_unf is set exactly when level 1 came from the
         # R = P^T Galerkin branch — the product the device re-derives
         if use_device_rap:
@@ -1021,6 +1071,10 @@ class BoomerAMG:
                 width=_dia_width(n0, n0, offs_e, mdt.itemsize),
                 n=n0, mdt=mdt,
             )
+            if self._freeze_ex is not None:  # pre-ship the compact triple
+                for key in ("koff", "pos", "vals"):
+                    self._pending_embed[key] = self._freeze_ex.submit(
+                        jax.device_put, self._pending_embed[key])
             A_emb = None  # materialized in _run_embed_scatter
         lvl1 = dataclasses.replace(
             lvl1,
@@ -1400,6 +1454,7 @@ class BoomerAMG:
                     A_k, rcell, rcell, ncells, mdt, device=False,
                     tail_min=ent.get("tail_min", 0),
                 )
+                self._ship_field(k, "A", A_new)
             else:
                 # dense-MXU core behind tiny gather/scatter
                 rcell_i32 = rcell.astype(np.int32)
@@ -1423,10 +1478,12 @@ class BoomerAMG:
                 Pf, rcell, lat_shape, factors, mdt, device=False,
                 tail_min=ent.get("tail_min", 0),
             )
+            self._ship_field(k - 1, "P", Pop)
             Rop = build_parity_restrict(
                 Pf.T.tocsr(), rcell, lat_shape, factors, mdt, device=False,
                 tail_min=ent.get("tail_min", 0),
             )
+            self._ship_field(k - 1, "R", Rop)
 
             # --- commit level k --------------------------------------------
             diag = A_k.diagonal()
