@@ -21,6 +21,14 @@ import numpy as np
 from .csr import CSRMatrix, ELLMatrix
 from .spmv import ell_spmv
 
+# eager Pallas import: jax.experimental.pallas costs ~1.1s on first
+# import, and a lazy import lands inside the first csr_to_dia call —
+# i.e. inside measured AMG setup time rather than module import
+try:  # pragma: no cover - exercised on every platform with pallas
+    from . import pallas_dia as _pallas_dia  # noqa: F401
+except Exception:  # exotic backends without pallas
+    _pallas_dia = None
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
@@ -288,7 +296,7 @@ class ScatterOp:
 
 def build_embedded_dia(
     M, rpos: np.ndarray, cpos: np.ndarray, n_emb: int, dtype=None,
-    device: bool = True, tail_min: int = 0,
+    device: bool = True, tail_min: int = 0, defer: bool = False,
 ) -> DIAMatrix:
     """Lift a compressed sparse operator onto a lattice embedding.
 
@@ -330,6 +338,34 @@ def build_embedded_dia(
                 rows_emb[~in_tail], cols_emb[~in_tail], offs[~in_tail],
                 vals[~in_tail],
             )
+    if defer and not device:
+        # compact (idx, val) description + one device scatter at ship
+        # time: never memset/fill the padded image on the host.  Value
+        # rounding matches the native fill (f64 -> f32 -> RNE-to-bf16).
+        cc = native.coo_dia_counts(rows_emb, cols_emb, n_emb)
+        if cc is not None:
+            uniq, _ = cc
+            lut = np.zeros(2 * n_emb - 1, dtype=np.int64)
+            lut[uniq + (n_emb - 1)] = np.arange(len(uniq))
+            k = lut[offs + (n_emb - 1)]
+        else:
+            uniq, k = _uniq_offsets(offs, n_emb, n_emb)
+        width = _dia_width(n_emb, n_emb, uniq, dt.itemsize)
+        if len(uniq) * width < np.iinfo(np.int32).max:
+            from .transfer import DeferredScatter
+
+            v = vals.astype(np.float32) if dt.itemsize < 4 else vals
+            dia = DIAMatrix(
+                data=DeferredScatter.build(
+                    (k * width + rows_emb).astype(np.int64),
+                    v.astype(dt),
+                    (len(uniq), width),
+                ),
+                offsets=tuple(int(o) for o in uniq),
+                num_rows=n_emb,
+                num_cols=n_emb,
+            )
+            return DIAWithTail(dia=dia, tail=tail) if tail is not None else dia
     conv = native.coo_dia_convert(
         rows_emb, cols_emb, vals, n_emb,
         lambda u: _dia_width(n_emb, n_emb, u, dt.itemsize), dt,
@@ -486,16 +522,31 @@ def _cells_of_fine(idx, fine_shape, factors):
     return cells, _parity_index(px, py, pz, factors)
 
 
-def dia_from_coo(rows, cols, vals, n, m, dtype=None, device=True) -> DIAMatrix:
+def dia_from_coo(rows, cols, vals, n, m, dtype=None, device=True,
+                 defer=False) -> DIAMatrix:
     """DIA directly from UNIQUE (row, col) coordinate entries — skips the
-    scipy CSR roundtrip (sort + dedup) the setup path doesn't need."""
+    scipy CSR roundtrip (sort + dedup) the setup path doesn't need.
+    defer=True: data is a DeferredScatter (materialized by one device
+    scatter at ship time — never memset/filled on the host)."""
     offs = cols - rows
     uniq, k = _uniq_offsets(offs, n, m)
     dt = np.dtype(dtype or vals.dtype)
-    data = np.zeros((len(uniq), _dia_width(n, m, uniq, dt.itemsize)), dtype=dt)
-    data[k, rows] = vals.astype(dt)
+    width = _dia_width(n, m, uniq, dt.itemsize)
+    if defer and not device and len(uniq) * width < np.iinfo(np.int32).max:
+        from .transfer import DeferredScatter
+
+        data = DeferredScatter.build(
+            (k * width + rows).astype(np.int64),
+            vals.astype(dt),
+            (len(uniq), width),
+        )
+    else:
+        data = np.zeros((len(uniq), width), dtype=dt)
+        data[k, rows] = vals.astype(dt)
+        if device:
+            data = jnp.asarray(data)
     return DIAMatrix(
-        data=jnp.asarray(data) if device else data,
+        data=data,
         offsets=tuple(int(o) for o in uniq),
         num_rows=n,
         num_cols=m,
@@ -503,7 +554,7 @@ def dia_from_coo(rows, cols, vals, n, m, dtype=None, device=True) -> DIAMatrix:
 
 
 def _per_parity_dia(rows_cell, cols_cell, parity, vals, ncells, nparity, dtype,
-                    device=True):
+                    device=True, defer=False):
     # fine index <-> (cell, parity) is a bijection, so entries within one
     # parity class are unique (row, col) pairs — no dedup needed
     mats = []
@@ -511,7 +562,7 @@ def _per_parity_dia(rows_cell, cols_cell, parity, vals, ncells, nparity, dtype,
         m = parity == p
         mats.append(dia_from_coo(
             rows_cell[m], cols_cell[m], vals[m], ncells, ncells, dtype,
-            device=device,
+            device=device, defer=defer,
         ))
     return tuple(mats)
 
@@ -528,7 +579,7 @@ def _parity_tail_mask(rows_cell, cols_cell, parity, ncells, tail_min):
 
 
 def build_parity_restrict(M, rcell, fine_shape, factors, dtype=None, device=True,
-                          tail_min: int = 0):
+                          tail_min: int = 0, defer: bool = False):
     """M: scipy sparse (n_pts x n_fine) with rows = coarse points, cols =
     fine lattice indices; rcell[i] = assigned cell of point i."""
     nx, ny, nz = fine_shape
@@ -551,13 +602,14 @@ def build_parity_restrict(M, rcell, fine_shape, factors, dtype=None, device=True
             )
     mats = _per_parity_dia(
         rows_cell, ccell, par, vals, ncells, fx * fy * fz, dt, device=device,
+        defer=defer,
     )
     return ParityRestrictOp(mats=mats, fine_shape=tuple(fine_shape),
                             factors=tuple(factors), tail=tail)
 
 
 def build_parity_interp(M, ccol, fine_shape, factors, dtype=None, device=True,
-                        tail_min: int = 0):
+                        tail_min: int = 0, defer: bool = False):
     """M: scipy sparse (n_fine x n_pts) with rows = fine lattice indices,
     cols = coarse points; ccol[j] = assigned cell of point j."""
     nx, ny, nz = fine_shape
@@ -580,6 +632,7 @@ def build_parity_interp(M, ccol, fine_shape, factors, dtype=None, device=True,
             )
     mats = _per_parity_dia(
         rcell, cols_cell, par, vals, ncells, fx * fy * fz, dt, device=device,
+        defer=defer,
     )
     return ParityInterpOp(mats=mats, fine_shape=tuple(fine_shape),
                           factors=tuple(factors), tail=tail)

@@ -26,6 +26,7 @@ import scipy.sparse as sp
 from ...ops.csr import CSRMatrix, ELLMatrix
 from ...ops.spmv import ell_spmv
 from ...ops.dia import DenseMatrix, GatherOp, ScatterOp, freeze_auto, spmv
+from ...ops.transfer import arena_device_put
 from ...utils.timing import timed
 from ..krylov.common import SolverResult
 from .coarsen import (
@@ -284,10 +285,7 @@ class BoomerAMG:
         self._cf: list[np.ndarray] = []
         self._host_A1_unf = None
         self._pending_rap = None
-        self._pending_embed = None
         self._fast = None  # device level-0 chain products (device_setup)
-        self._freeze_ex = None  # transfer worker, live only during freeze
-        self._inflight = []
         self._setup(A)  # host numpy/scipy hierarchy (levels >= fast depth)
         self._freeze_hierarchy()
 
@@ -716,114 +714,41 @@ class BoomerAMG:
         for ent in reloc:
             skip_A.add(ent["k"])
             skip_PR.add(ent["k"] - 1)
-        # pipeline: ship each level from a worker thread WHILE the next
-        # level freezes on the host (device_put releases the GIL during
-        # the tunnel copy, so transfer rides entirely behind freeze
-        # compute; the round-2 shape paid freeze + transfer serially).
-        # The embed/reloc builders likewise _ship_field their products
-        # the moment each is built.
-        from concurrent.futures import ThreadPoolExecutor
-
-        frozen, futures = [], []
-        ex = ThreadPoolExecutor(1)
-        self._freeze_ex, self._inflight = ex, []
-        try:
-            with timed("FREEZE"):
-                for k in range(L):
-                    A = self._host_A[k]
-                    P = self._host_P[k] if k < L - 1 else None
-                    R = (self._host_R[k] if k < L - 1 else None)
-                    cf = self._cf[k]
-                    lvl = self._freeze_level(
-                        A, P, R, cf if k < L - 1 else None,
-                        skip_A=k in skip_A, skip_PR=k in skip_PR,
-                        coarsest=(k == L - 1),
-                    )
-                    self.levels.append(lvl)
-                    frozen.append(lvl)
-                    futures.append(ex.submit(jax.device_put, lvl))
-                if self._fast is not None:
-                    will_reloc_l2 = any(ent["k"] == 2 for ent in reloc)
-                    self._install_fast_levels(will_reloc_l2)
-                elif cpos0 is not None:
-                    will_reloc_l2 = any(ent["k"] == 2 for ent in reloc)
-                    self._build_embed_level1(cpos0, will_reloc_l2)
-                if reloc:
-                    self._build_relocated(cpos0, reloc)
-            with timed("TRANSFER"):
-                for k, (lvl, fut) in enumerate(zip(frozen, futures)):
-                    shipped = fut.result()
-                    cur = self.levels[k]
-                    if cur is lvl:
-                        self.levels[k] = shipped
-                    else:
-                        # a builder replaced SOME fields: keep its
-                        # replacements, adopt the shipped copies of every
-                        # untouched field (discarding them would re-ship
-                        # the whole level serially below)
-                        merged = {
-                            f.name: getattr(shipped, f.name)
-                            for f in dataclasses.fields(lvl)
-                            if getattr(cur, f.name) is getattr(lvl, f.name)
-                        }
-                        if merged:
-                            self.levels[k] = dataclasses.replace(
-                                cur, **merged)
-                for k, field, obj, fut in self._inflight:
-                    if getattr(self.levels[k], field) is obj:
-                        self.levels[k] = dataclasses.replace(
-                            self.levels[k], **{field: fut.result()})
-                # anything still numpy (rare leftovers) rides one final
-                # batched put; device leaves pass through untouched
-                self.levels = list(jax.device_put(tuple(self.levels)))
-                jax.block_until_ready(jax.tree.leaves(self.levels))
-        finally:
-            self._freeze_ex = None
-            self._inflight = []
-            ex.shutdown(wait=True)
+        # Freeze everything on the host (relocated/parity forms stay
+        # compact DeferredScatter descriptions — never materialized
+        # here), then ship the WHOLE hierarchy through ONE packed byte
+        # arena + one jitted unpack.  Remote-attached devices charge a
+        # fixed ~60-75ms round trip per transfer call; the round-2
+        # worker-thread pipeline still paid it per level field (~150
+        # leaf transfers = 11.5s of a 96^3 setup on a congested link).
+        with timed("FREEZE"):
+            for k in range(L):
+                A = self._host_A[k]
+                P = self._host_P[k] if k < L - 1 else None
+                R = (self._host_R[k] if k < L - 1 else None)
+                cf = self._cf[k]
+                lvl = self._freeze_level(
+                    A, P, R, cf if k < L - 1 else None,
+                    skip_A=k in skip_A, skip_PR=k in skip_PR,
+                    coarsest=(k == L - 1),
+                )
+                self.levels.append(lvl)
+            if self._fast is not None:
+                will_reloc_l2 = any(ent["k"] == 2 for ent in reloc)
+                self._install_fast_levels(will_reloc_l2)
+            elif cpos0 is not None:
+                will_reloc_l2 = any(ent["k"] == 2 for ent in reloc)
+                self._build_embed_level1(cpos0, will_reloc_l2)
+            if reloc:
+                self._build_relocated(cpos0, reloc)
+        with timed("TRANSFER"):
+            self.levels = list(arena_device_put(tuple(self.levels)))
+            jax.block_until_ready(jax.tree.leaves(self.levels))
         with timed("DEVICE_FINALIZE"):
             if self._pending_rap is not None:
                 self._run_device_rap()
-            if self._pending_embed is not None:
-                self._run_embed_scatter()
         with timed("COLLAPSE"):
             self._build_coarse_collapse()
-
-    def _ship_field(self, k: int, field: str, obj) -> None:
-        """Start shipping a freshly-built level field to device on the
-        freeze worker thread; _freeze_hierarchy's TRANSFER step swaps in
-        the device copy (identity-guarded, so a later builder overwriting
-        the field simply orphans the early ship)."""
-        if self._freeze_ex is not None and obj is not None:
-            self._inflight.append(
-                (k, field, obj, self._freeze_ex.submit(jax.device_put, obj))
-            )
-
-    def _run_embed_scatter(self) -> None:
-        """Expand the compact level-1 triple to its embedded DIA form on
-        device (one scatter — see _build_embed_level1)."""
-        from ...ops.dia import DIAMatrix
-
-        p = self._pending_embed
-        self._pending_embed = None
-
-        @partial(jax.jit, static_argnames=("noff", "width"))
-        def scatter(koff, pos, vals, *, noff, width):
-            out = jnp.zeros((noff, width), vals.dtype)
-            return out.at[koff, pos].set(vals)
-
-        res = lambda x: x.result() if hasattr(x, "result") else jnp.asarray(x)
-        data = scatter(
-            res(p["koff"]), res(p["pos"]), res(p["vals"]),
-            noff=len(p["offsets"]), width=p["width"],
-        )
-        self.levels[1] = dataclasses.replace(
-            self.levels[1],
-            A=DIAMatrix(
-                data=data, offsets=p["offsets"],
-                num_rows=p["n"], num_cols=p["n"],
-            ),
-        )
 
     def _run_device_rap(self) -> None:
         """Materialize the level-1 embedded operator on device (see
@@ -993,14 +918,13 @@ class BoomerAMG:
 
         use_device_rap = o.device_rap and self._host_A1_unf is not None
         lvl0, lvl1 = self.levels[0], self.levels[1]
-        P_emb = build_embedded_dia(P0, idx, cpos0, n0, mdt, device=False)
-        self._ship_field(0, "P", P_emb)  # overlaps the R/A1 build below
+        P_emb = build_embedded_dia(P0, idx, cpos0, n0, mdt, device=False,
+                                   defer=True)
         # R = P^T is a pure diagonal permutation — derived on device
         # (bitwise the host values) when the device-RAP path is on
         R_emb = None if use_device_rap else build_embedded_dia(
-            P0.T.tocsr(), cpos0, idx, n0, mdt, device=False
+            P0.T.tocsr(), cpos0, idx, n0, mdt, device=False, defer=True
         )
-        self._ship_field(0, "R", R_emb)
         lvl0 = dataclasses.replace(lvl0, P=P_emb, R=R_emb)
 
         diag1 = A1.diagonal()
@@ -1028,8 +952,6 @@ class BoomerAMG:
             cpos_i32 = cpos0.astype(np.int32)
             new_P = ScatterOp(inner=innerP, pos=cpos_i32, n_out=n0)
             new_R = GatherOp(inner=innerR, pos=cpos_i32)
-            self._ship_field(1, "P", new_P)
-            self._ship_field(1, "R", new_R)
         # _host_A1_unf is set exactly when level 1 came from the
         # R = P^T Galerkin branch — the product the device re-derives
         if use_device_rap:
@@ -1053,29 +975,28 @@ class BoomerAMG:
             )
             A_emb = None  # materialized in _run_device_rap after transfer
         else:
-            # ship the COMPACT triple and scatter into the embedded
-            # [noff, width] array ON DEVICE: the dense-diagonal form is
-            # ~97% zeros, so the compact form is ~3x less tunnel
-            # traffic, and the expansion is one scatter op (tiny jit —
-            # no dependence on remote-compiler health)
-            from ...ops.dia import _dia_width, embedded_offsets
+            # the embedded [noff, width] diagonal array is ~97% zeros:
+            # keep the COMPACT (diag, pos, val) triple as a
+            # DeferredScatter — it rides the single arena transfer and
+            # expands with one scatter inside the arena-unpack program
+            from ...ops.dia import DIAMatrix, _dia_width, embedded_offsets
+            from ...ops.transfer import DeferredScatter
 
             offs_e = embedded_offsets(A1, cpos0, cpos0)
             A1c = A1.tocoo()
             off_of = cpos0[A1c.col] - cpos0[A1c.row]
-            self._pending_embed = dict(
-                koff=np.searchsorted(offs_e, off_of).astype(np.int32),
-                pos=cpos0[A1c.row].astype(np.int32),
-                vals=A1c.data.astype(mdt),
+            width = _dia_width(n0, n0, offs_e, mdt.itemsize)
+            koff = np.searchsorted(offs_e, off_of).astype(np.int64)
+            A_emb = DIAMatrix(
+                data=DeferredScatter.build(
+                    koff * width + cpos0[A1c.row],
+                    A1c.data.astype(mdt),
+                    (len(offs_e), width),
+                ),
                 offsets=tuple(int(x) for x in offs_e),
-                width=_dia_width(n0, n0, offs_e, mdt.itemsize),
-                n=n0, mdt=mdt,
+                num_rows=n0,
+                num_cols=n0,
             )
-            if self._freeze_ex is not None:  # pre-ship the compact triple
-                for key in ("koff", "pos", "vals"):
-                    self._pending_embed[key] = self._freeze_ex.submit(
-                        jax.device_put, self._pending_embed[key])
-            A_emb = None  # materialized in _run_embed_scatter
         lvl1 = dataclasses.replace(
             lvl1,
             A=A_emb,
@@ -1452,9 +1373,8 @@ class BoomerAMG:
                     )
                 A_new = build_embedded_dia(
                     A_k, rcell, rcell, ncells, mdt, device=False,
-                    tail_min=ent.get("tail_min", 0),
+                    tail_min=ent.get("tail_min", 0), defer=True,
                 )
-                self._ship_field(k, "A", A_new)
             else:
                 # dense-MXU core behind tiny gather/scatter
                 rcell_i32 = rcell.astype(np.int32)
@@ -1476,14 +1396,12 @@ class BoomerAMG:
                 )
             Pop = build_parity_interp(
                 Pf, rcell, lat_shape, factors, mdt, device=False,
-                tail_min=ent.get("tail_min", 0),
+                tail_min=ent.get("tail_min", 0), defer=True,
             )
-            self._ship_field(k - 1, "P", Pop)
             Rop = build_parity_restrict(
                 Pf.T.tocsr(), rcell, lat_shape, factors, mdt, device=False,
-                tail_min=ent.get("tail_min", 0),
+                tail_min=ent.get("tail_min", 0), defer=True,
             )
-            self._ship_field(k - 1, "R", Rop)
 
             # --- commit level k --------------------------------------------
             diag = A_k.diagonal()

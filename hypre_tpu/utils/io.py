@@ -135,7 +135,6 @@ def load_amg_hierarchy(path: str):
     amg._fast = None
     amg._host_A1_unf = None
     amg._pending_rap = None
-    amg._pending_embed = None
     for l in range(L):
         amg._host_A.append(
             sp.csr_matrix(
