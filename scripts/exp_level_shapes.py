@@ -8,8 +8,11 @@ from hypre_tpu.solvers.amg import BoomerAMG, BoomerAMGOptions
 
 nx = int(sys.argv[1]) if len(sys.argv) > 1 else 96
 A = laplacian_7pt(nx, nx, nx)
+# mirror bench.py's interp selection so the "bench config" label holds
+# at any nx (ext+i below 96^3, classical above)
+interp = "ext+i" if nx < 96 else "classical"
 amg = BoomerAMG(A, BoomerAMGOptions(
-    coarsen_type="pmis", interp_type="classical", P_max_elmts=4,
+    coarsen_type="pmis", interp_type=interp, P_max_elmts=4,
     trunc_factor=0.0, relax_down=18, relax_up=18,
     dtype="float32", mat_dtype="bfloat16", nongalerkin_tol=0.02,
     relocate_level2=nx < 224, lattice_shape=(nx, nx, nx)))
