@@ -25,6 +25,12 @@ import numpy as np
 import scipy.sparse as sp
 
 
+def _fast_put(x):
+    # deferred import: transfer imports csr (cycle)
+    from .transfer import fast_device_put
+    return fast_device_put(x)
+
+
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
@@ -113,8 +119,8 @@ class CSRMatrix:
             cols[r, k] = self.indices
             vals[r, k] = data
         return ELLMatrix(
-            cols=jnp.asarray(cols) if device else cols,
-            data=jnp.asarray(vals) if device else vals,
+            cols=_fast_put(cols) if device else cols,
+            data=_fast_put(vals) if device else vals,
             num_rows=n,
             num_cols=m,
             nnz=self.nnz,

@@ -46,7 +46,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..solvers.amg.device_coarsen import device_strength_masks
+from ..solvers.amg.device_coarsen import strength_masks_impl
 
 
 def _shift(x, off, fill=0):
@@ -78,21 +78,37 @@ def device_classical_interp(
     offset list as A; C rows are identity (offset 0), F rows carry
     -w/d on strong-C offsets.
     """
+    return classical_interp_impl(
+        data, cf, offsets=offsets, theta=theta, max_row_sum=max_row_sum,
+        trunc_factor=trunc_factor, max_elmts=max_elmts, shift=_shift,
+    )
+
+
+def classical_interp_impl(
+    data, cf, *, offsets, theta, max_row_sum, trunc_factor, max_elmts,
+    shift, rowmax_fn=lambda r: jnp.max(r, axis=1),
+):
+    """Shift-parameterized body (par_interp.c:631-906 semantics).  The
+    local `_shift` gives single-image semantics; a halo-exchange shift
+    (parallel/dist_setup.py) runs the same math sharded — the
+    ExtractBExt remote-row fetch of par_csr_matop.c:1655 re-expressed
+    as collectives.  `rowmax_fn` must reduce GLOBALLY over rows when
+    sharded (caller passes a pmax-composed reducer)."""
     n = cf.shape[0]
     data = data[:, :n]
     noff = len(offsets)
     k0 = offsets.index(0)
     diag = data[k0]
 
-    S = device_strength_masks(data, offsets, theta, max_row_sum)
+    S = strength_masks_impl(data, offsets, theta, max_row_sum)
     c = cf > 0
     f1 = cf == -1
 
     SC = jnp.stack([
-        S[k] & _shift(c, off, fill=False) for k, off in enumerate(offsets)
+        S[k] & shift(c, off, fill=False) for k, off in enumerate(offsets)
     ])
     SF = jnp.stack([
-        S[k] & _shift(f1, off, fill=False) for k, off in enumerate(offsets)
+        S[k] & shift(f1, off, fill=False) for k, off in enumerate(offsets)
     ])
 
     sgn = jnp.where(diag < 0, -1.0, 1.0).astype(data.dtype)
@@ -121,14 +137,14 @@ def device_classical_interp(
             kp = k_of.get(int(ok) + int(om))
             if kp is None:
                 continue
-            s = s + _shift(Aneg[om_idx], ok) * SC[kp]
+            s = s + shift(Aneg[om_idx], ok) * SC[kp]
         inv = jnp.where(s != 0, e / jnp.where(s == 0, 1.0, s), 0.0)
         d = d + jnp.where((s == 0) & SF[ok_idx], data[ok_idx], 0.0)
         for om_idx, om in enumerate(offsets):
             kp = k_of.get(int(ok) + int(om))
             if kp is None:
                 continue
-            w = w.at[kp].add(inv * _shift(Aneg[om_idx], ok) * SC[kp])
+            w = w.at[kp].add(inv * shift(Aneg[om_idx], ok) * SC[kp])
 
     dsafe = jnp.where(d == 0, 1.0, d)
     P = jnp.where(w != 0, -w / dsafe, 0.0)
@@ -163,7 +179,7 @@ def device_classical_interp(
     # C rows: identity at offset 0
     P = jnp.where(c[None, :], 0.0, P)
     P = P.at[k0].set(jnp.where(c, 1.0, P[k0]))
-    rowmax = jnp.max(jnp.abs(P), axis=1)
+    rowmax = rowmax_fn(jnp.abs(P))
     return P, rowmax
 
 
@@ -186,6 +202,18 @@ def _device_rap_run(P, A, *, offs_P, offs_A, offs_AP, offs_out, tol,
     lumps onto the diagonal.  The diagonal used for thresholds is the
     UNFILTERED RAP diagonal (as rap.py:nongalerkin_filter).
     """
+    return rap_impl(
+        P, A, offs_P=offs_P, offs_A=offs_A, offs_AP=offs_AP,
+        offs_out=offs_out, tol=tol, chunk=chunk, shift=_shift,
+    )
+
+
+def rap_impl(P, A, *, offs_P, offs_A, offs_AP, offs_out, tol, chunk,
+             shift, rowmax_fn=lambda r: jnp.max(r, axis=1)):
+    """Shift-parameterized two-stage RAP body (par_rap.c:17 role; the
+    remote-row fetches of hypre_ParMatmul, par_csr_matop.c:277, become
+    halo shifts).  See classical_interp_impl for the shift/rowmax_fn
+    contract."""
     n = P.shape[1]
     kAP_of = {o: k for k, o in enumerate(offs_AP)}
     kout_of = {o: k for k, o in enumerate(offs_out)}
@@ -199,7 +227,7 @@ def _device_rap_run(P, A, *, offs_P, offs_A, offs_AP, offs_out, tol,
             for kp2, op2 in enumerate(offs_P):
                 if int(oa) + int(op2) == int(o):
                     kp = kp2
-                    acc = acc + A[ka] * _shift(P[kp2], oa)
+                    acc = acc + A[ka] * shift(P[kp2], oa)
         return acc
 
     # stage 2 accumulate: out[o, x] = sum_{op1} P[op1, x - op1] *
@@ -215,7 +243,7 @@ def _device_rap_run(P, A, *, offs_P, offs_A, offs_AP, offs_out, tol,
                 ko = kout_of.get(o)
                 if ko is None:
                     continue
-                contrib = _shift(P[kp1] * APg[gi], -op1)
+                contrib = shift(P[kp1] * APg[gi], -op1)
                 out = out.at[ko].add(contrib)
 
     # fused non-Galerkin filter + diagonal lump
@@ -229,18 +257,18 @@ def _device_rap_run(P, A, *, offs_P, offs_A, offs_AP, offs_out, tol,
             if o == 0:
                 rows.append(row)
                 continue
-            thr = tol * dabs * _shift(dabs, o)
+            thr = tol * dabs * shift(dabs, o)
             # symmetric keep: |a_ij| or |a_ji| above threshold
             # (a_ji = out[idx(-o)] at i+o)
             kneg = kout_of.get(-o)
             keep = jnp.abs(row) >= thr
             if kneg is not None:
-                keep = keep | (jnp.abs(_shift(out[kneg], o)) >= thr)
+                keep = keep | (jnp.abs(shift(out[kneg], o)) >= thr)
             lump = lump + jnp.where(keep, 0.0, row)
             rows.append(jnp.where(keep, row, 0.0))
         rows[diag_out] = rows[diag_out] + lump
         out = jnp.stack(rows)
-    rowmax = jnp.max(jnp.abs(out), axis=1)
+    rowmax = rowmax_fn(jnp.abs(out))
     return out, rowmax
 
 

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .csr import CSRMatrix, ELLMatrix
+from .transfer import fast_device_put
 from .spmv import ell_spmv
 
 # eager Pallas import: jax.experimental.pallas costs ~1.1s on first
@@ -196,7 +197,7 @@ def csr_to_dia(A: CSRMatrix, dtype=None, device: bool = True) -> DIAMatrix | Non
         )
         data[k, rows] = A.data.astype(data.dtype)
     return DIAMatrix(
-        data=jnp.asarray(data) if device else data,
+        data=fast_device_put(data) if device else data,
         offsets=tuple(int(o) for o in uniq),
         num_rows=n,
         num_cols=m,
@@ -251,7 +252,7 @@ def freeze_auto(
     if n <= dense_max_rows and m <= dense_max_rows:
         dense = A.to_scipy().toarray().astype(dtype or A.data.dtype)
         return DenseMatrix(
-            data=jnp.asarray(dense) if device else dense,
+            data=fast_device_put(dense) if device else dense,
             num_rows=n,
             num_cols=m,
         )
@@ -379,7 +380,7 @@ def build_embedded_dia(
         )
         data[k, rows_emb] = vals.astype(dt)
     dia = DIAMatrix(
-        data=jnp.asarray(data) if device else data,
+        data=fast_device_put(data) if device else data,
         offsets=tuple(int(o) for o in uniq),
         num_rows=n_emb,
         num_cols=n_emb,
@@ -544,7 +545,7 @@ def dia_from_coo(rows, cols, vals, n, m, dtype=None, device=True,
         data = np.zeros((len(uniq), width), dtype=dt)
         data[k, rows] = vals.astype(dt)
         if device:
-            data = jnp.asarray(data)
+            data = fast_device_put(data)
     return DIAMatrix(
         data=data,
         offsets=tuple(int(o) for o in uniq),

@@ -178,6 +178,24 @@ def _flat_slices(flat, *, specs):
     )
 
 
+def fast_device_put(x: np.ndarray, sync: bool = True) -> jax.Array:
+    """device_put for a single large numpy array through a remote-device
+    tunnel.  Measured on the axon tunnel (25 MB payload):
+    jnp.asarray(2-D) 388 s; jax.device_put(2-D) 0.5-450 s (path-
+    dependent); jax.device_put(1-D) + on-device reshape 0.04 s,
+    reliably.  Only the flat 1-D put rides the bulk transfer path, so
+    ship flat and reshape on device.  `sync=True` forces completion
+    with a 1-element readback (block_until_ready returns early through
+    the tunnel and a later dependent dispatch would stall behind the
+    still-in-flight upload)."""
+    x = np.ascontiguousarray(x)
+    flat = jax.device_put(x.reshape(-1))
+    out = flat.reshape(x.shape) if x.ndim != 1 else flat
+    if sync:
+        np.asarray(jax.lax.slice(out.reshape(-1), (0,), (1,)))
+    return out
+
+
 def arena_device_put(tree):
     """device_put a pytree through ONE packed byte buffer + ONE jitted
     unpack call.  Remote-attached devices charge a fixed per-transfer

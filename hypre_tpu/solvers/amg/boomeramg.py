@@ -26,7 +26,7 @@ import scipy.sparse as sp
 from ...ops.csr import CSRMatrix, ELLMatrix
 from ...ops.spmv import ell_spmv
 from ...ops.dia import DenseMatrix, GatherOp, ScatterOp, freeze_auto, spmv
-from ...ops.transfer import arena_device_put
+from ...ops.transfer import arena_device_put, fast_device_put as arena_fast_put
 from ...utils.timing import timed
 from ..krylov.common import SolverResult
 from .coarsen import (
@@ -540,57 +540,74 @@ class BoomerAMG:
         n = A.shape[0]
         # setup math in `dtype` (f32 production / f64 when x64 is on —
         # the untruncated device interp is then BITWISE the host path)
-        D0 = csr_to_dia(
-            CSRMatrix.from_scipy(A), dtype=np.dtype(o.dtype), device=True
-        )
-        cf_dev = device_pmis(
-            D0.data, D0.offsets, n, seed=o.seed,
-            theta=o.strong_threshold, max_row_sum=o.max_row_sum,
-        )
-        P_data, rowmaxP = device_classical_interp(
-            D0.data, cf_dev, offsets=D0.offsets,
-            theta=o.strong_threshold, max_row_sum=o.max_row_sum,
-            trunc_factor=o.trunc_factor, max_elmts=o.P_max_elmts,
-        )
-        cf0 = np.asarray(cf_dev).astype(np.int64)
+        with timed("DS_SHIP_A0"):
+            D0 = csr_to_dia(
+                CSRMatrix.from_scipy(A), dtype=np.dtype(o.dtype), device=True
+            )
+            jax.block_until_ready(D0.data)
+        # Each stage is SYNCED before the next is dispatched: through
+        # the remote-device tunnel, a dispatch whose inputs are still
+        # in-flight promises serializes pathologically in the client
+        # (measured: pmis+interp+readback = 0.9 s when staged, 15-200 s
+        # when the interp dispatch precedes the cf readback).  Setup
+        # runs once — pipelining buys nothing and costs unboundedly.
+        with timed("DS_PMIS"):
+            cf_dev = device_pmis(
+                D0.data, D0.offsets, n, seed=o.seed,
+                theta=o.strong_threshold, max_row_sum=o.max_row_sum,
+            )
+            cf0 = np.asarray(cf_dev).astype(np.int64)
         nc = int((cf0 > 0).sum())
         if nc == 0 or nc == n:
             return None
-        rmP = np.asarray(rowmaxP)
+        with timed("DS_INTERP"):
+            P_data, rowmaxP = device_classical_interp(
+                D0.data, cf_dev, offsets=D0.offsets,
+                theta=o.strong_threshold, max_row_sum=o.max_row_sum,
+                trunc_factor=o.trunc_factor, max_elmts=o.P_max_elmts,
+            )
+            rmP = np.asarray(rowmaxP)
+            jax.block_until_ready(P_data)
         keepP = [k for k in range(len(D0.offsets)) if rmP[k] > 0]
         offs_P = tuple(D0.offsets[k] for k in keepP)
         P_dia = DIAMatrix(
             data=P_data[np.asarray(keepP, dtype=np.int32)],
             offsets=offs_P, num_rows=n, num_cols=n,
         )
-        A1_data, offs_1 = device_rap(P_dia, D0, tol=self._level_ngt(0))
+        with timed("DS_RAP"):
+            A1_data, offs_1 = device_rap(P_dia, D0, tol=self._level_ngt(0))
+            jax.block_until_ready(A1_data)
         A1_dia = DIAMatrix(
             data=A1_data, offsets=offs_1, num_rows=n, num_cols=n
         )
-        dinv1, l1inv1 = device_row_stats(A1_data, offsets=offs_1)
+        with timed("DS_STATS"):
+            dinv1, l1inv1 = device_row_stats(A1_data, offsets=offs_1)
+            jax.block_until_ready((dinv1, l1inv1))
 
         # compact coarse operator -> host (deeper levels stay host)
         cpos0 = np.flatnonzero(cf0 > 0).astype(np.int64)
-        cpos_dev = jnp.asarray(cpos0)
-        A1c = np.asarray(A1_data[:, cpos_dev])  # [noff1, n1] pull
-        rows_l, cols_l, vals_l = [], [], []
-        for k, off in enumerate(offs_1):
-            tgt = cpos0 + int(off)
-            pos = np.searchsorted(cpos0, tgt)
-            pos_c = np.minimum(pos, len(cpos0) - 1)
-            valid = (tgt >= 0) & (tgt < n) & (cpos0[pos_c] == tgt)
-            v = A1c[k]
-            sel = valid & (v != 0)
-            rows_l.append(np.flatnonzero(sel))
-            cols_l.append(pos_c[sel])
-            vals_l.append(v[sel].astype(np.float64))
-        A1_host = sp.csr_matrix(
-            (np.concatenate(vals_l),
-             (np.concatenate(rows_l), np.concatenate(cols_l))),
-            shape=(nc, nc),
-        )
-        A1_host.sum_duplicates()
-        A1_host.sort_indices()
+        with timed("DS_A1_PULL"):
+            cpos_dev = arena_fast_put(cpos0)
+            A1c = np.asarray(A1_data[:, cpos_dev])  # [noff1, n1] pull
+        with timed("DS_A1_REBUILD"):
+            rows_l, cols_l, vals_l = [], [], []
+            for k, off in enumerate(offs_1):
+                tgt = cpos0 + int(off)
+                pos = np.searchsorted(cpos0, tgt)
+                pos_c = np.minimum(pos, len(cpos0) - 1)
+                valid = (tgt >= 0) & (tgt < n) & (cpos0[pos_c] == tgt)
+                v = A1c[k]
+                sel = valid & (v != 0)
+                rows_l.append(np.flatnonzero(sel))
+                cols_l.append(pos_c[sel])
+                vals_l.append(v[sel].astype(np.float64))
+            A1_host = sp.csr_matrix(
+                (np.concatenate(vals_l),
+                 (np.concatenate(rows_l), np.concatenate(cols_l))),
+                shape=(nc, nc),
+            )
+            A1_host.sum_duplicates()
+            A1_host.sort_indices()
         return dict(
             D0=D0, P=P_dia, A1=A1_dia, cf0=cf0, cpos0=cpos0,
             A1_host=A1_host, dinv1=dinv1, l1inv1=l1inv1,
@@ -1155,13 +1172,15 @@ class BoomerAMG:
             dinv = np.where(diag == 0, 0.0, 1.0 / np.where(diag == 0, 1.0, diag))
             l1 = self._l1_norms(Ah)
             l1inv = np.where(l1 == 0, 0.0, 1.0 / np.where(l1 == 0, 1.0, l1))
-            mats.append((
-                jnp.asarray(Ah.toarray().astype(dt)),
-                jnp.asarray(Ph.toarray().astype(dt)),
-                jnp.asarray(np.ascontiguousarray(Rd).astype(dt)),
-                jnp.asarray((w * (l1inv if o.relax_down == 18 else dinv)).astype(dt)),
-                jnp.asarray((w * (l1inv if o.relax_up == 18 else dinv)).astype(dt)),
-            ))
+            # device_put, not jnp.asarray: the asarray upload path is
+            # pathologically slow through remote-device tunnels
+            mats.append(tuple(arena_fast_put(a) for a in (
+                Ah.toarray().astype(dt),
+                Ph.toarray().astype(dt),
+                np.ascontiguousarray(Rd).astype(dt),
+                (w * (l1inv if o.relax_down == 18 else dinv)).astype(dt),
+                (w * (l1inv if o.relax_up == 18 else dinv)).astype(dt),
+            )))
 
         def build(mats, Binv):
             M = Binv.astype(dt)
@@ -1183,7 +1202,7 @@ class BoomerAMG:
         reloc = getattr(self, "_reloc_cells", {})
         if ls in reloc:
             rcell, ncells = reloc[ls]
-            rc = jnp.asarray(rcell.astype(np.int32))
+            rc = arena_fast_put(rcell.astype(np.int32))
             op = ScatterOp(inner=GatherOp(inner=dense, pos=rc), pos=rc,
                            n_out=ncells)
         else:

@@ -73,6 +73,12 @@ def _shift(x, off, fill=0):
 def device_strength_masks(data, offsets, theta=0.25, max_row_sum=0.9):
     """Per-offset strong masks S_k[i] ("row i strongly depends on
     i+off_k"), mirroring strength_matrix's strict tests."""
+    return strength_masks_impl(data, offsets, theta, max_row_sum)
+
+
+def strength_masks_impl(data, offsets, theta, max_row_sum):
+    """Row-local body (the strength test reads only row i's entries, so
+    it needs no neighbor values and is shard-invariant as is)."""
     diag_k = offsets.index(0)
     diag = data[diag_k][: data.shape[1]]
     neg = diag < 0
@@ -108,23 +114,44 @@ def device_pmis(data, offsets, n, seed: int = _PMIS_SEED,
     operator — bit-identical to coarsen.pmis_coarsen on the same
     matrix.  `data` [noff, >=n] row-aligned diagonals."""
     offsets = tuple(int(o) for o in offsets)
-    lcg = jnp.asarray(lcg_states_host(seed, n))
+    # device_put, NOT jnp.asarray: through remote-device tunnels the
+    # asarray upload path runs ~3 orders of magnitude slower than the
+    # bulk device_put path (measured 388 s vs 0.5 s for 25 MB) — the
+    # round-3 "device setup is unbounded" variance was exactly this
+    from ...ops.transfer import fast_device_put
+
+    lcg = fast_device_put(lcg_states_host(seed, n))
+    if not isinstance(data, jax.Array):
+        data = fast_device_put(np.asarray(data)[:, :n])
     return _device_pmis_run(
-        jnp.asarray(data)[:, :n], lcg, offsets=offsets, n=n,
+        data[:, :n], lcg, offsets=offsets, n=n,
         theta=float(theta), max_row_sum=float(max_row_sum),
     )
 
 
 @partial(jax.jit, static_argnames=("offsets", "n", "theta", "max_row_sum"))
 def _device_pmis_run(data, lcg, *, offsets, n, theta, max_row_sum):
-    S = device_strength_masks(data, offsets, theta, max_row_sum)
+    return pmis_impl(
+        data, lcg, offsets=offsets, n=n, theta=theta,
+        max_row_sum=max_row_sum, shift=_shift, any_fn=jnp.any,
+    )
+
+
+def pmis_impl(data, lcg, *, offsets, n, theta, max_row_sum, shift, any_fn):
+    """Shift-parameterized PMIS body.  `shift(x, off, fill)` supplies
+    neighbor values (`_shift` = single image; a halo-exchange closure =
+    sharded, see parallel/dist_setup.py — the par_coarsen.c:2741 CommPkg
+    exchanges of measures/CF markers re-expressed as collectives).
+    `any_fn` must be a GLOBAL any: inside shard_map every shard has to
+    run the same trip count or the collectives in the body deadlock."""
+    S = strength_masks_impl(data, offsets, theta, max_row_sum)
 
     # S^T column counts: cnt[i] = sum_k S_k[i - off_k]
     cnt = jnp.zeros(n, jnp.int32)
     for k, off in enumerate(offsets):
         if off == 0:
             continue
-        cnt = cnt + _shift(S[k].astype(jnp.int32), -off)
+        cnt = cnt + shift(S[k].astype(jnp.int32), -off)
 
     has_strong_row = jnp.zeros(n, bool)
     for k, off in enumerate(offsets):
@@ -147,7 +174,7 @@ def _device_pmis_run(data, lcg, *, offsets, n, theta, max_row_sum):
         if off in k_of:
             m = m | Smask[k_of[off]]
         if -off in k_of:
-            m = m | _shift(Smask[k_of[-off]], off)
+            m = m | shift(Smask[k_of[-off]], off)
         return m
 
     def body(st):
@@ -155,9 +182,9 @@ def _device_pmis_run(data, lcg, *, offsets, n, theta, max_row_sum):
         cand = in_graph & (cnt >= 1)  # measure>1 <=> count>=1 (rand<1)
         dominated = jnp.zeros(n, bool)
         for off in adj_offs:
-            nb_cand = _shift(cand, off, fill=False)
-            nb_cnt = _shift(jnp.where(cand, cnt, 0), off)
-            nb_lcg = _shift(jnp.where(cand, lcg, 0), off)
+            nb_cand = shift(cand, off, fill=False)
+            nb_cnt = shift(jnp.where(cand, cnt, 0), off)
+            nb_lcg = shift(jnp.where(cand, lcg, 0), off)
             better = (nb_cnt > cnt) | ((nb_cnt == cnt) & (nb_lcg > lcg))
             dominated = dominated | (adj_mask(S, off) & nb_cand & better)
         in_is = cand & ~dominated
@@ -169,7 +196,7 @@ def _device_pmis_run(data, lcg, *, offsets, n, theta, max_row_sum):
         for k, off in enumerate(offsets):
             if off == 0:
                 continue
-            infl_c = infl_c | (S[k] & _shift(is_c, off, fill=False))
+            infl_c = infl_c | (S[k] & shift(is_c, off, fill=False))
         newly_f = newly_f | (in_graph & ~is_c & infl_c)
 
         cf = jnp.where(in_graph & is_c, jnp.int8(1), cf)
@@ -181,7 +208,7 @@ def _device_pmis_run(data, lcg, *, offsets, n, theta, max_row_sum):
 
     def cond(st):
         it, cf, in_graph, cnt = st
-        return jnp.any(in_graph) & (it < 500)
+        return any_fn(in_graph) & (it < 500)
 
     _, cf, _, _ = jax.lax.while_loop(
         cond, body, (jnp.asarray(0), cf0, in0, cnt0)
