@@ -129,11 +129,17 @@ def main():
     b = jnp.ones(n, dtype=dt)
 
     # hierarchy passed as a jit ARG (not a closure constant — remote
-    # runtimes re-upload constants per call)
-    levels = amg.levels_tuple
+    # runtimes re-upload constants per call).  detach_arenas dedupes
+    # shared arena buffers so each crosses the jit boundary ONCE (XLA
+    # charges every parameter separately; ~50 views of one arena would
+    # be charged ~50x and OOM the accounting at 96^3).
+    from hypre_tpu.ops.transfer import attach_arenas, detach_arenas
+
+    arenas, dlevels = detach_arenas(amg.levels_tuple)
 
     @jax.jit
-    def solve(levels, b):
+    def solve(arenas, dlevels, b):
+        levels = attach_arenas(dlevels, arenas)
         op = lambda x: spmv(levels[0].A, x)
         M = lambda r: amg.cycle(r, levels=levels)
         return pcg(op, b, M=M, opts=PCGOptions(
@@ -142,13 +148,13 @@ def main():
     # compile + converged-solve timing.  Sync via a SCALAR readback:
     # block_until_ready alone can return early through remote-device
     # tunnels and under-measure by 2x.
-    res = solve(levels, b)
+    res = solve(arenas, dlevels, b)
     float(res.rel_residual_norm)
     iters = int(res.num_iterations)
     times = []
     for _ in range(args.repeats):
         t0 = time.perf_counter()
-        res = solve(levels, b)
+        res = solve(arenas, dlevels, b)
         float(res.rel_residual_norm)
         times.append(time.perf_counter() - t0)
     solve_call_time = min(times)
@@ -161,9 +167,10 @@ def main():
     # ~24 ms RPC round trip (measured: a 1-leaf trivial jit costs the
     # same as a 99-leaf one) that no local deployment would pay;
     # solve_call_sec above still reports the raw single-call time.
-    def refine(levels, b, reps):
+    def refine(arenas, dlevels, b, reps):
         # lax.fori_loop: the PCG body is traced/compiled ONCE regardless
         # of reps, keeping chain-compile time equal to one solve's
+        levels = attach_arenas(dlevels, arenas)
         op = lambda x: spmv(levels[0].A, x)
         M = lambda r: amg.cycle(r, levels=levels)
 
@@ -184,17 +191,18 @@ def main():
         )
         return x[:1], its
 
-    ch1 = jax.jit(lambda lv, b: refine(lv, b, 1))
-    ch4 = jax.jit(lambda lv, b: refine(lv, b, 4))
-    float(ch1(levels, b)[0][0]); float(ch4(levels, b)[0][0])
+    ch1 = jax.jit(lambda ar, lv, b: refine(ar, lv, b, 1))
+    ch4 = jax.jit(lambda ar, lv, b: refine(ar, lv, b, 4))
+    float(ch1(arenas, dlevels, b)[0][0])
+    float(ch4(arenas, dlevels, b)[0][0])
     t1 = t4 = float("inf")
     its4 = None
     for _ in range(args.repeats):
         t0 = time.perf_counter()
-        _x, _i = ch1(levels, b); float(_x[0])
+        _x, _i = ch1(arenas, dlevels, b); float(_x[0])
         t1 = min(t1, time.perf_counter() - t0)
         t0 = time.perf_counter()
-        _x, its4 = ch4(levels, b); float(_x[0])
+        _x, its4 = ch4(arenas, dlevels, b); float(_x[0])
         t4 = min(t4, time.perf_counter() - t0)
     solve_time = max((t4 - t1) / 3, 1e-9)
     # refinement steps must do exactly the graded solve's work
@@ -207,7 +215,9 @@ def main():
     # the marginal per-SpMV cost from fixed overheads
     scale = 1.0 / 7.0
 
-    def chain(E, x, k):
+    def chain(arenas, dE, x, k):
+        E = attach_arenas(dE, arenas)
+
         def body(i, x):
             return spmv(E, x) * jnp.asarray(scale, x.dtype)
 
@@ -217,17 +227,17 @@ def main():
     # time — the Pallas DIA kernel runs ~44us/spmv, so 512 extra spmvs
     # ~ 22ms, resolvable over tunnel jitter; best-of-2 each.
     k1, k2 = 64, 576
-    chain_a = jax.jit(lambda E, x: chain(E, x, k1))
-    chain_b = jax.jit(lambda E, x: chain(E, x, k2))
-    E0 = levels[0].A
-    float(chain_a(E0, b)[0]), float(chain_b(E0, b)[0])  # warm both
+    chain_a = jax.jit(lambda ar, E, x: chain(ar, E, x, k1))
+    chain_b = jax.jit(lambda ar, E, x: chain(ar, E, x, k2))
+    ar0, E0 = detach_arenas(amg.levels_tuple[0].A)
+    float(chain_a(ar0, E0, b)[0]), float(chain_b(ar0, E0, b)[0])  # warm
     ta = tb = float("inf")
     for _ in range(2):
         t0 = time.perf_counter()
-        float(chain_a(E0, b)[0])
+        float(chain_a(ar0, E0, b)[0])
         ta = min(ta, time.perf_counter() - t0)
         t0 = time.perf_counter()
-        float(chain_b(E0, b)[0])
+        float(chain_b(ar0, E0, b)[0])
         tb = min(tb, time.perf_counter() - t0)
     spmv_time = max((tb - ta) / (k2 - k1), 1e-9)
     Ed = amg.levels[0].A
@@ -259,8 +269,13 @@ def main():
     def op_bytes(M):
         if M is None:
             return 0
+        from hypre_tpu.ops.transfer import ArenaView
+
         total = 0
-        for leaf in jax.tree.leaves(M):
+        # ArenaView leaves report their true content bytes — descending
+        # into them would count the whole shared arena once per view
+        is_v = lambda l: isinstance(l, ArenaView)
+        for leaf in jax.tree.leaves(M, is_leaf=is_v):
             if hasattr(leaf, "nbytes"):
                 total += leaf.nbytes
         return total
@@ -272,7 +287,7 @@ def main():
     cycle_bytes = 0
     for lvl in amg.levels:
         cycle_bytes += 3 * op_bytes(lvl.A) + op_bytes(lvl.P) + op_bytes(lvl.R)
-    work_bytes_per_iter = cycle_bytes + op_bytes(levels[0].A)
+    work_bytes_per_iter = cycle_bytes + op_bytes(amg.levels[0].A)
     sol_target = n / (iters * work_bytes_per_iter / (0.7 * hbm_gbs * 1e9))
 
     out = {

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .csr import CSRMatrix, ELLMatrix
-from .transfer import fast_device_put
+from .transfer import fast_device_put, unview
 from .spmv import ell_spmv
 
 # eager Pallas import: jax.experimental.pallas costs ~1.1s on first
@@ -818,7 +818,10 @@ def relocate_to_cells(pos, fine_shape, factors, max_load=0.9):
 
 def spmv(A, x: jax.Array) -> jax.Array:
     """Polymorphic matvec over ELL / DIA / dense / gather / scatter
-    (dispatch is static)."""
+    (dispatch is static).  ArenaView leaves (lazily-shipped hierarchy
+    storage, ops/transfer.py) materialize here: free (fused) under jit,
+    one small cached slice program per spec when eager."""
+    A = unview(A)
     if isinstance(A, DIAMatrix):
         return dia_spmv(A, x)
     if isinstance(A, DIAWithTail):

@@ -136,27 +136,160 @@ def _canon(leaf: np.ndarray) -> np.ndarray:
     return leaf if cdt == leaf.dtype else leaf.astype(cdt)
 
 
-# The unpack work is deliberately SPLIT into three small jit programs
-# instead of one fused one: the fused (150 slices + 2 scatters) program
-# reproducibly costs ~122s of XLA:TPU compile time, while the pieces
-# compile in ~2-4s each — a bounded worst case when the persistent
-# compilation cache misses (the axon cache is not fully reliable).
+# Unpacking is LAZY: raw leaves come back as ArenaView pytree nodes —
+# a (arena, offset, shape) descriptor whose `.get()` is a slice +
+# reshape.  Consumers that run under jit (the solve/cycle programs —
+# the only place hierarchy leaves are hot) materialize views inside
+# their own trace, where the slice fuses into the consumer for free.
+# The eager alternative (round 3) was a jitted 150-slice unpack
+# program whose ~6-9MB executable cost 2.5-3.5s PER PROCESS to load
+# through the axon deserialize path (and ~122s to compile fused, 2-4s
+# per piece split).  The only jitted unpack step left is the per-group
+# scatter for DeferredScatter leaves (small executable).
 
 
-@partial(jax.jit, static_argnames=("specs",))
-def _arena_slices(arenas, *, specs):
-    """Raw leaves: pure slices/reshapes from the typed arenas.  Typed
-    arenas matter: a single uint8 arena needs reshape-to-(n, itemsize)
-    + bitcast per leaf, and XLA:TPU spends ~3-4s of compile time on
-    EACH such byte relayout; typed slices compile in milliseconds."""
-    outs = []
-    for (aid, off, shape, isbool) in specs:
-        numel = int(np.prod(shape, dtype=np.int64))
-        c = jax.lax.slice(arenas[aid], (off,), (off + numel,))
-        if isbool:
+@jax.tree_util.register_pytree_node_class
+class ArenaView:
+    """Lazy slice+reshape view into a shipped 1-D arena.
+
+    Registered pytree node (child: the arena array; aux: offset/shape/
+    isbool) so whole hierarchies of views pass through jit/device_put
+    transparently; XLA binds the shared arena buffer to each parameter
+    without copying.  `.get()` materializes — free (fused) inside a
+    trace, one tiny cached executable per spec when eager."""
+
+    __slots__ = ("arena", "offset", "_shape", "isbool")
+
+    def __init__(self, arena, offset: int, shape: tuple, isbool: bool = False):
+        self.arena = arena
+        self.offset = int(offset)
+        self._shape = tuple(int(s) for s in shape)
+        self.isbool = bool(isbool)
+
+    def tree_flatten(self):
+        return (self.arena,), (self.offset, self._shape, self.isbool)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], *aux)
+
+    @property
+    def shape(self):
+        return self._shape
+
+    @property
+    def ndim(self):
+        return len(self._shape)
+
+    @property
+    def size(self):
+        return int(np.prod(self._shape, dtype=np.int64))
+
+    @property
+    def dtype(self):
+        return np.dtype(np.bool_) if self.isbool else np.dtype(self.arena.dtype)
+
+    @property
+    def nbytes(self):  # true content bytes (bench byte models)
+        return self.size * self.dtype.itemsize
+
+    def get(self) -> jax.Array:
+        numel = int(np.prod(self._shape, dtype=np.int64))
+        c = jax.lax.slice(self.arena, (self.offset,), (self.offset + numel,))
+        if self.isbool:
             c = c.astype(jnp.bool_)
-        outs.append(c.reshape(shape))
-    return tuple(outs)
+        return c.reshape(self._shape)
+
+    def __array__(self, dtype=None, copy=None):
+        a = np.asarray(self.get())
+        return a.astype(dtype) if dtype is not None else a
+
+    def __repr__(self):
+        return (f"ArenaView(shape={self._shape}, dtype={self.dtype}, "
+                f"offset={self.offset})")
+
+
+def _is_view(x) -> bool:
+    return isinstance(x, ArenaView)
+
+
+def unview(tree):
+    """Materialize every ArenaView leaf of a pytree (no-op otherwise)."""
+    return jax.tree.map(
+        lambda l: l.get() if _is_view(l) else l, tree, is_leaf=_is_view
+    )
+
+
+@jax.tree_util.register_pytree_node_class
+class DetachedView:
+    """ArenaView with the arena replaced by an INDEX into a separate
+    arenas tuple — zero pytree children, so it lives entirely in the
+    (static) treedef.
+
+    Why this exists: XLA's HBM accounting charges every program
+    parameter separately, so a jit whose argument tree holds ~50
+    ArenaViews of one 400MB arena is charged ~20GB of parameter space
+    and refuses to compile (observed: 17.78G/15.75G OOM at 96^3).
+    detach_arenas() dedupes: each arena crosses the jit boundary ONCE;
+    attach_arenas() rebinds views to the traced arenas inside."""
+
+    __slots__ = ("arena_id", "offset", "_shape", "isbool")
+
+    def __init__(self, arena_id: int, offset: int, shape: tuple,
+                 isbool: bool = False):
+        self.arena_id = int(arena_id)
+        self.offset = int(offset)
+        self._shape = tuple(int(s) for s in shape)
+        self.isbool = bool(isbool)
+
+    def tree_flatten(self):
+        return (), (self.arena_id, self.offset, self._shape, self.isbool)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*aux)
+
+    def __repr__(self):
+        return (f"DetachedView(arena={self.arena_id}, shape={self._shape}, "
+                f"offset={self.offset})")
+
+
+def _is_detached(x) -> bool:
+    return isinstance(x, DetachedView)
+
+
+def detach_arenas(tree):
+    """(arenas, detached_tree): replace every ArenaView leaf by a
+    DetachedView indexing into the returned arenas tuple, each unique
+    arena buffer appearing exactly once.  Pass `arenas` and
+    `detached_tree` as SEPARATE jit arguments and rebind with
+    attach_arenas inside the trace."""
+    arenas, ids = [], {}
+
+    def f(l):
+        if _is_view(l):
+            k = id(l.arena)
+            if k not in ids:
+                ids[k] = len(arenas)
+                arenas.append(l.arena)
+            return DetachedView(ids[k], l.offset, l._shape, l.isbool)
+        return l
+
+    detached = jax.tree.map(f, tree, is_leaf=_is_view)
+    return tuple(arenas), detached
+
+
+def attach_arenas(tree, arenas):
+    """Inverse of detach_arenas (valid inside or outside a trace)."""
+    def f(l):
+        if _is_detached(l):
+            return ArenaView(arenas[l.arena_id], l.offset, l._shape,
+                             l.isbool)
+        return l
+
+    return jax.tree.map(
+        f, tree, is_leaf=lambda x: _is_detached(x) or _is_view(x)
+    )
 
 
 @partial(jax.jit, static_argnames=("ioff", "voff", "nnz", "total"))
@@ -165,16 +298,6 @@ def _group_scatter(idx_arena, val_arena, *, ioff, voff, nnz, total):
     vals = jax.lax.slice(val_arena, (voff,), (voff + nnz,))
     return jnp.zeros(total, vals.dtype).at[idx].set(
         vals, unique_indices=True, indices_are_sorted=True
-    )
-
-
-@partial(jax.jit, static_argnames=("specs",))
-def _flat_slices(flat, *, specs):
-    return tuple(
-        jax.lax.slice(
-            flat, (base,), (base + int(np.prod(shape, dtype=np.int64)),)
-        ).reshape(shape)
-        for (base, shape) in specs
     )
 
 
@@ -265,33 +388,36 @@ def arena_device_put(tree):
         for i, leaf, base in members:
             specs[i] = ("gslice", gid, base, tuple(leaf.shape))
     if positions:
-        arenas = [None] * len(buckets)
-        for _dtn, (chunk_list, _, aid) in buckets.items():
-            arenas[aid] = (
-                np.concatenate(chunk_list)
-                if len(chunk_list) > 1
-                else chunk_list[0]
-            )
-        dev_arenas = jax.device_put(tuple(arenas))
+        from ..utils.timing import timed
+
+        with timed("XFER_PACK"):
+            arenas = [None] * len(buckets)
+            for _dtn, (chunk_list, _, aid) in buckets.items():
+                arenas[aid] = (
+                    np.concatenate(chunk_list)
+                    if len(chunk_list) > 1
+                    else chunk_list[0]
+                )
+        with timed("XFER_PUT"):
+            # one flat put per typed arena, each synced before the next:
+            # concurrent large uploads through the tunnel trigger the
+            # pathological serialization path (measured 115s for 3x24MB
+            # in flight vs 0.5s each sequenced)
+            dev_arenas = tuple(fast_device_put(a) for a in arenas)
         raw_pos = [i for i in positions if specs[i][0] == "raw"]
-        if raw_pos:
-            unpacked = _arena_slices(
-                dev_arenas, specs=tuple(specs[i][1:] for i in raw_pos)
-            )
-            for i, dev in zip(raw_pos, unpacked):
-                out[i] = dev
-        for gid, (aid_i, ioff, aid_v, voff, nnz, total) in enumerate(gspecs):
-            flat = _group_scatter(
-                dev_arenas[aid_i], dev_arenas[aid_v],
-                ioff=ioff, voff=voff, nnz=nnz, total=total,
-            )
-            members = [i for i in positions
-                       if specs[i][0] == "gslice" and specs[i][1] == gid]
-            pieces = _flat_slices(
-                flat, specs=tuple((specs[i][2], specs[i][3]) for i in members)
-            )
-            for i, dev in zip(members, pieces):
-                out[i] = dev
+        for i in raw_pos:
+            _tag, aid, start, shape, isbool = specs[i]
+            out[i] = ArenaView(dev_arenas[aid], start, shape, isbool)
+        with timed("XFER_GROUPS"):
+            for gid, (aid_i, ioff, aid_v, voff, nnz, total) in enumerate(gspecs):
+                flat = _group_scatter(
+                    dev_arenas[aid_i], dev_arenas[aid_v],
+                    ioff=ioff, voff=voff, nnz=nnz, total=total,
+                )
+                members = [i for i in positions
+                           if specs[i][0] == "gslice" and specs[i][1] == gid]
+                for i in members:
+                    out[i] = ArenaView(flat, specs[i][2], specs[i][3])
     return jax.tree.unflatten(treedef, out)
 
 

@@ -26,7 +26,12 @@ import scipy.sparse as sp
 from ...ops.csr import CSRMatrix, ELLMatrix
 from ...ops.spmv import ell_spmv
 from ...ops.dia import DenseMatrix, GatherOp, ScatterOp, freeze_auto, spmv
-from ...ops.transfer import arena_device_put, fast_device_put as arena_fast_put
+from ...ops.transfer import (
+    DeferredScatter,
+    arena_device_put,
+    fast_device_put as arena_fast_put,
+    unview,
+)
 from ...utils.timing import timed
 from ..krylov.common import SolverResult
 from .coarsen import (
@@ -776,13 +781,13 @@ class BoomerAMG:
 
         p = self._pending_rap
         self._pending_rap = None
-        P0emb = self.levels[0].P
+        P0emb = unview(self.levels[0].P)
         self.levels[0] = dataclasses.replace(
             self.levels[0],
             R=dia_transpose_device(P0emb, P0emb.data.shape[1]),
         )
         data, _, _ = embedded_rap_device(
-            P0emb, self.levels[0].A,
+            P0emb, unview(self.levels[0].A),
             p["plan"], p["tol"], p["width"], p["mdt"],
         )
         n0 = self.levels[0].A.num_rows
@@ -1162,27 +1167,39 @@ class BoomerAMG:
         dt = np.dtype(o.dtype)
         w = o.relax_weight
         sweeps = o.num_sweeps
+
+        def _dense_deferred(S, shape):
+            # ship the sparse matrix's nnz, materialize the dense image
+            # on device (the collapse levels are sparse: shipping dense
+            # f32 images moved ~25MB of mostly zeros at 96^3)
+            C = S.tocoo()
+            idx = C.row.astype(np.int64) * shape[1] + C.col
+            return DeferredScatter.build(idx, C.data.astype(dt), shape)
+
         mats = []
         for l in range(ls, L - 1):
             Ah = self._host_A[l]
             Ph = self._host_P[l]
             Rh = self._host_R[l]
-            Rd = Rh.toarray() if Rh is not None else Ph.toarray().T
+            Rs = Rh if Rh is not None else Ph.T.tocsr()
             diag = Ah.diagonal()
             dinv = np.where(diag == 0, 0.0, 1.0 / np.where(diag == 0, 1.0, diag))
             l1 = self._l1_norms(Ah)
             l1inv = np.where(l1 == 0, 0.0, 1.0 / np.where(l1 == 0, 1.0, l1))
-            # device_put, not jnp.asarray: the asarray upload path is
-            # pathologically slow through remote-device tunnels
-            mats.append(tuple(arena_fast_put(a) for a in (
-                Ah.toarray().astype(dt),
-                Ph.toarray().astype(dt),
-                np.ascontiguousarray(Rd).astype(dt),
+            n_l, nc_l = Ph.shape
+            mats.append((
+                _dense_deferred(Ah, (n_l, n_l)),
+                _dense_deferred(Ph, (n_l, nc_l)),
+                _dense_deferred(Rs, (nc_l, n_l)),
                 (w * (l1inv if o.relax_down == 18 else dinv)).astype(dt),
                 (w * (l1inv if o.relax_up == 18 else dinv)).astype(dt),
-            )))
+            ))
+        # one compact ship for every collapse operand (16 individual
+        # synced puts cost ~130ms EACH through the tunnel)
+        mats = arena_device_put(tuple(mats))
 
         def build(mats, Binv):
+            mats, Binv = unview((mats, Binv))
             M = Binv.astype(dt)
             for A, P, R, wdn, wup in reversed(mats):
                 n = A.shape[0]
@@ -1522,6 +1539,7 @@ class BoomerAMG:
         HBM cost after the smoothers themselves)."""
         o = self.opts
         w = o.relax_weight
+        lvl = unview(lvl)
         if relax_type == 9:
             ci = lvl.coarse_inv
             if isinstance(ci, (ScatterOp, GatherOp, DenseMatrix)):
@@ -1617,6 +1635,7 @@ class BoomerAMG:
         level independently (l1-Jacobi; coarsest direct), sum the
         prolongated corrections."""
         o = self.opts
+        levels = unview(list(levels))
         L = len(levels)
         res = [r]
         for l in range(L - 1):
@@ -1647,6 +1666,7 @@ class BoomerAMG:
         application) — first smooths then skip their A @ 0 matvecs
         (bitwise-identical, see _smooth)."""
         assert l == 0
+        levels = unview(list(levels))  # lazy arena storage -> arrays
         o = self.opts
         L = len(levels)
         if L == 1:
