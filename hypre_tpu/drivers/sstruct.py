@@ -7,11 +7,14 @@ interface couplings through the U-matrix).
 
   -n nx ny nz    per-part grid size (default 6 6 6)
   -d D           dimension (2|3)
-  -solver ID     3  SysPFMG (single-part path)
-                 19 Split with SMG sub-solver
-                 20 Split with PFMG sub-solver
-                 11 PCG + Split-PFMG      18 GMRES + diag
-                 40 PCG (no precond)
+  -solver ID     reference test/sstruct.c ids (sstruct.c:3702-3830):
+                 0  Split + SMG      1  Split + PFMG    8  Split + Jacobi
+                 3  SysPFMG
+                 10 PCG + Split-SMG  11 PCG + Split-PFMG
+                 13 PCG + SysPFMG    18 PCG + diag
+                 19 PCG (no precond — no matching precond branch)
+                 20 PCG + BoomerAMG (the ParCSR 20-block)
+                 50-99 FAC family (sstruct_fac.c, infile mode)
   -tol T -max_iter N
 Output: "Iterations = N" / "Final Relative Residual Norm = %e".
 """
@@ -100,8 +103,14 @@ def run(argv=None):
     infile = flag("-in", 1, None, cast=str)
     rfac = flag("-r", 3, None, int)
     rhsone = flag("-rhsone")
-    flag("-P", 3, None, int)  # accepted: np=1-equivalent by contract
-    flag("-b", 3, None, int)
+    # sstruct.c:1721: the index space scales by refine*block*distribute
+    # — -P and -b refine too (their box splits are an np>1 distribution
+    # detail; np=1 here by contract)
+    pfac = flag("-P", 3, None, int)
+    bfac = flag("-b", 3, None, int)
+    for extra in (pfac, bfac):
+        if extra is not None:
+            rfac = [a * b for a, b in zip(rfac or [1, 1, 1], extra)]
 
     if infile is not None:
         return _run_infile(infile, rfac, solver_id, tol, max_iter,
@@ -116,11 +125,12 @@ def run(argv=None):
         blocks = {(0, 0): A.diag_block(0, 0)}
         spf = SysPFMG(blocks, g.grid(0), SysPFMGOptions(tol=tol, max_iter=max_iter))
         res = spf.solve((b[0][0],))
-    elif solver_id in (19, 20):
-        ss = "smg" if solver_id == 19 else "pfmg"
+    elif solver_id in (0, 1, 8):
+        ss = {0: "smg", 1: "pfmg", 8: "jacobi"}[solver_id]
         res = SStructSplit(A, SplitOptions(tol=tol, max_iter=max_iter, ssolver=ss)).solve(b)
-    elif solver_id == 11:
-        split = SStructSplit(A, SplitOptions(ssolver="pfmg"))
+    elif solver_id in (10, 11):
+        ss = "smg" if solver_id == 10 else "pfmg"
+        split = SStructSplit(A, SplitOptions(ssolver=ss))
         import jax
 
         M = lambda r: split._step(jax.tree.map(jnp.zeros_like, r), r)
@@ -138,9 +148,11 @@ def run(argv=None):
         def M(r):
             return unpack_vector(dinv * pack_vector(r), g)
 
-        res = gmres(lambda x: sstruct_matvec(A, x), b, M=M,
-                    opts=GMRESOptions(tol=tol, max_iter=max_iter))
-    elif solver_id == 40:
+        res = pcg(lambda x: sstruct_matvec(A, x), b, M=M,
+                  opts=PCGOptions(tol=tol, max_iter=max_iter, two_norm=True))
+    elif 10 <= solver_id < 20 or solver_id == 40:
+        # no matching precond branch in sstruct.c -> unpreconditioned
+        # PCG (the default3d.jobs -solver 19 path); 40 kept as alias
         res = pcg(lambda x: sstruct_matvec(A, x), b,
                   opts=PCGOptions(tol=tol, max_iter=max_iter, two_norm=True))
     else:
@@ -216,10 +228,53 @@ def _run_infile(path, rfac, solver_id, tol, max_iter, rhsone):
     E = freeze_auto(CSRMatrix.from_scipy(As))
     op = lambda x: op_spmv(E, x)
     bj = jnp.asarray(b)
-    if solver_id == 18 or (10 <= solver_id < 20):
+    if solver_id in (0, 1, 8) or solver_id in (10, 11):
+        # Split with SMG (0) / PFMG (1) / Jacobi (8) sub-solves on the
+        # assembled S+U system, standalone or as a PCG preconditioner
+        # (10/11) — reference test/sstruct.c:3702-3780 id semantics.
+        # Cross-variable different-shape couplings live in U and are
+        # lagged, exactly hypre's Split treatment of non-diagonal-block
+        # couplings (HYPRE_sstruct_split.c:379-404 y += Nx).
+        import jax as _jax
+
+        from ..solvers.sstruct_ls import SplitOptions, SStructSplit
+        from ..sstruct.vector import pack_vector, unpack_vector
+
+        ss = {0: "smg", 1: "pfmg", 8: "jacobi", 10: "smg",
+              11: "pfmg"}[solver_id]
+        b_parts = unpack_vector(bj, sysm.grid)
+        if solver_id in (0, 1, 8):
+            split = SStructSplit(
+                sysm.A, SplitOptions(tol=tol, max_iter=max_iter,
+                                     ssolver=ss)
+            )
+            res = split.solve(b_parts)
+        else:
+            split = SStructSplit(sysm.A, SplitOptions(ssolver=ss))
+            M = lambda r: pack_vector(split._step(
+                _jax.tree.map(jnp.zeros_like, r), r))
+            res = pcg(
+                lambda x: op(x), bj,
+                M=lambda r: M(unpack_vector(r, sysm.grid)),
+                opts=PCGOptions(tol=tol, max_iter=max_iter,
+                                two_norm=True),
+            )
+        print(f"Iterations = {int(res.num_iterations)}")
+        print(
+            "Final Relative Residual Norm = "
+            f"{float(res.rel_residual_norm):e}"
+        )
+        return res
+    if solver_id == 18:
         dinv = jnp.asarray(1.0 / As.diagonal())
         res = pcg(op, bj, M=lambda r: dinv * r,
                   opts=PCGOptions(tol=tol, max_iter=max_iter, two_norm=True))
+    elif 10 <= solver_id < 20:
+        # no matching precond branch -> plain PCG (sstruct.c PCG block;
+        # default3d.jobs runs -solver 19 this way)
+        res = pcg(op, bj,
+                  opts=PCGOptions(tol=tol, max_iter=max_iter,
+                                  two_norm=True))
     elif solver_id == 20:
         # PCG + BoomerAMG on the flattened composite (object_type
         # PARCSR; the VE-stubbed oracle build aborts here, so the

@@ -182,6 +182,27 @@ def curlcurl_matrix_part(shape, origin, global_shape, alpha=1.0,
     return CSRMatrix.from_scipy(A), G, coords
 
 
+def curlcurl_matrix_part_weighted(shape, wf, we, alpha=1.0, beta=1.0,
+                                  h=1.0):
+    """Part-local curl-curl with CALLER-SUPPLIED face/edge weights:
+    A_p = alpha C^T diag(wf) C + beta diag(we).
+
+    With wf/we = 1/multiplicity in the global frame
+    (sstruct/shared_dof.py partition_of_unity_weights), the signed
+    subassembly over arbitrarily ORIENTED parts reproduces
+    curlcurl_matrix(global) exactly — the orientation-agnostic
+    generalization of curlcurl_matrix_part's ownership weighting
+    (reference: maxwell_TV_setup.c parallel assembly +
+    maxwell_PNedelec.c transformed-part handling)."""
+    G, C, coords, ne = edge_structure(*shape, h)
+    Cs = C.to_scipy()
+    A = alpha * (Cs.T @ sp.diags(np.asarray(wf, np.float64)) @ Cs) \
+        + beta * sp.diags(np.asarray(we, np.float64))
+    A = A.tocsr()
+    A.sort_indices()
+    return CSRMatrix.from_scipy(A), G, coords
+
+
 def face_structure(nx, ny, nz, h=1.0):
     """Face-element (RT0) structure: returns (C, Pi_rt, n_faces, G,
     coords) with C

@@ -314,7 +314,7 @@ def fast_device_put(x: np.ndarray, sync: bool = True) -> jax.Array:
     x = np.ascontiguousarray(x)
     flat = jax.device_put(x.reshape(-1))
     out = flat.reshape(x.shape) if x.ndim != 1 else flat
-    if sync:
+    if sync and x.size:  # nothing to sync on an empty leaf
         np.asarray(jax.lax.slice(out.reshape(-1), (0,), (1,)))
     return out
 

@@ -45,12 +45,15 @@ class SStructMaxwell:
     def __init__(
         self,
         parts,
-        A_parts,
+        A_parts=None,
         U=None,
         opts: SStructMaxwellOptions = SStructMaxwellOptions(),
         use_tv: bool | None = None,
         origins=None,
         global_shape=None,
+        transforms=None,
+        alpha: float = 1.0,
+        beta: float = 1.0,
     ):
         """use_tv: run the PNedelec TV multigrid (MaxwellTV below) when
         the problem is a single factor-2-coarsenable part — the
@@ -72,8 +75,54 @@ class SStructMaxwell:
         self.opts = opts
         self.tv = None
         self.edge_maps = None
+        self.edge_signs = None
+        if transforms is not None:
+            # Rotated / mixed-orientation parts (maxwell_PNedelec.c +
+            # sstruct_sharedDOFComm.c): signed-permutation transforms
+            # place each part in the global frame; edge DOFs whose
+            # tangential direction reverses pick up sign -1, and the
+            # per-part operators are built with partition-of-unity
+            # face/edge weights so the SIGNED subassembly reproduces
+            # the single-domain curl-curl exactly.
+            from ...models.maxwell import curlcurl_matrix_part_weighted
+            from ...sstruct.shared_dof import (
+                canonicalize_edge_maps,
+                partition_of_unity_weights,
+                shared_node_edge_maps_transformed,
+                subassemble_signed,
+            )
+
+            if A_parts is None:
+                wf, we = partition_of_unity_weights(parts, transforms)
+                A_parts = [
+                    curlcurl_matrix_part_weighted(
+                        s, wf[p], we[p], alpha, beta
+                    )[0]
+                    for p, s in enumerate(parts)
+                ]
+            nmaps, nn, emaps, ne, signs = (
+                shared_node_edge_maps_transformed(parts, transforms)
+            )
+            if global_shape is None:
+                hi = [0, 0, 0]
+                for s, (o, c, d) in zip(parts, transforms):
+                    for ld in range(3):
+                        g = c[ld]
+                        hi[g] = max(hi[g], o[g], o[g] + d[ld] * s[ld])
+                global_shape = tuple(hi)
+            emaps = canonicalize_edge_maps(emaps, ne, global_shape)
+            self.edge_maps = emaps
+            self.edge_signs = signs
+            self.n_edges = ne
+            A_glob = subassemble_signed(A_parts, emaps, signs, ne)
+            self._init_single(
+                tuple(global_shape), CSRMatrix.from_scipy(A_glob), opts,
+                use_tv,
+            )
+            return
         if origins is not None:
             from ...sstruct.shared_dof import (
+                canonicalize_edge_maps,
                 shared_node_edge_maps,
                 subassemble,
             )
@@ -84,6 +133,11 @@ class SStructMaxwell:
                     for d in range(3)
                 )
             nmaps, nn, emaps, ne = shared_node_edge_maps(parts, origins)
+            # compose to edge_structure's canonical global numbering so
+            # the TV hierarchy (G, An, P from edge_structure on the
+            # global box) indexes the SAME ordering as the subassembled
+            # operator — identify_dofs numbers by lexicographic key
+            emaps = canonicalize_edge_maps(emaps, ne, global_shape)
             self.edge_maps = emaps
             self.n_edges = ne
             A_glob = subassemble(A_parts, emaps, ne)
@@ -141,21 +195,34 @@ class SStructMaxwell:
 
     def solve_parts(self, b_parts) -> SolverResult:
         """Solve with per-part right-hand sides (shared-DOF problems):
-        b_glob = sum_p S_p^T b_p, the FEM-subassembly convention (each
-        part contributes its owned share of a shared edge's load)."""
-        from ...sstruct.shared_dof import scatter_to_global
+        b_glob = sum_p S_p^T D_p b_p, the FEM-subassembly convention
+        (each part contributes its owned share of a shared edge's load;
+        D_p = diag(edge signs) for orientation-flipped parts)."""
+        from ...sstruct.shared_dof import (
+            scatter_to_global,
+            scatter_to_global_signed,
+        )
 
-        b = scatter_to_global(b_parts, self.edge_maps, self.n_edges)
+        if self.edge_signs is not None:
+            b = scatter_to_global_signed(
+                b_parts, self.edge_maps, self.edge_signs, self.n_edges
+            )
+        else:
+            b = scatter_to_global(b_parts, self.edge_maps, self.n_edges)
         import jax.numpy as jnp
 
         return self.solve(jnp.asarray(b))
 
     def part_values(self, x_glob, part: int):
         """Gather a global edge vector back to part `part`'s local
-        numbering (shared DOFs replicate the single global value)."""
+        numbering (shared DOFs replicate the single global value;
+        orientation-flipped local edges read the negated circulation)."""
         import numpy as np
 
-        return np.asarray(x_glob)[self.edge_maps[part]]
+        v = np.asarray(x_glob)[self.edge_maps[part]]
+        if self.edge_signs is not None:
+            v = v * np.asarray(self.edge_signs[part], dtype=v.dtype)
+        return v
 
     def precond(self, r):
         if self.tv is not None:

@@ -93,6 +93,7 @@ class AssembledSystem:
         nd = data.ndim
         smats = {}
         sdata_ref = {}
+        xmats = set()  # (part, vi, vj) with different-shape var boxes
         for (p, v), sid in data.part_stencil.items():
             vlo, shape = self.var_boxes[(p, v)]
             ent = {}
@@ -102,16 +103,21 @@ class AssembledSystem:
                 ent.setdefault(key, {})[offt] = np.full(shape, val,
                                                        dtype=self.dtype)
             for (pp, vi, vj), entries in ent.items():
+                sdata_ref[(pp, vi, vj)] = entries
                 if self.var_boxes[(pp, vi)][1] != self.var_boxes[(pp, vj)][1]:
-                    raise NotImplementedError(
-                        "cross-variable stencils between different "
-                        "variable-box shapes"
-                    )
+                    # cross-variable coupling between DIFFERENT-shape
+                    # variable boxes (e.g. cell<->node in TEST_sstruct
+                    # mixed-vartype configs): no stencil-translation S
+                    # form exists — these legs assemble into the U CSR
+                    # below, exactly hypre's Ulink role for couplings
+                    # the struct layer can't carry
+                    # (sstruct_mv/sstruct_matrix.c UMatrix path)
+                    xmats.add((pp, vi, vj))
+                    continue
                 sm = StructMatrix.from_dict(
                     entries, StructGrid(shape)
                 )
                 smats[(pp, vi, vj)] = sm
-                sdata_ref[(pp, vi, vj)] = entries
 
         # MatrixSet/AddToValues boxes (stencil-entry overrides)
         for box, is_set in itertools.chain(
@@ -138,12 +144,46 @@ class AssembledSystem:
             else:
                 arr[slc] += box.value
             entries[tuple(off[:nd])] = arr
-            smats[key] = StructMatrix.from_dict(entries, StructGrid(shape))
+            if key not in xmats:
+                smats[key] = StructMatrix.from_dict(
+                    entries, StructGrid(shape)
+                )
 
         # U part: GraphAddEntries (sstruct.c:2950 enumeration + :3073
         # value setting — Set semantics per entry, duplicates summed at
         # matvec exactly as distinct hypre entries are)
         rows, cols, vals = [], [], []
+
+        # cross-variable different-shape stencil legs -> U couplings:
+        # row at global index idx of var vi couples to var vj at
+        # idx + off (hypre evaluates cross-variable offsets in the
+        # to-variable's index space anchored at the row's cell); legs
+        # whose target falls outside vj's box are dropped, the same
+        # boundary truncation the S path applies.
+        for (pp, vi, vj) in xmats:
+            vlo_i, shape_i = self.var_boxes[(pp, vi)]
+            vlo_j, shape_j = self.var_boxes[(pp, vj)]
+            off_i = self.grid.offsets()[(pp, vi)]
+            off_j = self.grid.offsets()[(pp, vj)]
+            loc = np.stack(
+                np.meshgrid(*[np.arange(s) for s in shape_i],
+                            indexing="ij"),
+                axis=-1,
+            ).reshape(-1, nd)
+            rid = off_i + np.arange(loc.shape[0])
+            for offt, arr in sdata_ref[(pp, vi, vj)].items():
+                tgt = loc + np.asarray(vlo_i) + np.asarray(offt) \
+                    - np.asarray(vlo_j)
+                ok = np.all((tgt >= 0) & (tgt < np.asarray(shape_j)),
+                            axis=1)
+                if not ok.any():
+                    continue
+                cid = off_j + np.ravel_multi_index(
+                    tuple(tgt[ok].T), shape_j
+                )
+                rows.extend(rid[ok].tolist())
+                cols.extend(cid.tolist())
+                vals.extend(np.asarray(arr).reshape(-1)[ok].tolist())
 
         # GridSetNeighborPart routing: stencil legs leaving a part's box
         # that land in a registered neighbor window become couplings to

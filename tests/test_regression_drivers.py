@@ -66,7 +66,8 @@ def test_struct_dscg():
 def test_sstruct_split_smg():
     from hypre_tpu.drivers import sstruct as sstruct_driver
 
-    res = sstruct_driver.run("-n 6 6 6 -solver 19 -tol 1e-6".split())
+    # reference id 0 = Split + SMG (sstruct.c:3708)
+    res = sstruct_driver.run("-n 6 6 6 -solver 0 -tol 1e-6".split())
     assert bool(res.converged)
 
 

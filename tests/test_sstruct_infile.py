@@ -131,3 +131,82 @@ def test_fac_5lev_oracle_parity():
     res = _run_fac("5lev.in", [1, 5, 1])
     assert int(res.num_iterations) == 16
     assert abs(float(res.rel_residual_norm) - 6.294807e-07) < 1e-12
+
+
+def test_cross_variable_stencil_assembly():
+    """sstruct.in.default (CELL + NODE per part with 15-pt stencils
+    coupling the two): the cross-variable legs join DIFFERENT-shape
+    variable boxes (10^3 cells vs 11^3 nodes) and assemble into U.
+    Validated entrywise against an independent brute-force assembly of
+    the spec (every stencil leg + the two interface GraphAddEntries
+    planes)."""
+    import scipy.sparse as sp
+
+    from hypre_tpu.sstruct.assemble import AssembledSystem
+    from hypre_tpu.sstruct.infile import read_infile
+
+    data = read_infile(REF + "sstruct.in.default")
+    sysm = AssembledSystem(data)
+    A = sysm.A.to_scipy().tocsr()
+    n = A.shape[0]
+    assert n == 2 * (10**3 + 11**3)
+
+    rows, cols, vals = [], [], []
+    nd = data.ndim
+    for (p, v), sid in data.part_stencil.items():
+        vlo, shape = sysm.var_boxes[(p, v)]
+        for loc in np.ndindex(*shape):
+            idx = [vlo[d] + loc[d] for d in range(nd)]
+            r = sysm.gid(p, v, idx)
+            for off, to_var, val in data.stencils[sid]:
+                tgt = [idx[d] + off[d] for d in range(nd)]
+                c = sysm.gid(p, to_var, tgt)
+                if c is not None:
+                    rows.append(r)
+                    cols.append(c)
+                    vals.append(val)
+    # GraphAddEntries: x-interface planes, identity map, value -1
+    for j in range(1, 11):
+        for k in range(1, 11):
+            rows.append(sysm.gid(0, 0, (10, j, k)))
+            cols.append(sysm.gid(1, 0, (1, j, k)))
+            vals.append(-1.0)
+            rows.append(sysm.gid(1, 0, (1, j, k)))
+            cols.append(sysm.gid(0, 0, (10, j, k)))
+            vals.append(-1.0)
+    B = sp.coo_matrix((vals, (rows, cols)), shape=(n, n)).tocsr()
+    B.sum_duplicates()
+    d = (A - B).tocoo()
+    assert d.nnz == 0, f"{d.nnz} mismatched entries"
+
+
+def test_default3d_oracle_parity_unrefined():
+    """[REF] `sstruct -solver 19` (plain two-norm PCG — sstruct.c's
+    PCG block has no precond branch for 19) on the built-in default
+    problem (= sstruct.in.default, mixed CELL/NODE vars with
+    cross-variable U couplings): 22 iterations, 8.709973e-07 (oracle
+    binary run, this machine)."""
+    from hypre_tpu.drivers import sstruct as drv
+
+    res = drv.run(["-in", REF + "sstruct.in.default", "-solver", "19"])
+    assert int(res.num_iterations) == 22
+    assert np.isclose(
+        float(res.rel_residual_norm), 8.709973e-07, rtol=1e-5
+    )
+
+
+@pytest.mark.slow
+def test_default3d_oracle_parity_solver19():
+    """[REF] TEST_sstruct/default3d.saved: `sstruct -r 2 2 2 -solver 19`
+    -> 27 iterations, 8.732652e-07 (all four .jobs decompositions agree
+    — -r/-b/-P each scale the index space, sstruct.c:1721)."""
+    from hypre_tpu.drivers import sstruct as drv
+
+    res = drv.run(
+        ["-in", REF + "sstruct.in.default", "-solver", "19",
+         "-r", "2", "2", "2"]
+    )
+    assert int(res.num_iterations) == 27
+    assert np.isclose(
+        float(res.rel_residual_norm), 8.732652e-07, rtol=1e-5
+    )
