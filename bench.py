@@ -15,9 +15,38 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 import numpy as np
+
+
+def _compile_service_healthy(budget_sec: float = 45.0) -> bool:
+    """Probe the (remote) XLA compile service with a FRESH-shape jit in
+    a subprocess under a hard timeout.  The axon service degrades
+    unpredictably (trivial compiles observed at 100-800 s vs <2 s
+    healthy) and a degraded compile cannot be interrupted in-process —
+    the subprocess boundary is the only reliable bound.  Healthy cost:
+    ~12 s (backend init + one tiny compile); this gates the
+    device-setup chain's ~10 extra compiles behind real evidence."""
+    import subprocess
+    import sys
+
+    odd = 10007 + (int(time.time()) % 9973) * 8  # cache-missing shape
+    code = (
+        "import jax, jax.numpy as jnp;"
+        f"x = jnp.ones({odd});"
+        "print(float(jax.jit(lambda v: (v * 1.0000001 + 2.0).sum())(x)))"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code], timeout=budget_sec,
+            capture_output=True, cwd=os.path.dirname(
+                os.path.abspath(__file__)),
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
 
 
 def main():
@@ -50,19 +79,22 @@ def main():
                     "classical above — distance-1 P keeps the coarse "
                     "lattice operators' diagonal unions ~3x smaller, "
                     "which is what bounds HBM at 192^3+)")
-    ap.add_argument("--device-setup", default="off",
+    ap.add_argument("--device-setup", default="auto",
                     choices=["auto", "on", "off"],
                     help="run level-0 setup on device (ops/device_setup.py)."
-                    " Default OFF for the graded bench: the chain trades"
-                    " host time for ~10 extra jit compiles, a huge win"
-                    " when the remote compile service is healthy/cached"
-                    " but unbounded when it is degraded (observed"
-                    " 100-800s compile stalls through the tunnel);"
-                    " auto = on for classical-interp sizes")
-    ap.add_argument("--device-rap", default="off", choices=["on", "off"],
+                    " The chain trades host time for ~10 extra jit"
+                    " compiles — a big win when the remote compile"
+                    " service is healthy/cached, unbounded when it is"
+                    " degraded (observed 100-800s compile stalls through"
+                    " the tunnel).  auto (default): a fresh-shape probe"
+                    " compile runs in a SUBPROCESS under a hard timeout;"
+                    " the device chain is used only if it passes, else"
+                    " the zero-compile host path")
+    ap.add_argument("--device-rap", default="auto",
+                    choices=["auto", "on", "off"],
                     help="device-side level-1 RAP (ops/device_rap.py):"
                     " saves the embedded-A1 transfer at the cost of one"
-                    " large jit compile — same robustness tradeoff")
+                    " large jit compile; auto follows --device-setup")
     args = ap.parse_args()
 
     import jax
@@ -91,21 +123,28 @@ def main():
     # ops/device_setup.py) and converges in <= the oracle count.
     ORACLE_ITERS = {48: 20, 96: 25, 256: 36}
 
+    # resolve the setup path BEFORE the timers: the auto-mode health
+    # probe (a subprocess compile, ~12 s healthy / 45 s timeout
+    # degraded) is environment qualification, not AMG setup
+    interp = args.interp or ("ext+i" if nx < 96 else "classical")
+    if args.device_setup == "auto":
+        dev_setup = interp == "classical" and _compile_service_healthy()
+    else:
+        dev_setup = args.device_setup == "on"
+    dev_rap = (dev_setup if args.device_rap == "auto"
+               else args.device_rap == "on")
+
     # ---- problem + setup -------------------------------------------------
     t0 = time.perf_counter()
     A = laplacian_7pt(nx, nx, nx)
     gen_time = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    interp = args.interp or ("ext+i" if nx < 96 else "classical")
-    dev_setup = {"auto": interp == "classical", "on": True, "off": False}[
-        args.device_setup
-    ]
     amg = BoomerAMG(
         A,
         BoomerAMGOptions(
             device_setup=dev_setup,
-            device_rap=args.device_rap == "on",
+            device_rap=dev_rap,
             coarsen_type="pmis",
             interp_type=interp,
             P_max_elmts=4,  # hypre production default keeps coarse ops sparse
@@ -310,6 +349,7 @@ def main():
         "num_levels": amg.num_levels,
         "num_frozen_levels": amg.num_frozen_levels,
         "interp": interp,
+        "device_setup": bool(dev_setup),
         "device": jax.devices()[0].device_kind,
         "dtype": args.dtype,
     }

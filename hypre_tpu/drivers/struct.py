@@ -100,7 +100,6 @@ def run(argv=None):
                                      vnp or int(np.prod(Pg)))
         shape = gbox.shape
         grid_mb = MultiBoxGrid([b for _, b in owners])
-        assert grid_mb.is_rectangular()
         coefs = [cx, cy, cz][:dim]
         diag_val = 2 * sum(coefs)
         ent_mb = {(0,) * dim: {}}
@@ -113,24 +112,25 @@ def run(argv=None):
             for d, c in enumerate(coefs):
                 ent_mb[off(d, -1)][i] = -c * np.ones(bshape)
                 ent_mb[off(d, 1)][i] = -c * np.ones(bshape)
-        # canonical assembly through the box maps
-        ent = {
-            o: np.asarray(
-                MultiBoxVector(grid_mb, per_box).to_global()
-            )
-            for o, per_box in ent_mb.items()
-        }
+        # canonical assembly through the box maps; non-rectangular
+        # unions embed exactly (identity exterior block — see
+        # struct/multibox.py to_struct_matrix)
+        from ..struct.multibox import to_struct_matrix
+
+        ent, inside = to_struct_matrix(grid_mb, ent_mb)
         # the multi-box matvec (ghost plans from box intersections)
-        # must agree with the canonical stencil apply
+        # must agree with the canonical stencil apply on the union
+        # (outside the union the embedded operator is identity)
         rng = np.random.default_rng(0)
-        xt = rng.standard_normal(shape)
+        xt = rng.standard_normal(shape) * inside
         xs = MultiBoxVector.from_global(grid_mb, xt)
         y_mb = np.asarray(multibox_matvec(grid_mb, ent_mb, xs).to_global())
         A = StructMatrix.from_dict(
             {o: jnp.asarray(v) for o, v in ent.items()}, StructGrid(shape)
         )
-        y_ref = np.asarray(struct_matvec(A, jnp.asarray(xt)))
+        y_ref = np.asarray(struct_matvec(A, jnp.asarray(xt))) * inside
         np.testing.assert_allclose(y_mb, y_ref, rtol=1e-12, atol=1e-12)
+        b = jnp.asarray(np.ones(shape) * inside)
     else:
         ones = np.ones(shape)
         ent = {(0,) * dim: 2 * (cx + cy + (cz if dim == 3 else 0)) * ones}
@@ -138,7 +138,7 @@ def run(argv=None):
             ent[off(d, -1)] = -c * ones
             ent[off(d, 1)] = -c * ones
         A = StructMatrix.from_dict(ent, StructGrid(shape))
-    b = jnp.ones(shape)
+        b = jnp.ones(shape)
 
     pf_opts = PFMGOptions(
         tol=tol, max_iter=max_iter, relax_type=relax,

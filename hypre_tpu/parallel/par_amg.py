@@ -105,11 +105,7 @@ class ParAMG:
                 f"{sorted(_JACOBI_TYPES | _L1_JACOBI_TYPES)} and hybrid "
                 f"GS {sorted(_GS_TYPES)})"
             )
-        if amg.opts.relax_order == 1 and rtypes & _GS_TYPES:
-            raise NotImplementedError(
-                "ParAMG: CF-ordered sweeps (relax_order=1) are not "
-                "implemented for the sharded hybrid-GS family"
-            )
+        self._gs_cf = amg.opts.relax_order == 1 and bool(rtypes & _GS_TYPES)
         gs_needed = []  # (forward, l1)
         for rt in rtypes & _GS_TYPES:
             l1 = rt in _GS_L1
@@ -148,13 +144,28 @@ class ParAMG:
             if gs_needed:
                 from .par_gs import build_par_gs_schedule
 
-                gs = {
-                    key: build_par_gs_schedule(
-                        Ah, Ap.part, mesh, axis, forward=key[0], l1=key[1],
-                        dtype=dt,
-                    )
-                    for key in set(gs_needed)
-                }
+                if self._gs_cf:
+                    # relax_order=1: (C, F) half-sweep schedule pairs
+                    # per direction (par_cycle.c:398 CF ordering)
+                    cm = amg._cf[l] > 0
+                    gs = {
+                        key: tuple(
+                            build_par_gs_schedule(
+                                Ah, Ap.part, mesh, axis, forward=key[0],
+                                l1=key[1], dtype=dt, mask=m,
+                            )
+                            for m in (cm, ~cm)
+                        )
+                        for key in set(gs_needed)
+                    }
+                else:
+                    gs = {
+                        key: build_par_gs_schedule(
+                            Ah, Ap.part, mesh, axis, forward=key[0],
+                            l1=key[1], dtype=dt,
+                        )
+                        for key in set(gs_needed)
+                    }
             self.par_levels.append(
                 _ParLevel(
                     A=Ap,
@@ -232,12 +243,23 @@ class ParAMG:
             mv, dmv = lvl.A.matvec_fn, lvl.A.diag_matvec_fn
             for _ in range(max(1, o.num_sweeps)):
                 for fwd in directions:
-                    # offd contribution frozen at sweep start (the
-                    # across-rank Jacobi half of the hybrid)
-                    g = f - (mv(u) - dmv(u))
-                    u = par_gauss_seidel(
-                        lvl.gs[(fwd, l1)], self.mesh, self.axis, u, g, w
-                    )
+                    sched = lvl.gs[(fwd, l1)]
+                    if isinstance(sched, tuple):
+                        # relax_order=1: C then F down, F then C up;
+                        # each half-sweep refreshes the off-shard
+                        # contribution (one exchange per
+                        # hypre_BoomerAMGRelax call)
+                        sc, sf = sched
+                        halves = (sf, sc) if up else (sc, sf)
+                    else:
+                        halves = (sched,)
+                    for h in halves:
+                        # offd contribution frozen at sweep start (the
+                        # across-rank Jacobi half of the hybrid)
+                        g = f - (mv(u) - dmv(u))
+                        u = par_gauss_seidel(
+                            h, self.mesh, self.axis, u, g, w
+                        )
             return u
 
         div = lvl.l1inv if relax_type in _L1_TYPES else lvl.dinv

@@ -55,12 +55,18 @@ class ParGSSchedule:
 
 def build_par_gs_schedule(
     Ah, part, mesh, axis: str, forward: bool, l1: bool, dtype,
+    mask=None,
 ) -> ParGSSchedule:
     """Host: per-shard diagonal-block schedules, padded + stacked.
 
     Ah: global scipy CSR.  part: block partition (rows_per_shard).
     l1: divisor = |a_ii| + sum_{j off-shard} |a_ij| (option-4 l1 norm,
     par_relax_more.c); else the plain diagonal.
+    mask: optional GLOBAL boolean row mask (CF_marker > 0 for the C
+    half-sweep, its complement for F) — relax_order=1 CF ordering
+    (par_cycle.c:398): only masked rows relax, reading the latest
+    in-shard values and sweep-start off-shard values like any hybrid
+    sweep.
     """
     S = mesh.shape[axis]
     per = part.rows_per_shard
@@ -88,7 +94,8 @@ def build_par_gs_schedule(
         div = np.where(div == 0, 1.0, div)
         scheds.append(
             build_gs_schedule(
-                CSRMatrix.from_scipy(block), forward=forward, divisor=div
+                CSRMatrix.from_scipy(block), forward=forward, divisor=div,
+                mask=None if mask is None else np.asarray(mask[lo:hi]),
             )
         )
 

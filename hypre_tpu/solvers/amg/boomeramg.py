@@ -145,6 +145,16 @@ class BoomerAMGOptions:
     num_sweeps_down: Optional[int] = None
     num_sweeps_up: Optional[int] = None
     num_sweeps_coarse: Optional[int] = None
+    # old-style per-cycle-position arrays (par_amg.h grid_relax_type[4] /
+    # grid_relax_points[4][sweep]; par_cycle.c:288 `relax_type =
+    # grid_relax_type[cycle_param]`, :333 `relax_points =
+    # grid_relax_points[cycle_param][j]`).  grid_relax_type: 4 ints
+    # (finest, down, up, coarsest) overriding relax_down/up/coarse.
+    # grid_relax_points: 4 tuples of {0 all, 1 C, -1 F} per sweep; the
+    # sweep count per position is the tuple's length
+    # (num_grid_sweeps[cycle_param]).
+    grid_relax_type: Optional[tuple] = None
+    grid_relax_points: Optional[tuple] = None
     # stop coarsening once the next coarse grid would fall below this
     # (HYPRE_BoomerAMGSetMinCoarseSize, ij driver -min_cs)
     min_coarse_size: int = 0
@@ -259,6 +269,15 @@ class BoomerAMGOptions:
     # offset first) — kept VALUES agree after rescale, the pattern can
     # differ where equal weights straddle the max_elmts cut.
     device_setup: bool = False
+
+
+def _updown_relax_types(o) -> set:
+    """Effective down/up relax types: grid_relax_type[:3] when the
+    old-style array (par_amg.h grid_relax_type[4]) is set, else
+    {relax_down, relax_up}."""
+    if o.grid_relax_type is not None:
+        return set(int(t) for t in o.grid_relax_type[:3])
+    return {o.relax_down, o.relax_up}
 
 
 @jax.tree_util.register_dataclass
@@ -515,7 +534,8 @@ class BoomerAMG:
             return False
         if o.post_interp_type or o.restrict_type or o.additive >= 0:
             return False
-        if {o.relax_down, o.relax_up} - {0, 7, 18} or o.smooth_num_levels:
+        if (_updown_relax_types(o) - {0, 7, 18} or o.smooth_num_levels
+                or o.grid_relax_points is not None):
             return False
         n, m = A.shape
         shape = tuple(int(s) for s in o.lattice_shape)
@@ -834,15 +854,23 @@ class BoomerAMG:
 
         if coarsest is None:
             coarsest = P is None
-        relax_types = {o.relax_down, o.relax_up} if not coarsest else {o.relax_coarse}
+        if o.grid_relax_type is not None:
+            relax_types = (set(int(t) for t in o.grid_relax_type[:3])
+                           if not coarsest
+                           else {int(o.grid_relax_type[3])})
+        else:
+            relax_types = ({o.relax_down, o.relax_up} if not coarsest
+                           else {o.relax_coarse})
         need_gs = bool(relax_types & set(_GS_TYPES))
         # option-4 l1 divisor degenerates to |diag| on one partition;
         # sign follows the diagonal (ams.c:642-660)
         gs_div = np.where(diag == 0, 1.0, diag)
 
         gs_fwd = gs_bwd = None
+        grp_cf = (o.grid_relax_points is not None
+                  and any(p for pos in o.grid_relax_points for p in pos))
         if need_gs and not coarsest:
-            if o.relax_order == 1 and cf is not None:
+            if (o.relax_order == 1 or grp_cf) and cf is not None:
                 # CF-ordered sweeps (par_cycle.c:398): store (C, F)
                 # schedule pairs per direction
                 cm = cf > 0
@@ -906,7 +934,8 @@ class BoomerAMG:
         o = self.opts
         if not o.embed_level1 or len(self._host_A) < 3:
             return None
-        if {o.relax_down, o.relax_up} - {0, 7, 18}:
+        if (_updown_relax_types(o) - {0, 7, 18}
+                or o.grid_relax_points is not None):
             return None  # embedded smoothing implemented for Jacobi family only
         if o.smooth_num_levels > 0:
             return None  # aux smoothers operate on the compact layout
@@ -1134,6 +1163,8 @@ class BoomerAMG:
         if (o.collapse_coarse_n <= 0 or o.cycle_type != 1 or o.fcycle
                 or o.additive >= 0 or o.relax_order == 1
                 or o.relax_coarse != 9 or o.smooth_num_levels > 0
+                or o.grid_relax_type is not None
+                or o.grid_relax_points is not None
                 or not {o.relax_down, o.relax_up} <= {0, 5, 7, 18}
                 or (o.num_sweeps_down or o.num_sweeps) != o.num_sweeps
                 or (o.num_sweeps_up or o.num_sweeps) != o.num_sweeps):
@@ -1260,7 +1291,8 @@ class BoomerAMG:
         # than any lattice form
         if self._host_A[2].shape[0] <= o.relocate_min_n2:
             return []
-        if {o.relax_down, o.relax_up} - {0, 7, 18}:
+        if (_updown_relax_types(o) - {0, 7, 18}
+                or o.grid_relax_points is not None):
             return []
 
         mdt = np.dtype(o.mat_dtype or o.dtype)
@@ -1530,8 +1562,30 @@ class BoomerAMG:
     # constants — correct, but some runtimes (remote-device tunnels)
     # re-upload constants per call, which murders performance.
     # ------------------------------------------------------------------
+    def _relax_plan(self, cycle_param: int):
+        """(relax_type, per-sweep points) for this cycle position —
+        par_cycle.c:288/333 grid_relax_type[cycle_param] and
+        grid_relax_points[cycle_param][j]; the modern scalar options
+        (relax_down/up/coarse + num_sweeps_*) fill in when the
+        old-style arrays are unset.  points: 0 = all, 1 = C, -1 = F."""
+        o = self.opts
+        if o.grid_relax_type is not None:
+            rt = int(o.grid_relax_type[cycle_param])
+        elif cycle_param == 3:
+            rt = o.relax_coarse
+        else:
+            rt = o.relax_down if cycle_param in (0, 1) else o.relax_up
+        if o.grid_relax_points is not None:
+            return rt, tuple(int(p) for p in o.grid_relax_points[cycle_param])
+        if cycle_param == 3:
+            ns = (o.num_sweeps_coarse or o.num_sweeps) if rt != 9 else 1
+        else:
+            ns = (o.num_sweeps_down if cycle_param in (0, 1)
+                  else o.num_sweeps_up) or o.num_sweeps
+        return rt, (0,) * ns
+
     def _smooth(self, lvl: AMGLevel, relax_type: int, u, f, up: bool,
-                u_zero: bool = False):
+                u_zero: bool = False, points: int = 0):
         """u_zero: caller guarantees u == 0 — the first down-smooth of
         every level inside a preconditioner cycle.  Jacobi-family sweeps
         then skip the A @ 0 matvec (bitwise-identical result; ~one
@@ -1558,6 +1612,13 @@ class BoomerAMG:
             # parallel machine == Jacobi, par_relax.c's own caveat);
             # 18 l1-Jacobi
             div = lvl.l1inv if relax_type == 18 else lvl.dinv
+            if points and lvl.cmask is not None:
+                # old-style grid_relax_points sweep (par_relax.c
+                # relax_points argument: update only C (+1) or F (-1))
+                mask = lvl.cmask if points == 1 else ~lvl.cmask
+                if u_zero:
+                    return jnp.where(mask, w * div * f, 0.0)
+                return jacobi_cf(lvl.A, div, u, f, mask, w)
             if o.relax_order == 1:
                 first = True
                 order = (~lvl.cmask, lvl.cmask) if up else (lvl.cmask, ~lvl.cmask)
@@ -1574,13 +1635,13 @@ class BoomerAMG:
         if relax_type in (1, 2, 3, 13):
             # sequential/hybrid forward GS (np=1: true GS; 13 = L1-GS
             # whose option-4 divisor degenerates to |diag|)
-            return self._gs(lvl.gs_fwd, u, f, w, up)
+            return self._gs(lvl.gs_fwd, u, f, w, up, points)
         if relax_type in (4, 14):
-            return self._gs(lvl.gs_bwd, u, f, w, up)
+            return self._gs(lvl.gs_bwd, u, f, w, up, points)
         if relax_type in (6, 8):
             # hybrid SSOR / L1-SSOR (same degenerate divisor at np=1)
-            u = self._gs(lvl.gs_fwd, u, f, w, up)
-            return self._gs(lvl.gs_bwd, u, f, w, up)
+            u = self._gs(lvl.gs_fwd, u, f, w, up, points)
+            return self._gs(lvl.gs_bwd, u, f, w, up, points)
         if relax_type == 16:
             return chebyshev(lvl.A, lvl.cheby, u, f)
         if relax_type == 17:
@@ -1608,14 +1669,22 @@ class BoomerAMG:
             return u
         raise ValueError(f"relax_type {relax_type} not implemented")
 
-    def _gs(self, sched, u, f, w, up):
+    def _gs(self, sched, u, f, w, up, points: int = 0):
         if isinstance(sched, tuple):
-            # CF-ordered: down C then F, up F then C (par_cycle.c:398)
+            # CF-ordered: down C then F, up F then C (par_cycle.c:398);
+            # a grid_relax_points sweep runs just the requested half
             sc, sf = sched
+            if points:
+                return gauss_seidel(sc if points == 1 else sf, u, f, w)
             order = (sf, sc) if up else (sc, sf)
             for sd in order:
                 u = gauss_seidel(sd, u, f, w)
             return u
+        if points:
+            raise NotImplementedError(
+                "grid_relax_points with GS relaxation requires CF "
+                "schedules — set relax_order=1 so the setup builds them"
+            )
         return gauss_seidel(sched, u, f, w)
 
     def cycle(self, f, u=None, levels=None):
@@ -1689,22 +1758,18 @@ class BoomerAMG:
             if guard > 16384:
                 raise RuntimeError("cycle state machine exploded")
             lvl = levels[level]
+            rt, pts = self._relax_plan(cycle_param)
             if cycle_param == 3:
-                ns = (o.num_sweeps_coarse or o.num_sweeps
-                      if o.relax_coarse != 9 else 1)
-                for _ in range(ns):
+                for p in pts:
                     U[level] = self._smooth(
-                        lvl, o.relax_coarse, U[level], F[level], up=False
+                        lvl, rt, U[level], F[level], up=False, points=p
                     )
                 uz[level] = False
             else:
-                rt = o.relax_down if cycle_param in (0, 1) else o.relax_up
-                ns = (o.num_sweeps_down if cycle_param in (0, 1)
-                      else o.num_sweeps_up) or o.num_sweeps
-                for _ in range(ns):
+                for p in pts:
                     U[level] = self._smooth(
                         lvl, rt, U[level], F[level], up=(cycle_param == 2),
-                        u_zero=uz[level],
+                        u_zero=uz[level], points=p,
                     )
                     uz[level] = False
             lev_counter[level] -= 1

@@ -192,17 +192,16 @@ def cheby_setup(
       upper = 1.1 * max_eig;  lower = (upper - min_eig)*fraction + min_eig
       theta = (upper+lower)/2, delta = (upper-lower)/2
       standard-variant monomial coefficients for cheby_order = order-1
-    Eigen bounds from a Lanczos sweep on D^{-1/2} A D^{-1/2} (the
-    hypre_ParCSRMaxEigEstimateCG analog, cheby_eig_est=10 default).
+    Eigen bounds from the exact hypre_ParCSRMaxEigEstimateCG replica
+    (max_eig_estimate_cg above; cheby_eig_est=10, cheby_scale=1
+    defaults — par_amg_setup.c's call for relax 16).
     """
     diag = A.diagonal()
     dsqrtinv = 1.0 / np.sqrt(np.abs(diag))
-    M = A.to_scipy()
-    n = A.num_rows
     if max_eig is None or min_eig is None:
-        Ds = np.asarray(dsqrtinv)
-        mv = lambda x: Ds * (M @ (Ds * x))
-        lo, hi = _lanczos_bounds(mv, n, iters=max(eig_est_iters, 3))
+        hi, lo = max_eig_estimate_cg(
+            A, scale=True, max_iter=max(eig_est_iters, 3)
+        )
         max_eig = hi if max_eig is None else max_eig
         min_eig = max(lo, 0.0) if min_eig is None else min_eig
 
@@ -218,6 +217,57 @@ def cheby_setup(
         dsqrtinv=jnp.asarray(dsqrtinv),
         order=order,
     )
+
+
+def max_eig_estimate_cg(A: CSRMatrix, scale: bool = True,
+                        max_iter: int = 10):
+    """hypre_ParCSRMaxEigEstimateCG (par_relax_more.c:115-390), exact
+    arithmetic replica: r = SetRandomValues(seed 1) via the bit-exact
+    hypre LCG (utils/lcg.py), the unpreconditioned CG recurrence
+    (s = C*r with C = I — the reference's own TODO leaves diagonal
+    preconditioning unimplemented), the tridiag/trioffd fill with
+    beta-rescaling, and the tridiagonal eigensolve (LINPACK cgtql1
+    there, LAPACK here — same matrix, agreement to roundoff).
+    scale: estimate on D^{-1/2} A D^{-1/2} (relax 16 / cheby_scale=1).
+    Returns (max_eig, min_eig)."""
+    from ...utils.lcg import lcg_fill
+
+    M = A.to_scipy().tocsr()
+    n = A.num_rows
+    max_iter = min(max_iter, n)
+    r = 2.0 * lcg_fill(1, n) - 1.0
+    ds = 1.0 / np.sqrt(M.diagonal()) if scale else np.ones(n)
+    tridiag = np.zeros(max_iter + 1)
+    trioffd = np.zeros(max_iter + 1)
+    gamma = 0.0
+    p = np.zeros(n)
+    for i in range(max_iter):
+        s = r.copy()
+        gamma_old = gamma
+        gamma = float(r @ s)
+        if i == 0:
+            beta = 1.0
+            p = s.copy()
+        else:
+            beta = gamma / gamma_old
+            p = s + beta * p
+        if scale:
+            s = ds * (M @ (ds * p))
+        else:
+            s = M @ p
+        sdotp = float(s @ p)
+        alpha = gamma / sdotp
+        alphainv = 1.0 / alpha
+        tridiag[i + 1] = alphainv
+        tridiag[i] = tridiag[i] * beta + alphainv
+        trioffd[i + 1] = alphainv
+        trioffd[i] *= np.sqrt(beta)
+        r = r - alpha * s
+    T = np.diag(tridiag[:max_iter])
+    for j in range(max_iter - 1):
+        T[j, j + 1] = T[j + 1, j] = trioffd[j + 1]
+    ev = np.linalg.eigvalsh(T)
+    return float(ev[-1]), float(ev[0])
 
 
 def _lanczos_bounds(mv, n, iters=10, seed=0):

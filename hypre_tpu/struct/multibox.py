@@ -148,3 +148,52 @@ def multibox_matvec(grid: MultiBoxGrid, entries: dict, x: MultiBoxVector,
             acc = t if acc is None else acc + t
         out[i] = acc if acc is not None else jnp.zeros(b.shape)
     return MultiBoxVector(grid, out)
+
+
+def union_mask(grid: MultiBoxGrid) -> np.ndarray:
+    """Boolean bounding-box array: True on cells covered by the union."""
+    m = np.zeros(grid.bbox.shape, dtype=bool)
+    for i in grid.nonempty:
+        m[grid.boxes[i].slice_in(grid.bbox)] = True
+    return m
+
+
+def to_struct_matrix(grid: MultiBoxGrid, entries: dict, dtype=np.float64):
+    """EXACT masked bounding-box embedding of a (possibly
+    NON-RECTANGULAR) box-union operator.
+
+    Returns (entries_bbox, inside) where entries_bbox are canonical
+    stencil coefficient arrays on the bounding box with (a) couplings
+    whose source or target falls outside the union zeroed and (b) unit
+    diagonals on exterior cells.  The embedded operator is therefore
+    block-diagonal — (union system) ⊕ (identity on the exterior) — so
+    ANY struct solver run on the bounding box with exterior b = 0
+    solves the union system EXACTLY; smoothing or coarse-grid work on
+    the exterior block cannot couple back.  This is the TPU-native
+    answer to the reference's solvers on arbitrary box unions
+    (struct_mv grids are box SETS — struct_grid.c; our solvers want
+    one dense lattice): embed, don't scatter.  Dropped inside->outside
+    couplings match multibox_matvec's ghost semantics (uncovered ghost
+    reads are zero), so the embedded matvec equals the multi-box
+    matvec on the union bit-for-bit.
+    """
+    inside = union_mask(grid)
+    shape = grid.bbox.shape
+    out = {}
+    for o, per_box in entries.items():
+        arr = np.zeros(shape, dtype=dtype)
+        for i, a in per_box.items():
+            arr[grid.boxes[i].slice_in(grid.bbox)] = np.asarray(a)
+        if any(o):
+            # keep i -> i+o only when both endpoints are in the union
+            tgt = np.zeros(shape, dtype=bool)
+            dst = tuple(slice(max(0, -oo), s - max(0, oo))
+                        for oo, s in zip(o, shape))
+            src = tuple(slice(max(0, oo), s + min(0, oo))
+                        for oo, s in zip(o, shape))
+            tgt[dst] = inside[src]
+            arr = np.where(inside & tgt, arr, 0.0)
+        else:
+            arr = np.where(inside, arr, 1.0)
+        out[o] = arr
+    return out, inside

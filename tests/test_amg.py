@@ -429,6 +429,7 @@ def test_interp_vec_variants_exact_on_modes():
             assert E[cf <= 0].max() <= err0 + 1e-12
 
 
+@pytest.mark.slow  # ~15 s; test_amgdd_composite_grids keeps fast AMG-DD coverage
 def test_amgdd_device_matches_host_and_shards():
     """AMG-DD's communication-avoiding payoff path (par_amgdd_solve.c):
     the batched device execution reproduces the host composite cycles

@@ -56,7 +56,10 @@ def test_relocate_to_cells_is_injective_and_near():
     assert d.max() <= 8
 
 
+@pytest.mark.slow  # needs 24^3 to engage (~23 s); small_l2_gate + dia_tail parity stay fast
 def test_relocated_hierarchy_matches_plain_exactly():
+    # nx must stay 24: at 16^3 the level-1 operator falls under the
+    # dense-freeze threshold and relocation never engages
     nx = 24
     n = nx**3
     A = laplacian_7pt(nx, nx, nx)

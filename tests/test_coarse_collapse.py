@@ -6,6 +6,7 @@ solutions vs the uncollapsed hierarchy.
 """
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from hypre_tpu.models import laplacian_7pt
 from hypre_tpu.ops.dia import spmv
@@ -36,6 +37,7 @@ def test_collapse_matches_uncollapsed():
     np.testing.assert_allclose(np.asarray(r0.x), np.asarray(r1.x), atol=1e-9)
 
 
+@pytest.mark.slow  # ~29 s; collapse_matches_uncollapsed keeps fast coverage
 def test_collapse_with_relocated_lattice():
     nx = 24
     n = nx**3
@@ -51,7 +53,7 @@ def test_collapse_with_relocated_lattice():
 
 
 def test_collapse_gated_off_for_nonlinear_smoothers():
-    nx = 16
+    nx = 10
     A = laplacian_7pt(nx, nx, nx)
     amg = BoomerAMG(
         A,

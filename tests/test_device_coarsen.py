@@ -38,6 +38,7 @@ def test_device_pmis_bitwise_matches_host(builder):
     np.testing.assert_array_equal(cf_dev.astype(np.int64), cf_host)
 
 
+@pytest.mark.slow  # ~27 s; device PMIS bitwise parity is covered fast in test_device_setup
 def test_boomeramg_device_coarsen_identical_hierarchy():
     """device_coarsen=True produces the IDENTICAL hierarchy (CF bitwise
     -> same level sizes, same operators) as the host path."""

@@ -56,7 +56,11 @@ def _embedded_to_csr(data, offsets, rpos, cpos, shape):
     return M
 
 
-@pytest.mark.parametrize("gen,nx", [(laplacian_7pt, 12), (laplacian_27pt, 8)])
+@pytest.mark.parametrize("gen,nx", [
+    (laplacian_7pt, 12),
+    # 27-pt compiles a ~27-offset interp program: ~85 s on CPU x64
+    pytest.param(laplacian_27pt, 8, marks=pytest.mark.slow),
+])
 def test_device_interp_bitwise(gen, nx):
     A = gen(nx, nx, nx).to_scipy().tocsr()
     A.sort_indices()
@@ -83,6 +87,7 @@ def test_device_interp_bitwise(gen, nx):
         np.testing.assert_allclose(P_h.data, P_d.data, rtol=1e-13)
 
 
+@pytest.mark.slow  # ~23 s; the nx=16 fast-path e2e exercises the same device RAP chain
 def test_device_rap_and_filter():
     nx = 12
     A = laplacian_7pt(nx, nx, nx).to_scipy().tocsr()
@@ -129,7 +134,10 @@ def test_device_row_stats():
     np.testing.assert_allclose(np.asarray(l1inv)[:n], 1.0 / l1, rtol=1e-14)
 
 
-@pytest.mark.parametrize("nx", [16, 24])
+@pytest.mark.parametrize("nx", [
+    16,
+    pytest.param(24, marks=pytest.mark.slow),  # 34 s; 16 keeps coverage
+])
 def test_fast_path_end_to_end(nx):
     """device_setup=True converges like the host path (+-1 iteration —
     the truncation tie-set is the documented fp realization change)."""

@@ -8,6 +8,7 @@ tailed relocated hierarchy converges identically to an untailed one.
 """
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import scipy.sparse as sp
 
 from hypre_tpu.models import laplacian_7pt
@@ -82,6 +83,7 @@ def test_parity_tail_matvec_exact():
     np.testing.assert_allclose(z1, z0, rtol=1e-12, atol=1e-12)
 
 
+@pytest.mark.slow  # ~40 s; parity_tail_matvec_exact keeps fast coverage
 def test_tailed_hierarchy_same_iterations():
     nx = 24
     n = nx**3

@@ -32,6 +32,7 @@ def test_amg_hybrid_switches_on_hard_problem():
     assert np.linalg.norm(r) / np.sqrt(16**3) < 1e-9
 
 
+@pytest.mark.slow  # ~32 s; DSCG->MG switch covered fast by test_amg_hybrid*
 def test_struct_hybrid():
     shape = (10, 10, 10)
     ones = np.ones(shape)

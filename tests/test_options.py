@@ -74,3 +74,85 @@ def test_sabs_strength():
     S_abs = strength_matrix_abs(M, 0.25, 1.0)
     assert S_abs.nnz > S_signed.nnz
     assert S_abs[0, 2] != 0 and S_signed[0, 2] == 0
+
+
+def test_grid_relax_points_equals_relax_order():
+    """Old-style grid_relax_type[4]/grid_relax_points[4][sweep]
+    (par_cycle.c:288/333): the explicit CF sweep arrays ((1,-1) down,
+    (-1,1) up) must reproduce relax_order=1 EXACTLY — both express the
+    same par_cycle.c CF relaxation."""
+    A = laplacian_7pt(10, 10, 10)
+    b = jnp.asarray(A.to_scipy() @ np.ones(1000))
+    ro = BoomerAMG(A, BoomerAMGOptions(relax_order=1, **_COMMON))
+    r1 = ro.solve(b, tol=1e-8, max_iter=60)
+    grp = BoomerAMG(A, BoomerAMGOptions(
+        grid_relax_type=(18, 18, 18, 9),
+        grid_relax_points=((1, -1), (1, -1), (-1, 1), (0,)),
+        **_COMMON))
+    r2 = grp.solve(b, tol=1e-8, max_iter=60)
+    assert int(r1.num_iterations) == int(r2.num_iterations)
+    np.testing.assert_array_equal(np.asarray(r1.x), np.asarray(r2.x))
+
+
+def test_grid_relax_points_gs():
+    """CF point sweeps with hybrid GS (types 13/14): equals
+    relax_order=1 GS bitwise (the (C,F) schedule halves are shared)."""
+    common = dict(_COMMON, relax_down=13, relax_up=14)
+    A = laplacian_7pt(8, 8, 8)
+    b = jnp.asarray(A.to_scipy() @ np.ones(512))
+    ro = BoomerAMG(A, BoomerAMGOptions(relax_order=1, **common))
+    r1 = ro.solve(b, tol=1e-8, max_iter=60)
+    grp = BoomerAMG(A, BoomerAMGOptions(
+        grid_relax_type=(13, 13, 14, 9),
+        grid_relax_points=((1, -1), (1, -1), (-1, 1), (0,)),
+        **common))
+    r2 = grp.solve(b, tol=1e-8, max_iter=60)
+    assert int(r1.num_iterations) == int(r2.num_iterations)
+    np.testing.assert_array_equal(np.asarray(r1.x), np.asarray(r2.x))
+
+
+def test_grid_relax_type_overrides_scalars():
+    """grid_relax_type alone (no points) overrides relax_down/up: an
+    F-then-C two-sweep Jacobi config converges and differs from the
+    plain config."""
+    A = laplacian_7pt(10, 10, 10)
+    b = jnp.asarray(A.to_scipy() @ np.ones(1000))
+    # scalars say GS, array says l1-Jacobi — the array must win.
+    # collapse_coarse_n=0 on both: grid_relax_type disables the dense
+    # sub-cycle collapse, so the reference config must skip it too for
+    # a bitwise comparison
+    amg = BoomerAMG(A, BoomerAMGOptions(**dict(
+        _COMMON, relax_down=13, relax_up=14, collapse_coarse_n=0,
+        grid_relax_type=(18, 18, 18, 9))))
+    r = amg.solve(b, tol=1e-8, max_iter=60)
+    assert bool(r.converged)
+    ref = BoomerAMG(A, BoomerAMGOptions(**dict(
+        _COMMON, collapse_coarse_n=0)))
+    rr = ref.solve(b, tol=1e-8, max_iter=60)
+    # identical math: the override IS relax 18 everywhere
+    np.testing.assert_array_equal(np.asarray(r.x), np.asarray(rr.x))
+
+
+def test_max_eig_estimate_cg():
+    """hypre_ParCSRMaxEigEstimateCG replica (par_relax_more.c:115): on
+    the scaled 7-pt Laplacian the 10-step Lanczos/CG tridiagonal
+    estimate must tightly bracket the true spectrum of
+    D^{-1/2} A D^{-1/2} (in (0, 2), max near 2 - O(h^2)), and be
+    deterministic (hypre LCG seed 1)."""
+    import scipy.sparse.linalg as spla
+
+    from hypre_tpu.solvers.amg.relax import max_eig_estimate_cg
+
+    A = laplacian_7pt(8, 8, 8)
+    hi, lo = max_eig_estimate_cg(A, scale=True, max_iter=10)
+    M = A.to_scipy()
+    ds = 1.0 / np.sqrt(M.diagonal())
+    S = (M.multiply(np.outer(ds, ds))).tocsr()
+    true_hi = float(spla.eigsh(S, k=1, which="LA",
+                               return_eigenvectors=False)[0])
+    # Lanczos extreme Ritz values converge from inside the spectrum
+    assert 0.9 * true_hi < hi <= true_hi * (1 + 1e-10)
+    assert 0.0 < lo < hi
+    # deterministic: the LCG seed is fixed at 1 (the reference's call)
+    hi2, lo2 = max_eig_estimate_cg(A, scale=True, max_iter=10)
+    assert hi == hi2 and lo == lo2

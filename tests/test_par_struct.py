@@ -35,6 +35,7 @@ def test_sharded_struct_matvec():
     np.testing.assert_allclose(np.asarray(y_sh), np.asarray(y), rtol=1e-11, atol=1e-12)
 
 
+@pytest.mark.slow  # ~39 s; the 2-D process-grid test solves sharded PFMG fast
 def test_sharded_pfmg_iteration_invariance():
     mesh = make_mesh(8)
     shape = (16, 12, 12)
@@ -56,7 +57,7 @@ def test_sharded_struct_2d_process_grid():
     from hypre_tpu.parallel.mesh import make_mesh_nd
 
     mesh = make_mesh_nd((2, 4))
-    shape = (16, 12, 10)
+    shape = (8, 8, 10)
     A = poisson7(shape, 2.0, 3.0, 40.0)
     x = np.random.default_rng(1).standard_normal(shape)
     A_sh, (x_sh,) = shard_struct(

@@ -52,6 +52,7 @@ def test_struct_pfmg_base3d():
     assert float(res.rel_residual_norm) < 1e-6
 
 
+@pytest.mark.slow  # PCG+PFMG compile-heavy; base3d/dscg driver pins keep fast coverage
 def test_struct_pcg_pfmg():
     res = struct_driver.run("-n 10 10 10 -solver 11 -tol 1e-8".split())
     assert bool(res.converged)
@@ -71,6 +72,7 @@ def test_sstruct_split_smg():
     assert bool(res.converged)
 
 
+@pytest.mark.slow  # ~16 s; split fast coverage: test_sstruct_split_smg + test_sstruct.py
 def test_sstruct_pcg_split():
     from hypre_tpu.drivers import sstruct as sstruct_driver
 
@@ -79,6 +81,7 @@ def test_sstruct_pcg_split():
     assert int(res.num_iterations) <= 30
 
 
+@pytest.mark.slow  # ~14 s; SysPFMG covered fast by tests/test_sys_pfmg.py
 def test_sstruct_syspfmg():
     from hypre_tpu.drivers import sstruct as sstruct_driver
 
@@ -128,6 +131,7 @@ def test_sstruct_syspfmg():
         ("-solver 17", 11, None, True),
     ],
 )
+@pytest.mark.slow  # ~71 s over 6 oracle replays; base3d/pcg/dscg driver pins stay fast
 def test_struct_jobs_corpus(args, ref_iters, ref_rel, exact):
     res = struct_driver.run(args.split())
     assert int(res.num_iterations) == ref_iters

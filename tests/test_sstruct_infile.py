@@ -106,6 +106,7 @@ def test_fac_3lev_oracle_parity():
     assert abs(float(res.rel_residual_norm) - 9.546812e-07) < 1e-12
 
 
+@pytest.mark.slow  # ~10 s; 3lev/5lev FAC oracle pins stay fast
 def test_fac_7lev_oracle_parity():
     """[REF] sstruct_fac.saved out.10: 7lev.in -r 1 1 2 -> 14 iters,
     7.049377e-07 (7 AMR levels)."""
@@ -114,6 +115,7 @@ def test_fac_7lev_oracle_parity():
     assert abs(float(res.rel_residual_norm) - 7.049377e-07) < 1e-12
 
 
+@pytest.mark.slow  # ~11 s; 3lev/5lev FAC oracle pins stay fast
 def test_fac_4lev_oracle_parity():
     """[REF] sstruct_fac.saved out.4: 4lev.in -r 1 2 2 -> 16 iters,
     4.466155e-07."""
