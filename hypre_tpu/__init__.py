@@ -62,4 +62,4 @@ if not _os.environ.get("HYPRE_TPU_NO_COMPILE_CACHE"):
     except Exception:  # older jax without the knobs — run uncached
         pass
 
-__version__ = "0.1.0"
+__version__ = "0.4.0"

@@ -1868,6 +1868,10 @@ class BoomerAMG:
     ) -> SolverResult:
         """Iterate V-cycles until ||r||/||b|| < tol (par_amg_solve.c:243)."""
         levels = self.levels if levels is None else levels
+        # materialize ArenaView storage ONCE, outside the while_loop: a
+        # lazy view consumed inside the loop body re-materializes every
+        # iteration on remote backends (measured 15x on axon)
+        levels = unview(list(levels))
         lvl0 = levels[0]
         n = lvl0.A.num_rows
         x0 = jnp.zeros(n, dtype=lvl0.A.data.dtype) if x0 is None else x0
