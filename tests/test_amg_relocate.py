@@ -9,6 +9,7 @@ hierarchy and with the reference's convergence behavior.
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from hypre_tpu.models import laplacian_7pt
 from hypre_tpu.ops.dia import (
