@@ -33,10 +33,25 @@ def _compile_service_healthy(budget_sec: float = 45.0) -> bool:
     import sys
 
     odd = 10007 + (int(time.time()) % 9973) * 8  # cache-missing shape
+    # Two stages: a trivial elementwise jit, then a REPRESENTATIVE one
+    # (sort + segment-scatter + fori_loop — the op mix of the device
+    # setup chain's interp/RAP programs).  2026-08-20 lesson: a window
+    # where the trivial compile passes in ~1 s can still take >60 s per
+    # chain compile; the representative stage catches that case inside
+    # the same bounded subprocess.
     code = (
-        "import jax, jax.numpy as jnp;"
-        f"x = jnp.ones({odd});"
-        "print(float(jax.jit(lambda v: (v * 1.0000001 + 2.0).sum())(x)))"
+        "import jax\n"
+        "import jax.numpy as jnp\n"
+        f"x = jnp.ones({odd})\n"
+        "print(float(jax.jit(lambda v: (v * 1.0000001 + 2.0).sum())(x)))\n"
+        f"i = (jnp.arange({odd}) * 7919) % {odd}\n"
+        "def rep(v, idx):\n"
+        "    s = jnp.sort(v * 0.5 + 1.0)\n"
+        "    acc = jnp.zeros_like(v).at[idx].add(s)\n"
+        "    def body(k, a):\n"
+        "        return a * 0.999 + jnp.roll(a, 1) * 0.001\n"
+        "    return jax.lax.fori_loop(0, 4, body, acc).sum()\n"
+        "print(float(jax.jit(rep)(x, i)))"
     )
     try:
         r = subprocess.run(
@@ -53,6 +68,7 @@ def main():
     # warm-heap allocator tuning: on lazy-memory VMs cold mmap faults
     # otherwise dominate setup (see utils/malloc_tuning.py)
     from hypre_tpu.utils import tune_host_malloc
+    from hypre_tpu.utils.timing import GLOBAL_TIMER
 
     tune_host_malloc()
 
@@ -302,19 +318,31 @@ def main():
     # apart (2026-08-19).  A sick window would record ~8x-slow numbers
     # for a machine that is demonstrably capable — so the timing pass
     # retries (up to 4x, 45 s apart) until the self-measured SpMV
-    # roofline is sane, and keeps the best attempt.  Marginal pairs
-    # (t4-t1) always come from the SAME attempt.
-    best = None
+    # roofline is SANE — which means inside the physically possible
+    # band: tunnel jitter also produces impossibly FAST marginal
+    # numbers (observed 2026-08-20: "3.49x roofline" when two chain
+    # timings landed a jitter-width apart), so a coherent attempt must
+    # satisfy 0.5*HBM <= GB/s <= 1.05*HBM.  Keeps the fastest COHERENT
+    # attempt; only if all 4 are incoherent does it fall back to the
+    # fastest attempt below the physical ceiling, else the fastest
+    # overall.  Marginal pairs (t4-t1) always come from the SAME
+    # attempt.
+    hbm = 2765.0 if "v5p" in jax.devices()[0].device_kind.lower() else 819.0
+    gbs_of = lambda m: spmv_bytes / m["spmv"] / 1e9
+    coherent = lambda m: 0.5 * hbm <= gbs_of(m) <= 1.05 * hbm
+    attempts_list = []
     attempts = 0
     for _ in range(4):
         attempts += 1
         m = measure_once()
-        if best is None or m["spmv"] < best["spmv"]:
-            best = m
-        hbm = 2765.0 if "v5p" in jax.devices()[0].device_kind.lower() else 819.0
-        if spmv_bytes / best["spmv"] / 1e9 >= 0.5 * hbm:
+        attempts_list.append(m)
+        if coherent(m):
             break
         time.sleep(45)
+    pool = [m for m in attempts_list if coherent(m)]
+    if not pool:
+        pool = [m for m in attempts_list if gbs_of(m) <= 1.05 * hbm]
+    best = min(pool or attempts_list, key=lambda m: m["spmv"])
     solve_call_time = best["solve_call"]
     solve_time = best["solve"]
     spmv_time = best["spmv"]
@@ -382,6 +410,17 @@ def main():
         "num_frozen_levels": amg.num_frozen_levels,
         "interp": interp,
         "timing_attempts": attempts,
+        "spmv_timing_coherent": bool(coherent(best)),
+        # setup wall-time split (utils/timing.py GLOBAL_TIMER): lets a
+        # reader separate real setup cost from tunnel-transfer flap —
+        # the axon link moves ~45 MB/s healthy but has been observed
+        # 10x slower in sick windows, which inflates setup_sec for a
+        # pipeline whose numerics are unchanged
+        "setup_phases": {
+            k: round(v, 3)
+            for k, v in sorted(GLOBAL_TIMER._acc.items(), key=lambda kv: -kv[1])
+            if v >= 0.2 and k != "SETUP"
+        },
         "device_setup": bool(dev_setup),
         "device": jax.devices()[0].device_kind,
         "dtype": args.dtype,
