@@ -174,6 +174,10 @@ def main():
                 args.relocate
             ],
             lattice_shape=(nx, nx, nx),
+            # A IS laplacian_7pt(nx,nx,nx): let the device-setup path
+            # synthesize the fine DIA table on device (zero bytes
+            # shipped; DS_SHIP_A0 was 500+ s in a degraded-tunnel window)
+            lattice_coeffs=(1.0, 1.0, 1.0),
         ),
     )
     setup_time = time.perf_counter() - t0
@@ -327,31 +331,42 @@ def main():
     # fastest attempt below the physical ceiling, else the fastest
     # overall.  Marginal pairs (t4-t1) always come from the SAME
     # attempt.
-    hbm = 2765.0 if "v5p" in jax.devices()[0].device_kind.lower() else 819.0
+    kind = jax.devices()[0].device_kind.lower()
+    hbm = 2765.0 if ("v5p" in kind or "v5 p" in kind) else 819.0
     gbs_of = lambda m: spmv_bytes / m["spmv"] / 1e9
     coherent = lambda m: 0.5 * hbm <= gbs_of(m) <= 1.05 * hbm
     attempts_list = []
     attempts = 0
-    for _ in range(4):
+    max_attempts = 4
+    for k in range(max_attempts):
         attempts += 1
         m = measure_once()
         attempts_list.append(m)
         if coherent(m):
             break
-        time.sleep(45)
+        if k < max_attempts - 1:
+            time.sleep(45)
     pool = [m for m in attempts_list if coherent(m)]
-    if not pool:
-        pool = [m for m in attempts_list if gbs_of(m) <= 1.05 * hbm]
-    best = min(pool or attempts_list, key=lambda m: m["spmv"])
+    if pool:
+        best = min(pool, key=lambda m: m["spmv"])
+    else:
+        # All attempts incoherent (degraded tunnel window).  Publishing
+        # the fastest attempt would print a jitter-contaminated,
+        # physically impossible headline (BENCH_r04's 3.45x roofline) —
+        # take the SLOWEST (closest-to-physical, most conservative)
+        # attempt instead and null the spmv figures below.
+        best = max(attempts_list, key=lambda m: m["spmv"])
+    timing_coherent = bool(coherent(best))
     solve_call_time = best["solve_call"]
     solve_time = best["solve"]
     spmv_time = best["spmv"]
     dofs_per_sec = n / solve_time
-    spmv_gbs = spmv_bytes / spmv_time / 1e9
+    # An incoherent timing is WRONG, not approximate: null it rather
+    # than publish a number the harness itself has flagged impossible.
+    spmv_gbs = spmv_bytes / spmv_time / 1e9 if timing_coherent else None
 
     # ---- target models ---------------------------------------------------
-    kind = jax.devices()[0].device_kind.lower()
-    hbm_gbs = 2765.0 if "v5p" in kind or "v5 p" in kind else 819.0
+    hbm_gbs = hbm
     opcx = amg.operator_complexity()
 
     # vs_baseline: the ROUND-1 fixed framing (BENCH_r01 continuity) —
@@ -403,22 +418,26 @@ def main():
         "solve_call_sec": round(solve_call_time, 4),
         "setup_sec": round(setup_time, 3),
         "matrix_gen_sec": round(gen_time, 3),
-        "spmv_gbs": round(spmv_gbs, 1),
-        "spmv_roofline_frac": round(spmv_gbs / hbm_gbs, 3),
+        "spmv_gbs": round(spmv_gbs, 1) if spmv_gbs is not None else None,
+        "spmv_roofline_frac": (round(spmv_gbs / hbm_gbs, 3)
+                               if spmv_gbs is not None else None),
         "operator_complexity": round(opcx, 4),
         "num_levels": amg.num_levels,
         "num_frozen_levels": amg.num_frozen_levels,
         "interp": interp,
         "timing_attempts": attempts,
-        "spmv_timing_coherent": bool(coherent(best)),
+        "spmv_timing_coherent": timing_coherent,
         # setup wall-time split (utils/timing.py GLOBAL_TIMER): lets a
         # reader separate real setup cost from tunnel-transfer flap —
         # the axon link moves ~45 MB/s healthy but has been observed
         # 10x slower in sick windows, which inflates setup_sec for a
-        # pipeline whose numerics are unchanged
+        # pipeline whose numerics are unchanged.  Scopes nest: XFER_*
+        # are children of TRANSFER, so they are reported under a
+        # slash-qualified name rather than as summable siblings.
         "setup_phases": {
-            k: round(v, 3)
-            for k, v in sorted(GLOBAL_TIMER._acc.items(), key=lambda kv: -kv[1])
+            (f"TRANSFER/{k}" if k.startswith("XFER_") else k): round(v, 3)
+            for k, v in sorted(GLOBAL_TIMER.accumulated().items(),
+                               key=lambda kv: -kv[1])
             if v >= 0.2 and k != "SETUP"
         },
         "device_setup": bool(dev_setup),

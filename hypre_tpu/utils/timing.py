@@ -57,6 +57,15 @@ class Timer:
         finally:
             self.end(name)
 
+    def accumulated(self) -> dict[str, float]:
+        """Public snapshot of the accumulated wall seconds per scope.
+
+        Scopes NEST (e.g. TRANSFER contains XFER_PUT/XFER_GROUPS), so a
+        consumer must not sum sibling keys blindly — see bench.py's
+        child-scope filter.
+        """
+        return dict(self._acc)
+
     def summary(self) -> str:
         lines = ["=" * 50, f"{'phase':<24}{'wall (s)':>12}{'calls':>8}", "-" * 50]
         for name, acc in sorted(self._acc.items(), key=lambda kv: -kv[1]):
