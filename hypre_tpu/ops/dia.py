@@ -204,6 +204,51 @@ def csr_to_dia(A: CSRMatrix, dtype=None, device: bool = True) -> DIAMatrix | Non
     )
 
 
+def device_lattice_dia(shape, coeffs=(1.0, 1.0, 1.0), dtype=np.float32):
+    """ZERO-TRANSFER DIA table for the 3D 7-pt lattice Laplacian,
+    synthesized on device from iota masks (the values of test/ij.c
+    -laplacian via par_laplace.c GenerateLaplacian) — bit-identical to
+    csr_to_dia(laplacian_7pt(shape, coeffs)) (tests/test_device_setup.py
+    pins this).  The graded device-setup path uses it so the fine
+    operator costs no host->device bytes at all: through a degraded
+    tunnel the table ship was measured at 500+ s for 25 MB at 96^3 and
+    would be ~470 MB at 256^3.  Returns None when the stencil is not
+    the full 7-pt one (caller falls back to the ship path)."""
+    nx, ny, nz = (int(s) for s in shape)
+    cx, cy, cz = (float(c) for c in coeffs)
+    if min(nx, ny, nz) < 2 or not (cx and cy and cz):
+        return None
+    n = nx * ny * nz
+    dt = np.dtype(dtype)
+    diag = 2.0 * (cx + cy + cz)
+    offs = (-nx * ny, -nx, -1, 0, 1, nx, nx * ny)
+    W = _dia_width(n, n, offs, dt.itemsize)
+
+    @jax.jit
+    def build():
+        idx = jax.lax.iota(jnp.int32, W)
+        ix = idx % nx
+        iy = (idx // nx) % ny
+        iz = idx // (nx * ny)
+        in_n = idx < n
+        coord = {"x": (ix, nx), "y": (iy, ny), "z": (iz, nz)}
+        rows = []
+        for off, c, ax in ((-nx * ny, cz, "z"), (-nx, cy, "y"),
+                           (-1, cx, "x"), (0, diag, None),
+                           (1, cx, "x"), (nx, cy, "y"),
+                           (nx * ny, cz, "z")):
+            if ax is None:
+                rows.append(jnp.where(in_n, dt.type(diag), dt.type(0)))
+                continue
+            u, lim = coord[ax]
+            s = 1 if off > 0 else -1
+            ok = (u + s >= 0) & (u + s < lim)
+            rows.append(jnp.where(in_n & ok, dt.type(-c), dt.type(0)))
+        return jnp.stack(rows)
+
+    return DIAMatrix(data=build(), offsets=offs, num_rows=n, num_cols=n)
+
+
 def dia_spmv(A: DIAMatrix, x: jax.Array) -> jax.Array:
     """y_i = sum_k data[k,i] * x[i + off_k]; shifts instead of gathers.
 

@@ -202,6 +202,13 @@ class BoomerAMGOptions:
     # anywhere above level 2.
     relocate_level2: bool = True
     lattice_shape: Optional[tuple] = None  # (nx, ny, nz) of the fine grid
+    # when set, A is asserted to be the 7-pt lattice Laplacian with
+    # these (cx, cy, cz) coefficients: the device-setup path then
+    # SYNTHESIZES the fine DIA table on device (ops/dia.py
+    # device_lattice_dia) instead of shipping ~noff*n*itemsize bytes
+    # through the host->device link — the par_laplace.c "each rank
+    # generates its own rows" stance applied to the accelerator
+    lattice_coeffs: Optional[tuple] = None
     relocate_min_n2: int = 6144  # below this L2 is dense-MXU anyway
     # budget for each relocated operator's diagonal storage (offsets *
     # ncells * itemsize).  Bytes — not offset count — is what the
@@ -566,9 +573,18 @@ class BoomerAMG:
         # setup math in `dtype` (f32 production / f64 when x64 is on —
         # the untruncated device interp is then BITWISE the host path)
         with timed("DS_SHIP_A0"):
-            D0 = csr_to_dia(
-                CSRMatrix.from_scipy(A), dtype=np.dtype(o.dtype), device=True
-            )
+            D0 = None
+            if o.lattice_coeffs is not None:
+                from ...ops.dia import device_lattice_dia
+
+                D0 = device_lattice_dia(
+                    o.lattice_shape, o.lattice_coeffs, np.dtype(o.dtype)
+                )
+            if D0 is None:
+                D0 = csr_to_dia(
+                    CSRMatrix.from_scipy(A), dtype=np.dtype(o.dtype),
+                    device=True,
+                )
             jax.block_until_ready(D0.data)
         # Each stage is SYNCED before the next is dispatched: through
         # the remote-device tunnel, a dispatch whose inputs are still
