@@ -122,20 +122,28 @@ def build_halo_plan(
 
 
 def exchange(plan: HaloPlan, x_local: jax.Array, axis: str) -> jax.Array:
-    """Inside shard_map: x_local [rows_per_shard] (this shard's block)
-    -> ghost [ghost_width+1] (last slot is the pad sink)."""
+    """Inside shard_map: x_local [rows_per_shard, ...] (this shard's
+    block; trailing dims ride along, so whole ELL ROWS can be shipped —
+    the hypre_ParCSRMatrixExtractBExt remote-row fetch,
+    par_csr_matop.c:1655) -> ghost [ghost_width+1, ...] (last slot is
+    the pad sink)."""
     S = plan.n_shards
+    tail = x_local.shape[1:]
     if plan.use_allgather:
         with jax.named_scope("HALO_EXCHANGE"):
             full = jax.lax.all_gather(x_local, axis, tiled=True)
             i = jax.lax.axis_index(axis)
             gids = plan.ghost_gids[i]
             ghost = full[gids]
-            return jnp.concatenate([ghost, jnp.zeros(1, x_local.dtype)])
+            return jnp.concatenate(
+                [ghost, jnp.zeros((1,) + tail, x_local.dtype)]
+            )
 
     i = jax.lax.axis_index(axis)
-    x_ext = jnp.concatenate([x_local, jnp.zeros(1, x_local.dtype)])
-    ghost = jnp.zeros(plan.ghost_width + 1, x_local.dtype)
+    x_ext = jnp.concatenate(
+        [x_local, jnp.zeros((1,) + tail, x_local.dtype)]
+    )
+    ghost = jnp.zeros((plan.ghost_width + 1,) + tail, x_local.dtype)
     with jax.named_scope("HALO_EXCHANGE"):
         for o, d in enumerate(plan.offsets):
             with jax.named_scope("PACK_UNPACK"):
@@ -145,3 +153,57 @@ def exchange(plan: HaloPlan, x_local: jax.Array, axis: str) -> jax.Array:
             with jax.named_scope("PACK_UNPACK"):
                 ghost = ghost.at[plan.recv_pos[o][i]].set(buf)
     return ghost
+
+
+def reverse_exchange(
+    plan: HaloPlan,
+    ghost_contrib: jax.Array,
+    axis: str,
+    n_local: int,
+    combine: str = "add",
+) -> jax.Array:
+    """Transposed communication (reference: parcsr_mv/communicationT.c,
+    and CommHandle unpack with action=add) — each shard holds
+    CONTRIBUTIONS to ghost slots [ghost_width+1, ...]; they are shipped
+    back to the owning shards and combined (add/max) into the owner's
+    local rows.  Returns the [n_local, ...] combined contribution
+    (zeros where nothing arrived); the caller adds it to its own local
+    partials.  Used for S^T column counts (PMIS measures), the S^T
+    direction of the PMIS independent-set comparison, and the P^T leg
+    of the distributed Galerkin product."""
+    S = plan.n_shards
+    tail = ghost_contrib.shape[1:]
+    if combine not in ("add", "max"):
+        raise ValueError(f"unknown combine {combine!r}")
+
+    if plan.use_allgather:
+        i = jax.lax.axis_index(axis)
+        gids = plan.ghost_gids[i]
+        per_len = n_local  # uniform block partition
+        full = jnp.zeros((S * per_len,) + tail, ghost_contrib.dtype)
+        if combine == "add":
+            full = full.at[gids].add(ghost_contrib[: plan.ghost_width])
+            with jax.named_scope("HALO_EXCHANGE"):
+                full = jax.lax.psum(full, axis)
+        else:
+            full = full.at[gids].max(ghost_contrib[: plan.ghost_width])
+            with jax.named_scope("HALO_EXCHANGE"):
+                full = jax.lax.pmax(full, axis)
+        return jax.lax.dynamic_slice_in_dim(full, i * per_len, per_len)
+
+    i = jax.lax.axis_index(axis)
+    out = jnp.zeros((n_local + 1,) + tail, ghost_contrib.dtype)
+    with jax.named_scope("HALO_EXCHANGE"):
+        for o, d in enumerate(plan.offsets):
+            with jax.named_scope("PACK_UNPACK"):
+                # slots this shard RECEIVED from offset d now carry the
+                # contributions it must send BACK against that offset
+                buf = ghost_contrib[plan.recv_pos[o][i]]
+            perm = [((src + d) % S, src) for src in range(S)]
+            buf = jax.lax.ppermute(buf, axis, perm)
+            with jax.named_scope("PACK_UNPACK"):
+                if combine == "add":
+                    out = out.at[plan.send_idx[o][i]].add(buf)
+                else:
+                    out = out.at[plan.send_idx[o][i]].max(buf)
+    return out[:n_local]

