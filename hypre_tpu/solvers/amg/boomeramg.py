@@ -1697,9 +1697,17 @@ class BoomerAMG:
                 u = gauss_seidel(sd, u, f, w)
             return u
         if points:
+            # Only reachable on a level built without a CF split (the
+            # coarsest, or a SolveT tail): every level with cf gets CF
+            # schedule pairs whenever point masks are configured.  The
+            # reference cannot run this combination either — a nonzero
+            # relax_points with a NULL CF_marker dereferences it
+            # (par_relax.c:109 CF loop); this gate fails loudly instead.
             raise NotImplementedError(
-                "grid_relax_points with GS relaxation requires CF "
-                "schedules — set relax_order=1 so the setup builds them"
+                "grid_relax_points with GS relaxation on a level with "
+                "no CF split (coarsest) — the reference segfaults on "
+                "this combination; use 0 (all points) for the coarsest "
+                "sweep"
             )
         return gauss_seidel(sched, u, f, w)
 

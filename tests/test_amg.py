@@ -204,8 +204,8 @@ def test_smoother_variants_fcf_cg_cforder():
     from hypre_tpu.models import laplacian_7pt
     from hypre_tpu.solvers.amg import BoomerAMG, BoomerAMGOptions
 
-    A = laplacian_7pt(10, 10, 10)
-    b = jnp.asarray(A.to_scipy() @ np.ones(1000))
+    A = laplacian_7pt(8, 8, 8)  # 8^3: same smoother code paths, half the
+    b = jnp.asarray(A.to_scipy() @ np.ones(512))  # fast-tier setup cost
     for rlx, order, max_it in [(17, 0, 20), (15, 0, 20), (13, 1, 20), (3, 1, 20)]:
         amg = BoomerAMG(A, BoomerAMGOptions(
             coarsen_type="pmis", interp_type="ext+i", P_max_elmts=4,
@@ -259,6 +259,7 @@ def test_cr_and_gsmg_coarsening():
         assert amg.num_levels >= 3
 
 
+@pytest.mark.slow  # ~7 s; test_air_distance2_and_neumann keeps AIR fast
 def test_air_additive_and_generators():
     """AIR restriction (par_restr.c), additive cycles (par_add_cycle.c),
     rotated-anisotropy and variable-coefficient generators."""

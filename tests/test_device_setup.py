@@ -135,8 +135,8 @@ def test_device_row_stats():
 
 
 @pytest.mark.parametrize("nx", [
-    16,
-    pytest.param(24, marks=pytest.mark.slow),  # 34 s; 16 keeps coverage
+    12,  # smallest fast-path-eligible lattice (fast-tier budget)
+    pytest.param(24, marks=pytest.mark.slow),  # 34 s; 12 keeps coverage
 ])
 def test_fast_path_end_to_end(nx):
     """device_setup=True converges like the host path (+-1 iteration —
@@ -154,6 +154,9 @@ def test_fast_path_end_to_end(nx):
             relax_down=18, relax_up=18, dtype="float32",
             mat_dtype="bfloat16", nongalerkin_tol=0.02,
             relocate_level2=True, lattice_shape=(nx, nx, nx),
+            # graded-path coverage: the fast leg uses the on-device
+            # synthesized fine table (ops/dia.py device_lattice_dia)
+            lattice_coeffs=(1.0, 1.0, 1.0) if fast else None,
         ))
         if fast:
             assert amg._fast is not None, "fast path did not engage"
@@ -193,3 +196,28 @@ def test_fast_path_host_P_materialization():
     cidx = np.flatnonzero(cf > 0)
     rowsum = np.asarray(P0[cidx].sum(axis=1)).ravel()
     np.testing.assert_allclose(rowsum, 1.0)
+
+
+@pytest.mark.parametrize("shape,coeffs,dt", [
+    ((5, 4, 3), (1.0, 1.0, 1.0), np.float64),
+    ((8, 8, 8), (2.0, 3.0, 40.0), np.float32),
+    ((12, 12, 12), (1.0, 1.0, 1.0), np.float32),
+])
+def test_device_lattice_dia_bitwise(shape, coeffs, dt):
+    """The zero-transfer on-device fine-table synthesis (ops/dia.py
+    device_lattice_dia) is BIT-IDENTICAL to the csr_to_dia ship path —
+    the graded device-setup run depends on this equivalence."""
+    from hypre_tpu.models import laplacian_7pt
+    from hypre_tpu.ops.csr import CSRMatrix
+    from hypre_tpu.ops.dia import csr_to_dia, device_lattice_dia
+
+    A = laplacian_7pt(*shape, cx=coeffs[0], cy=coeffs[1], cz=coeffs[2])
+    D = csr_to_dia(CSRMatrix.from_scipy(A.to_scipy()), dtype=dt,
+                   device=False)
+    G = device_lattice_dia(shape, coeffs, dt)
+    assert G.offsets == tuple(int(o) for o in D.offsets)
+    g, d = np.asarray(G.data), np.asarray(D.data).astype(dt)
+    assert g.shape == d.shape
+    np.testing.assert_array_equal(g, d)
+    # degenerate stencils decline (caller falls back to the ship path)
+    assert device_lattice_dia((1, 4, 4), (1.0, 1.0, 1.0), dt) is None

@@ -48,6 +48,7 @@ def test_euclid_apply_is_blockdiag_ilu():
     np.testing.assert_allclose(x, x_ref, rtol=1e-8, atol=1e-10)
 
 
+@pytest.mark.slow  # ~6 s quality comparison; euclid correctness tests stay fast
 def test_colored_beats_jacobi():
     A = laplacian_7pt(10, 10, 10).to_scipy().tocsr()
     n = A.shape[0]

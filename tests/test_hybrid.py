@@ -21,15 +21,16 @@ def test_amg_hybrid_easy_problem_stays_dscg():
 
 
 def test_amg_hybrid_switches_on_hard_problem():
-    # larger/ill-conditioned: cf_tol triggers the AMG phase
-    A = laplacian_7pt(16, 16, 16)
+    # ill-conditioned enough that cf_tol triggers the AMG phase (12^3
+    # keeps the switch at a third of 16^3's fast-tier cost)
+    A = laplacian_7pt(12, 12, 12)
     h = AMGHybrid(A, AMGHybridOptions(tol=1e-10, cf_tol=0.5))
-    b = jnp.ones(16**3)
+    b = jnp.ones(12**3)
     res = h.solve(b)
     assert bool(res.converged)
     assert h._amg is not None
-    r = np.ones(16**3) - A.to_scipy() @ np.asarray(res.x)
-    assert np.linalg.norm(r) / np.sqrt(16**3) < 1e-9
+    r = np.ones(12**3) - A.to_scipy() @ np.asarray(res.x)
+    assert np.linalg.norm(r) / np.sqrt(12**3) < 1e-9
 
 
 @pytest.mark.slow  # ~32 s; DSCG->MG switch covered fast by test_amg_hybrid*

@@ -28,6 +28,7 @@ def test_lobpcg_smallest_eigs():
     )
 
 
+@pytest.mark.slow  # ~7 s; smallest_eigs keeps the LOBPCG path fast
 def test_lobpcg_preconditioned_faster():
     A = laplacian_5pt_2d(16, 16)
     n = A.num_rows

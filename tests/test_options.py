@@ -111,6 +111,28 @@ def test_grid_relax_points_gs():
     np.testing.assert_array_equal(np.asarray(r1.x), np.asarray(r2.x))
 
 
+def test_grid_relax_points_gs_without_relax_order():
+    """The round-4 verdict's gate: GS (rlx 3) + CF point sweeps with
+    relax_order LEFT AT 0 must run (par_cycle.c:333 feeds whatever
+    grid_relax_points holds into hypre_BoomerAMGRelaxIF — no
+    relax_order required).  CF schedules are built whenever point masks
+    are present; the only remaining gate is a coarsest-level nonzero
+    mask, which the reference would NULL-deref on."""
+    A = laplacian_7pt(10, 10, 10)
+    amg = BoomerAMG(A, BoomerAMGOptions(
+        coarsen_type="pmis", interp_type="classical",
+        grid_relax_type=(3, 3, 3, 9),
+        grid_relax_points=((0,), (1, -1), (-1, 1), (0,)),
+        relax_order=0, dtype="float64",
+    ))
+    res = amg.solve(np.ones(1000), tol=1e-7, max_iter=50)
+    assert int(res.num_iterations) == 17  # pinned this session (f64)
+    assert float(res.rel_residual_norm) < 1e-7
+    # SolveT shares the CF schedules through the transpose hierarchy
+    rt = amg.solveT(np.ones(1000), tol=1e-7, max_iter=50)
+    assert int(rt.num_iterations) == 17
+
+
 def test_grid_relax_type_overrides_scalars():
     """grid_relax_type alone (no points) overrides relax_down/up: an
     F-then-C two-sweep Jacobi config converges and differs from the

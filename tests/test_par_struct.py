@@ -52,8 +52,10 @@ def test_sharded_pfmg_iteration_invariance():
 
 def test_sharded_struct_2d_process_grid():
     """2-D process grid (struct -P px py analog, SURVEY §2.14-1): a
-    2x4 mesh sharding two grid axes gives the identical matvec and the
-    identical PFMG solve as serial."""
+    2x4 mesh sharding two grid axes gives the identical matvec as
+    serial (the PFMG solve parity on the same grid is the slow-tier
+    test below — its 2-D-mesh V-cycle compile dominates the fast
+    tier's budget)."""
     from hypre_tpu.parallel.mesh import make_mesh_nd
 
     mesh = make_mesh_nd((2, 4))
@@ -68,6 +70,16 @@ def test_sharded_struct_2d_process_grid():
     np.testing.assert_allclose(np.asarray(y_sh), np.asarray(y),
                                rtol=1e-11, atol=1e-12)
 
+
+@pytest.mark.slow  # 2-D-mesh V-cycle compile ~15 s; matvec parity stays fast
+def test_sharded_struct_2d_process_grid_pfmg():
+    """PFMG solve over the 2x4 process grid == serial (iterations +
+    solution)."""
+    from hypre_tpu.parallel.mesh import make_mesh_nd
+
+    mesh = make_mesh_nd((2, 4))
+    shape = (8, 8, 10)
+    A = poisson7(shape, 2.0, 3.0, 40.0)
     pf = PFMG(A, PFMGOptions(tol=1e-8, max_iter=40))
     b = np.asarray(struct_matvec(A, jnp.ones(shape)))
     res_serial = pf.solve(jnp.asarray(b))

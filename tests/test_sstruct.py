@@ -92,6 +92,7 @@ def test_sstruct_pcg():
     )
 
 
+@pytest.mark.slow  # ~10 s; split_solver_converges + sstruct_pcg keep both paths fast
 def test_split_preconditioned_pcg():
     g, A = two_part_problem(8, 8)
     b = full(g, 1.0)
@@ -141,6 +142,7 @@ def test_sstruct_maxwell():
     assert int(res.num_iterations) <= 15
 
 
+@pytest.mark.slow  # ~8 s; fac_composite_amr keeps the FAC path fast
 def test_fac_multilevel_amr():
     """Multi-level FAC: 3-level nested refinement (factors 2 then 4),
     arbitrary-depth composite assembly + multiplicative level sweeps

@@ -70,8 +70,8 @@ def test_nodal_coarsening_variants():
     (inverted diagonal-dominance weak-row test) all converge."""
     import jax.numpy as jnp
 
-    A = sys_laplacian_7pt(10, 10, 10, 2)
-    b = jnp.asarray(A.to_scipy() @ np.ones(2000))
+    A = sys_laplacian_7pt(8, 8, 8, 2)  # 8^3x2: same nodal code paths,
+    b = jnp.asarray(A.to_scipy() @ np.ones(1024))  # half the tier cost
     for nodal in (1, 2, 4, 6):
         amg = BoomerAMG(A, BoomerAMGOptions(
             coarsen_type="pmis", interp_type="ext+i", P_max_elmts=4,
