@@ -139,6 +139,13 @@ class BoomerAMGOptions:
     relax_coarse: int = 9  # 9 = Gaussian elimination
     relax_order: int = 0
     relax_weight: float = 1.0
+    # per-level smoother weights (par_amg.h relax_weight[max_levels];
+    # HYPRE_BoomerAMGSetLevelRelaxWt / ij driver -w <wt> <level>).
+    # None = the scalar relax_weight everywhere; a shorter tuple clamps
+    # to its last entry for deeper levels.  (The outer SOR weight
+    # omega[level] is not modeled — hypre's default omega == 1.0; the
+    # (1 - w*omega) SOR recurrence is a documented gap, GAPS.md.)
+    level_relax_weights: Optional[tuple] = None
     num_sweeps: int = 1
     # per-cycle-position sweep counts (HYPRE_BoomerAMGSetCycleNumSweeps
     # k=1/2/3; ij driver -ns_down/-ns_up/-ns_coarse); None = num_sweeps
@@ -1212,7 +1219,6 @@ class BoomerAMG:
         if any(self.levels[l].euclid is not None for l in range(ls, L)):
             return
         dt = np.dtype(o.dtype)
-        w = o.relax_weight
         sweeps = o.num_sweeps
 
         def _dense_deferred(S, shape):
@@ -1234,12 +1240,13 @@ class BoomerAMG:
             l1 = self._l1_norms(Ah)
             l1inv = np.where(l1 == 0, 0.0, 1.0 / np.where(l1 == 0, 1.0, l1))
             n_l, nc_l = Ph.shape
+            wl = self._level_weight(l)  # relax_weight[level] parity
             mats.append((
                 _dense_deferred(Ah, (n_l, n_l)),
                 _dense_deferred(Ph, (n_l, nc_l)),
                 _dense_deferred(Rs, (nc_l, n_l)),
-                (w * (l1inv if o.relax_down == 18 else dinv)).astype(dt),
-                (w * (l1inv if o.relax_up == 18 else dinv)).astype(dt),
+                (wl * (l1inv if o.relax_down == 18 else dinv)).astype(dt),
+                (wl * (l1inv if o.relax_up == 18 else dinv)).astype(dt),
             ))
         # one compact ship for every collapse operand (16 individual
         # synced puts cost ~130ms EACH through the tunnel)
@@ -1601,14 +1608,15 @@ class BoomerAMG:
         return rt, (0,) * ns
 
     def _smooth(self, lvl: AMGLevel, relax_type: int, u, f, up: bool,
-                u_zero: bool = False, points: int = 0):
+                u_zero: bool = False, points: int = 0,
+                level: int | None = None):
         """u_zero: caller guarantees u == 0 — the first down-smooth of
         every level inside a preconditioner cycle.  Jacobi-family sweeps
         then skip the A @ 0 matvec (bitwise-identical result; ~one
         matvec saved per level per cycle — the single biggest V-cycle
         HBM cost after the smoothers themselves)."""
         o = self.opts
-        w = o.relax_weight
+        w = self._level_weight(level)
         lvl = unview(lvl)
         if relax_type == 9:
             ci = lvl.coarse_inv
@@ -1685,6 +1693,15 @@ class BoomerAMG:
             return u
         raise ValueError(f"relax_type {relax_type} not implemented")
 
+    def _level_weight(self, level: int | None) -> float:
+        """relax_weight[level] (par_amg.h; SetLevelRelaxWt) with the
+        scalar fallback; deeper levels clamp to the last array entry."""
+        o = self.opts
+        lw = o.level_relax_weights
+        if lw is None or level is None or not len(lw):
+            return o.relax_weight
+        return float(lw[min(level, len(lw) - 1)])
+
     def _gs(self, sched, u, f, w, up, points: int = 0):
         if isinstance(sched, tuple):
             # CF-ordered: down C then F, up F then C (par_cycle.c:398);
@@ -1740,7 +1757,7 @@ class BoomerAMG:
                 cors.append(lvl.coarse_inv @ res[l])
             else:
                 div = lvl.l1inv if o.relax_down == 18 else lvl.dinv
-                cors.append(o.relax_weight * div * res[l])
+                cors.append(self._level_weight(l) * div * res[l])
         e = cors[-1]
         for l in range(L - 2, -1, -1):
             e = cors[l] + spmv(levels[l].P, e)
@@ -1763,7 +1780,8 @@ class BoomerAMG:
         o = self.opts
         L = len(levels)
         if L == 1:
-            return self._smooth(levels[0], o.relax_coarse, u, f, up=False)
+            return self._smooth(levels[0], o.relax_coarse, u, f, up=False,
+                                level=0)
 
         U: list = [None] * L
         F: list = [None] * L
@@ -1786,14 +1804,15 @@ class BoomerAMG:
             if cycle_param == 3:
                 for p in pts:
                     U[level] = self._smooth(
-                        lvl, rt, U[level], F[level], up=False, points=p
+                        lvl, rt, U[level], F[level], up=False, points=p,
+                        level=level,
                     )
                 uz[level] = False
             else:
                 for p in pts:
                     U[level] = self._smooth(
                         lvl, rt, U[level], F[level], up=(cycle_param == 2),
-                        u_zero=uz[level], points=p,
+                        u_zero=uz[level], points=p, level=level,
                     )
                     uz[level] = False
             lev_counter[level] -= 1

@@ -178,3 +178,29 @@ def test_max_eig_estimate_cg():
     # deterministic: the LCG seed is fixed at 1 (the reference's call)
     hi2, lo2 = max_eig_estimate_cg(A, scale=True, max_iter=10)
     assert hi == hi2 and lo == lo2
+
+
+def test_level_relax_weights():
+    """Per-level relax_weight[level] (par_amg.h, SetLevelRelaxWt /
+    ij -w <wt> <level>): a constant array is BITWISE the scalar path;
+    a varying array changes the smoother and still converges; shorter
+    arrays clamp to their last entry for deeper levels."""
+    A = laplacian_7pt(10, 10, 10)
+    b = jnp.asarray(A.to_scipy() @ np.ones(1000))
+    common = dict(coarsen_type="pmis", interp_type="ext+i",
+                  P_max_elmts=4, relax_down=0, relax_up=0,
+                  dtype="float64", embed_level1=False)
+    scalar = BoomerAMG(A, BoomerAMGOptions(relax_weight=0.8, **common))
+    r_s = scalar.solve(b, tol=1e-8, max_iter=60)
+    arr = BoomerAMG(A, BoomerAMGOptions(
+        level_relax_weights=(0.8,), **common))  # clamps everywhere
+    r_a = arr.solve(b, tol=1e-8, max_iter=60)
+    assert int(r_s.num_iterations) == int(r_a.num_iterations)
+    np.testing.assert_array_equal(np.asarray(r_s.x), np.asarray(r_a.x))
+
+    varying = BoomerAMG(A, BoomerAMGOptions(
+        level_relax_weights=(1.0, 0.7, 0.5), **common))
+    r_v = varying.solve(b, tol=1e-8, max_iter=80)
+    assert bool(r_v.converged)
+    assert not np.array_equal(np.asarray(r_v.x[:8]), np.asarray(r_a.x[:8])) \
+        or int(r_v.num_iterations) != int(r_a.num_iterations)
