@@ -267,6 +267,13 @@ def run(argv=None):
         raise SystemExit(f"solver {solver_id} not implemented")
 
     print(f"Final Relative Residual Norm = {float(res.rel_residual_norm):e}")
+    if not bool(res.converged):
+        # record in the global flag (hypre_error.h HYPRE_ERROR_CONV) —
+        # the reference drivers poll HYPRE_GetError after solves
+        from ..utils.errors import CONV, describe_error, set_error
+
+        set_error(CONV)
+        print(f"hypre error: {describe_error(CONV)}")
     return res
 
 

@@ -735,7 +735,9 @@ class BoomerAMG:
             from .coarsen import falgout_coarsen
 
             return falgout_coarsen(S, seed=o.seed)
-        raise ValueError(f"unknown coarsen_type {o.coarsen_type}")
+        from ...utils.errors import arg_error
+
+        raise arg_error(f"unknown coarsen_type {o.coarsen_type}")
 
     def _interp(self, A, S, cf):
         o = self.opts
@@ -1691,7 +1693,9 @@ class BoomerAMG:
                 p = r + beta * p
                 rr = rr_new
             return u
-        raise ValueError(f"relax_type {relax_type} not implemented")
+        from ...utils.errors import arg_error
+
+        raise arg_error(f"relax_type {relax_type} not implemented")
 
     def _level_weight(self, level: int | None) -> float:
         """relax_weight[level] (par_amg.h; SetLevelRelaxWt) with the
