@@ -308,6 +308,8 @@ class AMGLevel:
     cheby: Optional[ChebyData]
     coarse_inv: Optional[jax.Array]  # dense pinv on coarsest
     euclid: Optional[object] = None  # EuclidData (smooth_type 9)
+    schwarz: Optional[object] = None  # SchwarzData (smooth_type 6)
+    parasails: Optional[object] = None  # ParaSailsData (smooth_type 8)
 
 
 class BoomerAMG:
@@ -915,6 +917,21 @@ class BoomerAMG:
         if 16 in relax_types and not coarsest:
             cheby = cheby_setup(Ah, o.cheby_order, o.cheby_ratio)
 
+        schwarz = parasails = None
+        aux_here = not coarsest and len(self.levels) < o.smooth_num_levels
+        if o.smooth_type == 6 and aux_here:
+            # par_cycle.c smooth_type 6: HYPRE_SchwarzSolve as the level
+            # smoother (schwarz.c); RAS over contiguous row blocks
+            from .schwarz import SchwarzOptions, build_schwarz_data
+
+            schwarz = build_schwarz_data(
+                CSRMatrix.from_scipy(A), SchwarzOptions())
+        if o.smooth_type == 8 and aux_here:
+            # par_cycle.c smooth_type 8: HYPRE_ParaSailsSolve (FSAI)
+            from .parasails import ParaSailsOptions, build_parasails_data
+
+            parasails = build_parasails_data(
+                CSRMatrix.from_scipy(A), ParaSailsOptions())
         euclid = None
         if (
             o.smooth_type == 9
@@ -947,7 +964,7 @@ class BoomerAMG:
             gs_bwd=gs_bwd,
             cheby=cheby,
             coarse_inv=coarse_inv,
-            euclid=euclid,
+            euclid=euclid, schwarz=schwarz, parasails=parasails,
         )
 
     def _plan_embed(self):
@@ -1633,6 +1650,15 @@ class BoomerAMG:
             return euclid_smooth(
                 lvl.euclid, lambda v: spmv(lvl.A, v), u, f, w
             )
+        if lvl.schwarz is not None:
+            from .schwarz import schwarz_smooth
+
+            return schwarz_smooth(lvl.schwarz, lambda v: spmv(lvl.A, v), u, f, w)
+        if lvl.parasails is not None:
+            from .parasails import parasails_smooth
+
+            return parasails_smooth(
+                lvl.parasails, lambda v: spmv(lvl.A, v), u, f, w)
         if relax_type in (0, 5, 7, 18):
             # 0/7 weighted Jacobi; 5 chaotic GS (order-free on a data-
             # parallel machine == Jacobi, par_relax.c's own caveat);

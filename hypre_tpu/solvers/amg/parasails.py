@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
 import numpy as np
 import scipy.sparse as sp
 
@@ -160,3 +161,33 @@ class ParaSails:
     @property
     def precond(self):
         return self.solve
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ParaSailsData:
+    """Pytree form of the sparse-approximate-inverse apply — the
+    BoomerAMG smooth_type 8 level smoother (par_cycle.c: levels below
+    smooth_num_levels call HYPRE_ParaSailsSolve instead of
+    relaxation).  Factored (G^T G) when symmetric, else M."""
+
+    G: object = None
+    GT: object = None
+    M: object = None
+
+
+def build_parasails_data(A: CSRMatrix,
+                         opts: ParaSailsOptions = ParaSailsOptions()):
+    ps = ParaSails(A, opts)
+    return ParaSailsData(G=ps._G, GT=ps._GT, M=ps._M)
+
+
+def parasails_apply(pd: ParaSailsData, r):
+    if pd.G is not None:
+        return spmv(pd.GT, spmv(pd.G, r))
+    return spmv(pd.M, r)
+
+
+def parasails_smooth(pd: ParaSailsData, matvec, u, f, weight=1.0):
+    """u += w * M^{-1} (f - A u) — one ParaSails smoothing sweep."""
+    return u + weight * parasails_apply(pd, f - matvec(u))

@@ -67,3 +67,36 @@ class Schwarz:
     @property
     def precond(self):
         return self.solve
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SchwarzData:
+    """Pytree form of the RAS apply operands — the BoomerAMG
+    smooth_type 6 level smoother (par_amg.h smooth_type;
+    par_cycle.c: levels below smooth_num_levels call HYPRE_SchwarzSolve
+    instead of relaxation)."""
+
+    inv: jax.Array  # [nb, w, w] block pinvs
+    idx: jax.Array  # [nb, w] global rows (pad -> n sink)
+    own: jax.Array  # [nb, w] RAS ownership mask
+    n: int = dataclasses.field(metadata=dict(static=True))
+
+
+def build_schwarz_data(A: CSRMatrix, opts: SchwarzOptions = SchwarzOptions()):
+    sw = Schwarz(A, opts)
+    return SchwarzData(inv=sw._inv, idx=sw._idx, own=sw._own, n=sw.n)
+
+
+def schwarz_apply(sd: SchwarzData, r):
+    r_ext = jnp.concatenate([r, jnp.zeros(1, r.dtype)])
+    rb = r_ext[sd.idx]
+    zb = jnp.einsum("kij,kj->ki", sd.inv.astype(r.dtype), rb)
+    zb = jnp.where(sd.own, zb, 0.0)
+    z = jnp.zeros(sd.n + 1, r.dtype).at[sd.idx.ravel()].add(zb.ravel())
+    return z[: sd.n]
+
+
+def schwarz_smooth(sd: SchwarzData, matvec, u, f, weight=1.0):
+    """u += w * M^{-1} (f - A u) — one Schwarz smoothing sweep."""
+    return u + weight * schwarz_apply(sd, f - matvec(u))

@@ -134,3 +134,31 @@ def test_nsh_inverse_quality():
     r_nsh = spla.norm((I - A @ M).tocsr())
     r_diag = spla.norm((I - A @ sp.diags(1.0 / A.diagonal())).tocsr())
     assert r_nsh < 0.6 * r_diag
+
+
+def test_smooth_type_schwarz_and_parasails():
+    """BoomerAMG smooth_type 6 (Schwarz) / 8 (ParaSails) level
+    smoothers (par_amg.h smooth_type, par_cycle.c: levels below
+    smooth_num_levels smooth with the aux solver instead of
+    relaxation) — both converge and beat plain l1-Jacobi on 10^3."""
+    import jax.numpy as jnp
+
+    from hypre_tpu.models import laplacian_7pt
+    from hypre_tpu.solvers.amg import BoomerAMG, BoomerAMGOptions
+
+    A = laplacian_7pt(10, 10, 10)
+    b = jnp.asarray(A.to_scipy() @ np.ones(1000))
+    common = dict(coarsen_type="pmis", interp_type="ext+i",
+                  P_max_elmts=4, relax_down=18, relax_up=18,
+                  embed_level1=False, dtype="float64")
+    base = BoomerAMG(A, BoomerAMGOptions(**common))
+    nb = int(base.solve(b, tol=1e-8, max_iter=60).num_iterations)
+    for st, field in ((6, "schwarz"), (8, "parasails")):
+        amg = BoomerAMG(A, BoomerAMGOptions(
+            smooth_type=st, smooth_num_levels=2, **common))
+        assert getattr(amg.levels[0], field) is not None
+        assert getattr(amg.levels[1], field) is not None
+        assert getattr(amg.levels[2], field) is None  # beyond num_levels
+        r = amg.solve(b, tol=1e-8, max_iter=60)
+        assert bool(r.converged)
+        assert int(r.num_iterations) < nb
