@@ -24,7 +24,20 @@ from ...ops.csr import CSRMatrix
 @dataclasses.dataclass(frozen=True)
 class SchwarzOptions:
     block_size: int = 64
-    overlap: int = 8  # rows of overlap on each side (variant 0 analog)
+    overlap: int = 8  # rows of overlap on each side
+    # schwarz.c variants (HYPRE_SchwarzSetVariant 0-3), re-expressed for
+    # a data-parallel machine:
+    #   "ras"            restricted additive (each row owned by one
+    #                    domain; hypre's hybrid default behaves this way
+    #                    across ranks)
+    #   "additive"       classical additive Schwarz (variant 2):
+    #                    overlapping corrections SUM, damped by 1/2 on
+    #                    overlapped rows for convergence
+    #   "multiplicative" two-color multiplicative (variants 0/3's
+    #                    sequential sweep re-expressed: even blocks
+    #                    update, residual refreshes, odd blocks update —
+    #                    the color classes are the parallel width)
+    variant: str = "ras"
 
 
 class Schwarz:
@@ -50,19 +63,64 @@ class Schwarz:
             own[k, : len(rows)] = (rows >= s) & (rows < min(n, s + bs))
 
         self.n = n
+        self._matvec = None
         self._inv = jnp.asarray(inv)
         self._idx = jnp.asarray(idx)
         self._own = jnp.asarray(own)
 
     def solve(self, r):
-        """Restricted additive Schwarz: solve on overlapped blocks,
-        scatter only the owned rows (the standard RAS variant)."""
+        """Apply one Schwarz sweep per the configured variant."""
+        if self.opts.variant == "additive":
+            return self._additive(r)
+        if self.opts.variant == "multiplicative":
+            return self._multiplicative(r)
+        return self._ras(r)
+
+    def _block_solves(self, r):
         r_ext = jnp.concatenate([r, jnp.zeros(1, r.dtype)])
         rb = r_ext[self._idx]  # [nb, width]
-        zb = jnp.einsum("kij,kj->ki", self._inv, rb)
-        zb = jnp.where(self._own, zb, 0.0)
+        return jnp.einsum("kij,kj->ki", self._inv.astype(r.dtype), rb)
+
+    def _ras(self, r):
+        """Restricted additive Schwarz: solve on overlapped blocks,
+        scatter only the owned rows."""
+        zb = jnp.where(self._own, self._block_solves(r), 0.0)
         z = jnp.zeros(self.n + 1, r.dtype).at[self._idx.ravel()].add(zb.ravel())
         return z[: self.n]
+
+    def _additive(self, r):
+        """Classical additive Schwarz (schwarz.c variant 2): overlapped
+        corrections sum; rows covered k times are scaled 1/k
+        (partition-of-unity damping, the usual AS stabilization)."""
+        zb = self._block_solves(r)
+        z = jnp.zeros(self.n + 1, r.dtype).at[self._idx.ravel()].add(zb.ravel())
+        cnt = jnp.zeros(self.n + 1, r.dtype).at[self._idx.ravel()].add(
+            jnp.where(self._idx < self.n, 1.0, 0.0).astype(r.dtype).ravel())
+        return (z / jnp.maximum(cnt, 1.0))[: self.n]
+
+    def _multiplicative(self, r):
+        """Two-color multiplicative Schwarz (variants 0/3's sequential
+        domain sweep with color classes as the parallel width): even
+        blocks correct, the residual refreshes through A, odd blocks
+        correct the remainder.  Needs the operator: set via attach()."""
+        if self._matvec is None:
+            raise RuntimeError(
+                "multiplicative Schwarz needs attach(matvec) for the "
+                "inter-color residual refresh")
+        zb = self._block_solves(r)
+        even = (jnp.arange(zb.shape[0]) % 2 == 0)[:, None]
+        zb_e = jnp.where(self._own & even, zb, 0.0)
+        z = jnp.zeros(self.n + 1, r.dtype).at[self._idx.ravel()].add(zb_e.ravel())
+        z = z[: self.n]
+        r2 = r - self._matvec(z)
+        zb2 = jnp.where(self._own & ~even, self._block_solves(r2), 0.0)
+        z2 = jnp.zeros(self.n + 1, r.dtype).at[self._idx.ravel()].add(zb2.ravel())
+        return z + z2[: self.n]
+
+    def attach(self, matvec):
+        """Provide A@x for the multiplicative variant's residual refresh."""
+        self._matvec = matvec
+        return self
 
     @property
     def precond(self):

@@ -162,3 +162,32 @@ def test_smooth_type_schwarz_and_parasails():
         r = amg.solve(b, tol=1e-8, max_iter=60)
         assert bool(r.converged)
         assert int(r.num_iterations) < nb
+
+
+def test_schwarz_variants():
+    """schwarz.c variants (HYPRE_SchwarzSetVariant): RAS (hybrid
+    default), classical additive (variant 2, PoU-damped), and
+    two-color multiplicative (variants 0/3's sequential sweep with
+    color classes as the parallel width).  RAS/additive are SPD-safe
+    (PCG); multiplicative is nonsymmetric (GMRES), and stronger."""
+    from hypre_tpu.solvers.krylov import GMRESOptions, gmres
+
+    A = laplacian_7pt(10, 10, 10)
+    E = freeze_auto(A)
+    b = jnp.asarray(A.to_scipy() @ np.ones(1000))
+    op = lambda x: spmv(E, x)
+    iters = {}
+    for v in ("ras", "additive"):
+        sw = Schwarz(A, SchwarzOptions(variant=v))
+        res = pcg(op, b, M=sw.precond, opts=PCGOptions(tol=1e-8, max_iter=200))
+        assert bool(res.converged), v
+        iters[v] = int(res.num_iterations)
+    swm = Schwarz(A, SchwarzOptions(variant="multiplicative")).attach(op)
+    rm = gmres(op, b, M=swm.precond,
+               opts=GMRESOptions(tol=1e-8, max_iter=200, k_dim=30))
+    assert bool(rm.converged)
+    swr = Schwarz(A, SchwarzOptions(variant="ras"))
+    rr = gmres(op, b, M=swr.precond,
+               opts=GMRESOptions(tol=1e-8, max_iter=200, k_dim=30))
+    # multiplicative beats (or ties) RAS under the same Krylov
+    assert int(rm.num_iterations) <= int(rr.num_iterations)
