@@ -39,3 +39,32 @@ def red_black_gs(A: StructMatrix, dinv, u, f, red_mask, pre: bool = True):
             r = f - struct_matvec(A, u)
             u = jnp.where(mask, u + dinv * r, u)
         return u
+
+
+def pointset_mask(shape, stride, index):
+    """Boolean mask of the axis-strided pointset {x : x_d % stride_d ==
+    index_d} — the hypre_PointRelaxSetPointset geometry
+    (point_relax.c:1592 generic engine; pointsets are strided
+    sublattices per dimension)."""
+    grids = np.meshgrid(*[np.arange(s) for s in shape], indexing="ij")
+    m = np.ones(shape, dtype=bool)
+    for g, st, ix in zip(grids, stride, index):
+        m &= (g % int(st)) == int(ix)
+    return jnp.asarray(m)
+
+
+def point_relax(A: StructMatrix, dinv, u, f, pointsets, weight=1.0):
+    """Generic weighted pointwise relaxation over an ordered list of
+    pointset masks (point_relax.c hypre_PointRelax): each pointset
+    updates from a FRESH residual, so the sweep is a multicolor
+    Gauss-Seidel whose colors are the pointsets; one full-lattice
+    pointset degenerates to weighted Jacobi, the 2-color parity pair is
+    red-black GS.  `pointsets`: boolean masks (see pointset_mask) or
+    (stride, index) tuples resolved against u's shape."""
+    with jax.named_scope("RELAX"):
+        for ps in pointsets:
+            mask = (ps if hasattr(ps, "dtype")
+                    else pointset_mask(u.shape, *ps))
+            r = f - struct_matvec(A, u)
+            u = jnp.where(mask, u + weight * dinv * r, u)
+        return u

@@ -219,3 +219,41 @@ def test_smg_recursive_plane_solver():
         assert np.allclose(np.asarray(res.x).ravel(), 1.0, atol=1e-4)
     finally:
         smg_mod._PLANE_DENSE_MAX = old
+
+
+def test_generic_point_relax():
+    """point_relax.c:1592 generic engine: pointsets as strided
+    sublattices, each updating from a fresh residual.  One full-lattice
+    set == weighted Jacobi bitwise; the 8-color (2,2,2)-stride sweep is
+    a multicolor GS that damps error faster than one Jacobi sweep."""
+    import numpy as np
+
+    from hypre_tpu.solvers.struct_ls import (
+        point_jacobi,
+        point_relax,
+        pointset_mask,
+    )
+    from hypre_tpu.struct.matrix import struct_matvec
+
+    shape = (10, 10, 10)
+    A = poisson7(shape, 1.0, 1.0, 1.0)
+    dinv = 1.0 / np.asarray(A.data[A.offsets.index((0, 0, 0))])
+    rng = np.random.default_rng(5)
+    u0 = jnp.asarray(rng.standard_normal(shape))
+    f = jnp.zeros(shape)
+
+    full = pointset_mask(shape, (1, 1, 1), (0, 0, 0))
+    u_pr = point_relax(A, dinv, u0, f, [full], weight=0.8)
+    u_j = point_jacobi(A, dinv, u0, f, weight=0.8)
+    np.testing.assert_array_equal(np.asarray(u_pr), np.asarray(u_j))
+
+    colors = [((2, 2, 2), (i, j, k))
+              for i in (0, 1) for j in (0, 1) for k in (0, 1)]
+    u_mc = point_relax(A, dinv, u0, f, colors)
+    e_mc = float(jnp.linalg.norm(u_mc))   # exact solution is 0
+    e_j = float(jnp.linalg.norm(point_jacobi(A, dinv, u0, f)))
+    assert e_mc < e_j  # multicolor GS beats one Jacobi sweep
+    # every point belongs to exactly one color
+    cover = sum(np.asarray(pointset_mask(shape, s, i)).astype(int)
+                for s, i in colors)
+    assert (cover == 1).all()
