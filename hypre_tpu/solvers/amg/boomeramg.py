@@ -624,6 +624,7 @@ class BoomerAMG:
             data=P_data[np.asarray(keepP, dtype=np.int32)],
             offsets=offs_P, num_rows=n, num_cols=n,
         )
+        del P_data  # free the unselected full table (~0.5 GB at 256^3)
         with timed("DS_RAP"):
             A1_data, offs_1 = device_rap(P_dia, D0, tol=self._level_ngt(0))
             jax.block_until_ready(A1_data)
@@ -637,8 +638,15 @@ class BoomerAMG:
         # compact coarse operator -> host (deeper levels stay host)
         cpos0 = np.flatnonzero(cf0 > 0).astype(np.int64)
         with timed("DS_A1_PULL"):
+            # per-offset pulls: the one-shot [noff1, n1] device gather
+            # plus its transfer staging OOMed a 256^3 setup whose HBM
+            # already holds the f32 chain products; row-at-a-time peaks
+            # at one [n1] buffer and costs only noff1 round trips
             cpos_dev = arena_fast_put(cpos0)
-            A1c = np.asarray(A1_data[:, cpos_dev])  # [noff1, n1] pull
+            A1c = np.stack([
+                np.asarray(A1_data[k, cpos_dev])
+                for k in range(A1_data.shape[0])
+            ])
         with timed("DS_A1_REBUILD"):
             rows_l, cols_l, vals_l = [], [], []
             for k, off in enumerate(offs_1):
@@ -1179,6 +1187,12 @@ class BoomerAMG:
         )
         self.levels[0] = lvl0
         self.levels[1] = lvl1
+        # the frozen levels now hold the (cast) solve copies; drop the
+        # f32 chain products so HBM is not double-charged (~2.5 GB at
+        # 256^3: A1 f32 table + fine table).  P stays -- _host_P0
+        # materializes ParAMG/SolveT transfers from it lazily.
+        f["A1"] = None
+        f["D0"] = None
 
     def _build_coarse_collapse(self) -> None:
         """Materialize the sub-V-cycle below the first small level as one
