@@ -247,7 +247,8 @@ def rap_impl(P, A, *, offs_P, offs_A, offs_AP, offs_out, tol, chunk,
                 out = out.at[ko].add(contrib)
 
     # fused non-Galerkin filter + diagonal lump
-    if tol > 0.0:
+    low_mem = n > 2**23  # 256^3-class: avoid a second full out buffer
+    if tol > 0.0 and not low_mem:
         diag = out[diag_out]
         dabs = jnp.sqrt(jnp.abs(diag))
         lump = jnp.zeros(n, P.dtype)
@@ -268,11 +269,60 @@ def rap_impl(P, A, *, offs_P, offs_A, offs_AP, offs_out, tol, chunk,
             rows.append(jnp.where(keep, row, 0.0))
         rows[diag_out] = rows[diag_out] + lump
         out = jnp.stack(rows)
-    rowmax = rowmax_fn(jnp.abs(out))
+    elif tol > 0.0:
+        # LOW-MEMORY variant: identical keep/lump math, but rows are
+        # overwritten in place pair-by-pair (each keep reads only the
+        # PRE-filter values of its +-o pair, which are saved as two
+        # [n] rows) so XLA can alias `out` instead of holding the
+        # jnp.stack copy next to it (~2x the stored-table bytes —
+        # the 256^3 OOM).  Lump accumulation order differs from the
+        # small-n path by pair grouping only (last-ulp on the
+        # diagonal; no bitwise pins exist at this scale).
+        diag = out[diag_out]
+        dabs = jnp.sqrt(jnp.abs(diag))
+        lump = jnp.zeros(n, P.dtype)
+        done = set()
+        for ko, o in enumerate(offs_out):
+            if o == 0 or o in done:
+                continue
+            kneg = kout_of.get(-o)
+            row_p = out[ko]
+            thr_p = tol * dabs * shift(dabs, o)
+            keep_p = jnp.abs(row_p) >= thr_p
+            if kneg is not None:
+                row_m = out[kneg]
+                keep_p = keep_p | (jnp.abs(shift(row_m, o)) >= thr_p)
+                thr_m = tol * dabs * shift(dabs, -o)
+                keep_m = jnp.abs(row_m) >= thr_m
+                keep_m = keep_m | (jnp.abs(shift(row_p, -o)) >= thr_m)
+                lump = lump + jnp.where(keep_m, 0.0, row_m)
+                out = out.at[kneg].set(jnp.where(keep_m, row_m, 0.0))
+                done.add(int(-o))
+            lump = lump + jnp.where(keep_p, 0.0, row_p)
+            out = out.at[ko].set(jnp.where(keep_p, row_p, 0.0))
+            done.add(int(o))
+        out = out.at[diag_out].add(lump)
+    if low_mem:
+        # row-wise |.| avoids materializing a full |out| copy; the
+        # [noff, 1] local maxima still pass through rowmax_fn so the
+        # sharded caller's pmax collective runs on every shard
+        local = jnp.stack(
+            [jnp.max(jnp.abs(out[k])) for k in range(out.shape[0])])
+        rowmax = rowmax_fn(local[:, None])
+    else:
+        rowmax = rowmax_fn(jnp.abs(out))
     return out, rowmax
 
 
 def device_rap(P_dia, A_dia, tol: float = 0.0, chunk: int = 32):
+    # bound the live AP chunk to ~0.8 GB at large n (the 256^3 OOM);
+    # chunking only regroups stage-2 adds, and no bitwise pin exists
+    # above 2^23 rows
+    n_ = A_dia.num_rows
+    if n_ > 2**23:
+        chunk = max(4, min(chunk,
+                           int(8e8 // (np.dtype(np.float32).itemsize * n_)))
+                    )
     """Galerkin RAP of embedded DIA operators, device-resident.
 
     Returns (out_data [nkept, n] device, kept_offsets tuple) — the
