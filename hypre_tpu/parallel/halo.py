@@ -110,6 +110,26 @@ def build_halo_plan(
         send_idx.append(jnp.asarray(sidx))
         recv_pos.append(jnp.asarray(rpos))
 
+    from ..utils.errors import debug_assert
+
+    # hypre_assert-level invariants (active under HYPRE_TPU_DEBUG):
+    # every ghost slot of every shard is written by exactly one
+    # (offset, position) pair — a malformed plan silently corrupts
+    # halos otherwise
+    for s_chk in range(S):
+        filled = np.concatenate(
+            [rp[s_chk][rp[s_chk] < ghost_width] for rp in
+             [np.asarray(r) for r in recv_pos]]
+        ) if recv_pos else np.empty(0, np.int32)
+        debug_assert(
+            len(filled) == len(np.unique(filled)),
+            f"halo plan: shard {s_chk} ghost slot written twice",
+        )
+        debug_assert(
+            len(filled) == len(col_map_offd[s_chk]),
+            f"halo plan: shard {s_chk} covers {len(filled)} of "
+            f"{len(col_map_offd[s_chk])} ghost slots",
+        )
     return HaloPlan(
         send_idx=tuple(send_idx),
         recv_pos=tuple(recv_pos),
