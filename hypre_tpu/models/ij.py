@@ -178,3 +178,62 @@ class IJMatrixDevice(IJMatrix):
             np.asarray(ur), np.asarray(uc), np.asarray(uv), self.shape
         )
         return self._assembled
+
+
+class IJMatrixSharded:
+    """Distributed IJ assembly (IJMatrix_parcsr.c:2774
+    hypre_IJMatrixAssembleParCSR): each shard accumulates Set/AddTo
+    calls — including entries whose rows it does NOT own — and
+    Assemble ships the off-shard queues to their owning shards (the
+    MPI exchange), resolves set-wins-then-add semantics per owner, and
+    builds the row-sharded ParCSR directly from per-shard blocks (no
+    global matrix image).
+
+    Determinism note: the reference leaves cross-rank Set ordering to
+    MPI arrival order; here contributions resolve in (owner receives
+    sources in shard order, each source in call order), which is a
+    fixed total order — re-assembly is bitwise reproducible.
+    """
+
+    def __init__(self, nrows: int, ncols: int, mesh=None, axis=None):
+        from ..parallel.mesh import AXIS, default_mesh
+        from ..parallel.partition import block_partition
+
+        self.shape = (int(nrows), int(ncols))
+        self.mesh = mesh or default_mesh()
+        self.axis = axis or AXIS
+        self.S = self.mesh.shape[self.axis]
+        self.part = block_partition(nrows, self.S)
+        self._bufs = [IJMatrix(nrows, ncols) for _ in range(self.S)]
+
+    def set_values(self, shard: int, rows, cols, values):
+        self._bufs[shard].set_values(rows, cols, values)
+
+    def add_to_values(self, shard: int, rows, cols, values):
+        self._bufs[shard].add_to_values(rows, cols, values)
+
+    def assemble(self):
+        from ..parallel.par_csr import ParCSR
+
+        nrows, ncols = self.shape
+        per = self.part.rows_per_shard
+        # the exchange: owner o receives every source shard's entries
+        # for its rows, in (source shard, call order) order
+        owners_bufs = [IJMatrix(nrows, ncols) for _ in range(self.S)]
+        for s in range(self.S):
+            b = self._bufs[s]
+            for rows, cols, vals, isset in zip(
+                    b._rows, b._cols, b._vals, b._isset):
+                own = self.part.owner(rows)
+                for o in np.unique(own):
+                    m = own == o
+                    owners_bufs[int(o)]._push(
+                        rows[m], cols[m], vals[m], bool(isset[0]))
+        blocks = []
+        for o in range(self.S):
+            M = owners_bufs[o].assemble().to_scipy().tocsr()
+            lo = min(o * per, nrows)
+            hi = min(lo + per, nrows)
+            blocks.append(M[lo:hi])
+        return ParCSR.from_row_blocks(
+            blocks, self.shape, mesh=self.mesh, axis=self.axis)
