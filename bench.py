@@ -64,6 +64,51 @@ def _compile_service_healthy(budget_sec: float = 45.0) -> bool:
         return False
 
 
+def _warm_marker_path():
+    import jax
+
+    plat = os.environ.get("JAX_PLATFORMS", "default").replace(",", "-") or "default"
+    cache = os.environ.get(
+        "HYPRE_TPU_COMPILE_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".jax_cache", plat),
+    )
+    return os.path.join(cache, "warm_marker.json"), jax.__version__
+
+
+def _chain_cache_warm(size: int) -> bool:
+    """True when a previous run already compiled the device-setup chain
+    at this size into the persistent cache.  A cache HIT costs ~0.4 s
+    even in a degraded-compile-service window (measured 2026-08-20:
+    0.37 s hit vs 103 s fresh compile of the same trivial program), so
+    a warm cache makes the device chain safe regardless of service
+    health — this is the 'warm the cache at CI time' protocol."""
+    try:
+        path, jver = _warm_marker_path()
+        with open(path) as f:
+            m = json.load(f)
+        import jax
+
+        return (int(m.get("size", -1)) == int(size)
+                and m.get("jax") == jver
+                and m.get("device") == jax.devices()[0].device_kind)
+    except Exception:
+        return False
+
+
+def _write_warm_marker(size: int) -> None:
+    try:
+        import jax
+
+        path, jver = _warm_marker_path()
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            json.dump({"size": int(size), "jax": jver,
+                       "device": jax.devices()[0].device_kind}, f)
+    except Exception:
+        pass
+
+
 def main():
     # warm-heap allocator tuning: on lazy-memory VMs cold mmap faults
     # otherwise dominate setup (see utils/malloc_tuning.py)
@@ -144,7 +189,12 @@ def main():
     # degraded) is environment qualification, not AMG setup
     interp = args.interp or ("ext+i" if nx < 96 else "classical")
     if args.device_setup == "auto":
-        dev_setup = interp == "classical" and _compile_service_healthy()
+        # warm persistent cache first: every chain program is then a
+        # deserialize-only cache hit (~0.4 s each even in degraded
+        # windows), so no live health probe is needed; else probe
+        dev_setup = interp == "classical" and (
+            _chain_cache_warm(nx) or _compile_service_healthy()
+        )
     else:
         dev_setup = args.device_setup == "on"
     dev_rap = (dev_setup if args.device_rap == "auto"
@@ -447,6 +497,11 @@ def main():
     if nx in ORACLE_ITERS:
         out["oracle_iterations"] = ORACLE_ITERS[nx]
         out["beats_or_matches_oracle"] = iters <= ORACLE_ITERS[nx]
+    if dev_setup and getattr(amg, "_fast", None) is not None:
+        # every device-chain program for this size is now in the
+        # persistent cache: later auto-mode runs may take the chain
+        # without a health probe (cache hits bypass the compile service)
+        _write_warm_marker(nx)
     print(json.dumps(out))
 
 

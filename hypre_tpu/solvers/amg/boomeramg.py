@@ -285,6 +285,16 @@ class BoomerAMGOptions:
     device_setup: bool = False
 
 
+@jax.jit
+def _pull_offset_rows8(data, ks, cpos):
+    """Eight diagonals of the device A1 table, gathered at the C
+    positions as ONE fused [8, nc] gather (no [8, n] intermediate —
+    that full-width staging OOMed 256^3).  ks is traced, so every
+    chunk shares a single compiled program; chunking cuts the pull's
+    tunnel round trips ~8x vs per-offset dispatches."""
+    return data[ks[:, None], cpos[None, :]]
+
+
 def _updown_relax_types(o) -> set:
     """Effective down/up relax types: grid_relax_type[:3] when the
     old-style array (par_amg.h grid_relax_type[4]) is set, else
@@ -602,11 +612,17 @@ class BoomerAMG:
         # when the interp dispatch precedes the cf readback).  Setup
         # runs once — pipelining buys nothing and costs unboundedly.
         with timed("DS_PMIS"):
-            cf_dev = device_pmis(
-                D0.data, D0.offsets, n, seed=o.seed,
-                theta=o.strong_threshold, max_row_sum=o.max_row_sum,
-            )
-            cf0 = np.asarray(cf_dev).astype(np.int64)
+            # dispatch/read split: the jit call returns after trace +
+            # compile-or-cache-load; the readback waits for execution.
+            # Separating them attributes degraded-window stalls to the
+            # compile service vs the chip/tunnel (GAPS.md flap notes).
+            with timed("DS_PMIS_DISPATCH"):
+                cf_dev = device_pmis(
+                    D0.data, D0.offsets, n, seed=o.seed,
+                    theta=o.strong_threshold, max_row_sum=o.max_row_sum,
+                )
+            with timed("DS_PMIS_READ"):
+                cf0 = np.asarray(cf_dev).astype(np.int64)
         nc = int((cf0 > 0).sum())
         if nc == 0 or nc == n:
             return None
@@ -641,12 +657,21 @@ class BoomerAMG:
             # per-offset pulls: the one-shot [noff1, n1] device gather
             # plus its transfer staging OOMed a 256^3 setup whose HBM
             # already holds the f32 chain products; row-at-a-time peaks
-            # at one [n1] buffer and costs only noff1 round trips
+            # at one [n1] buffer and costs only noff1 round trips.  The
+            # offset index is a TRACED scalar so all noff1 pulls share
+            # ONE compiled program (a static k would compile a fresh
+            # gather per offset — ~20 compile-service round trips, each
+            # unbounded in a degraded window).
             cpos_dev = arena_fast_put(cpos0)
-            A1c = np.stack([
-                np.asarray(A1_data[k, cpos_dev])
-                for k in range(A1_data.shape[0])
-            ])
+            noff1 = int(A1_data.shape[0])
+            chunks = []
+            for k0 in range(0, noff1, 8):
+                ks = np.arange(k0, k0 + 8, dtype=np.int32)
+                ks = np.minimum(ks, noff1 - 1)  # pad by repeating last
+                chunks.append(np.asarray(
+                    _pull_offset_rows8(A1_data, jnp.asarray(ks), cpos_dev)
+                ))
+            A1c = np.concatenate(chunks)[:noff1]
         with timed("DS_A1_REBUILD"):
             rows_l, cols_l, vals_l = [], [], []
             for k, off in enumerate(offs_1):

@@ -29,9 +29,13 @@ def main():
           f"({jax.devices()[0].device_kind})")
 
     t0 = time.perf_counter()
+    # fresh shape each run: a fixed 128 would hit the persistent cache
+    # and measure deserialize, not the compile service
+    odd = 16001 + (int(time.time()) % 9973) * 2
     f = jax.jit(lambda x: x * 2.0 + 1.0)
-    float(f(jnp.ones(128))[0])
-    print(f"small compile+run: {time.perf_counter() - t0:.2f}s")
+    float(f(jnp.ones(odd))[0])
+    compile_s = time.perf_counter() - t0
+    print(f"small compile+run: {compile_s:.2f}s")
 
     from hypre_tpu.models import laplacian_7pt
     from hypre_tpu.ops.dia import freeze_auto, spmv
@@ -62,7 +66,12 @@ def main():
     gbs = (A.data.size * A.data.dtype.itemsize + 8 * nx ** 3) / (us / 1e6) / 1e9
     frac = gbs / 819.0
     state = "HEALTHY" if frac > 0.6 else ("DEGRADED" if frac < 0.3 else "marginal")
+    if compile_s > 20.0:
+        state = "DEGRADED(compile)"
     print(f"spmv: {us:.1f} us  {gbs:.0f} GB/s  roofline {frac:.2f}  -> {state}")
+    # exit code for scripted gating (run_256_when_healthy.sh):
+    # 0 = healthy tunnel AND compile service, nonzero otherwise
+    sys.exit(0 if state == "HEALTHY" else 1)
 
 
 if __name__ == "__main__":
