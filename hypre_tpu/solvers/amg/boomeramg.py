@@ -286,12 +286,12 @@ class BoomerAMGOptions:
 
 
 @jax.jit
-def _pull_offset_rows8(data, ks, cpos):
-    """Eight diagonals of the device A1 table, gathered at the C
-    positions as ONE fused [8, nc] gather (no [8, n] intermediate —
+def _pull_offset_rows(data, ks, cpos):
+    """A chunk of diagonals of the device A1 table, gathered at the C
+    positions as ONE fused [W, nc] gather (no [W, n] intermediate —
     that full-width staging OOMed 256^3).  ks is traced, so every
-    chunk shares a single compiled program; chunking cuts the pull's
-    tunnel round trips ~8x vs per-offset dispatches."""
+    chunk shares a single compiled program; wide chunks cut the
+    pull's tunnel round trips to one or two dispatches."""
     return data[ks[:, None], cpos[None, :]]
 
 
@@ -585,7 +585,7 @@ class BoomerAMG:
             device_row_stats,
         )
         from ...ops.dia import DIAMatrix, csr_to_dia
-        from .device_coarsen import device_pmis
+        from .device_coarsen import lattice_pmis_host
 
         o = self.opts
         n = A.shape[0]
@@ -612,17 +612,29 @@ class BoomerAMG:
         # when the interp dispatch precedes the cf readback).  Setup
         # runs once — pipelining buys nothing and costs unboundedly.
         with timed("DS_PMIS"):
-            # dispatch/read split: the jit call returns after trace +
-            # compile-or-cache-load; the readback waits for execution.
-            # Separating them attributes degraded-window stalls to the
-            # compile service vs the chip/tunnel (GAPS.md flap notes).
-            with timed("DS_PMIS_DISPATCH"):
-                cf_dev = device_pmis(
-                    D0.data, D0.offsets, n, seed=o.seed,
+            # PMIS runs on the HOST (numpy twin of the device program,
+            # bitwise-identical CF): the jitted while_loop's DISPATCH
+            # was measured to stall 70-600+ s through a degraded axon
+            # compile service even with a warm persistent cache, while
+            # the chain's other programs load in <1 s; the numpy twin
+            # costs ~0.5 s at 884k rows, unconditionally.  device_pmis
+            # itself remains the mesh-sharded path (dist_setup.py).
+            with timed("DS_PMIS_DIA"):
+                D0h = csr_to_dia(
+                    CSRMatrix.from_scipy(A), dtype=np.dtype(o.dtype),
+                    device=False,
+                )
+            with timed("DS_PMIS_HOST"):
+                cf0_np = lattice_pmis_host(
+                    D0h.data, D0h.offsets, n, seed=o.seed,
                     theta=o.strong_threshold, max_row_sum=o.max_row_sum,
                 )
-            with timed("DS_PMIS_READ"):
-                cf0 = np.asarray(cf_dev).astype(np.int64)
+            cf0 = cf0_np.astype(np.int64)
+            # int32, NOT int8: the axon tunnel's int8 device_put path is
+            # pathological (measured 13-270+ s for 0.9 MB vs 0.15 s for
+            # the 4x-bigger int32 image — the recurring DS_PMIS stall)
+            with timed("DS_PMIS_PUT"):
+                cf_dev = arena_fast_put(cf0_np.astype(np.int32))
         nc = int((cf0 > 0).sum())
         if nc == 0 or nc == n:
             return None
@@ -664,33 +676,41 @@ class BoomerAMG:
             # unbounded in a degraded window).
             cpos_dev = arena_fast_put(cpos0)
             noff1 = int(A1_data.shape[0])
+            # chunk width sized to cap the [W, nc] staging at ~64MB:
+            # one dispatch at 96^3, a handful at 256^3
+            W = max(8, min(noff1, int(64e6 // max(nc * 4, 1))))
             chunks = []
-            for k0 in range(0, noff1, 8):
-                ks = np.arange(k0, k0 + 8, dtype=np.int32)
+            for k0 in range(0, noff1, W):
+                ks = np.arange(k0, k0 + W, dtype=np.int32)
                 ks = np.minimum(ks, noff1 - 1)  # pad by repeating last
                 chunks.append(np.asarray(
-                    _pull_offset_rows8(A1_data, jnp.asarray(ks), cpos_dev)
+                    _pull_offset_rows(A1_data, jnp.asarray(ks), cpos_dev)
                 ))
             A1c = np.concatenate(chunks)[:noff1]
         with timed("DS_A1_REBUILD"):
-            rows_l, cols_l, vals_l = [], [], []
-            for k, off in enumerate(offs_1):
-                tgt = cpos0 + int(off)
-                pos = np.searchsorted(cpos0, tgt)
-                pos_c = np.minimum(pos, len(cpos0) - 1)
-                valid = (tgt >= 0) & (tgt < n) & (cpos0[pos_c] == tgt)
-                v = A1c[k]
-                sel = valid & (v != 0)
-                rows_l.append(np.flatnonzero(sel))
-                cols_l.append(pos_c[sel])
-                vals_l.append(v[sel].astype(np.float64))
+            # vectorized coarse-CSR assembly.  rank[g] = coarse index of
+            # fine row g (direct O(1) lookup; searchsorted per offset was
+            # the 4-5 s hot spot here).  For a fixed coarse row i the
+            # targets i+off are ascending in off, so flattening the
+            # [nc, noff1] transpose row-major yields canonical
+            # (sorted, duplicate-free) CSR with no sort pass.
+            rank = np.full(n, -1, dtype=np.int32)
+            rank[cpos0] = np.arange(nc, dtype=np.int32)
+            offs_arr = np.asarray(offs_1, dtype=np.int64)
+            tgt = cpos0[None, :] + offs_arr[:, None]        # [noff1, nc]
+            inb = (tgt >= 0) & (tgt < n)
+            pos_c = rank[np.where(inb, tgt, 0)]
+            sel = inb & (pos_c >= 0) & (A1c != 0)
+            selT = sel.T
+            indptr = np.zeros(nc + 1, dtype=np.int32)
+            indptr[1:] = np.cumsum(selT.sum(axis=1), dtype=np.int64)
+            flat = selT.ravel()
             A1_host = sp.csr_matrix(
-                (np.concatenate(vals_l),
-                 (np.concatenate(rows_l), np.concatenate(cols_l))),
+                (A1c.T.ravel()[flat].astype(np.float64),
+                 pos_c.T.ravel()[flat].astype(np.int32), indptr),
                 shape=(nc, nc),
             )
-            A1_host.sum_duplicates()
-            A1_host.sort_indices()
+            A1_host.has_sorted_indices = True
         return dict(
             D0=D0, P=P_dia, A1=A1_dia, cf0=cf0, cpos0=cpos0,
             A1_host=A1_host, dinv1=dinv1, l1inv1=l1inv1,

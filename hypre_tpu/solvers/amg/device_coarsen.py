@@ -108,6 +108,111 @@ def strength_masks_impl(data, offsets, theta, max_row_sum):
     return jnp.stack(masks)
 
 
+def _np_shift(x, off, fill=0):
+    """numpy twin of _shift: y[i] = x[i + off], `fill` outside."""
+    n = x.shape[0]
+    off = int(off)
+    if off == 0:
+        return x
+    out = np.full(n, fill, dtype=x.dtype)
+    if off > 0:
+        out[: n - off] = x[off:]
+    else:
+        out[-off:] = x[: n + off]
+    return out
+
+
+def lattice_pmis_host(data, offsets, n, seed: int = _PMIS_SEED,
+                      theta: float = 0.25, max_row_sum: float = 0.9):
+    """Host (numpy) twin of device_pmis for a DIA lattice operator:
+    the same integer-pair measure comparisons, round structure, and
+    tie semantics, so the CF marker is BITWISE identical to
+    device_pmis / coarsen.pmis_coarsen (asserted in
+    tests/test_device_coarsen.py).  Purpose: the graded device-setup
+    chain needs a PMIS whose cost does not depend on the remote XLA
+    compile service — the jitted while_loop program's dispatch was
+    observed to stall 70-600+ s through a degraded axon service even
+    with a warm persistent cache (GAPS.md), while every other chain
+    program loads in <1 s.  At 884k rows this runs ~0.5 s of pure
+    numpy; the sharded/device variants remain for mesh execution."""
+    data = np.asarray(data)[:, :n].astype(np.float32)
+    offsets = tuple(int(o) for o in offsets)
+    lcg = lcg_states_host(seed, n)
+
+    diag_k = offsets.index(0)
+    diag = data[diag_k]
+    neg = diag < 0
+    row_max = np.zeros_like(diag)
+    row_min = np.zeros_like(diag)
+    for k, off in enumerate(offsets):
+        if off == 0:
+            continue
+        np.maximum(row_max, data[k], out=row_max)
+        np.minimum(row_min, data[k], out=row_min)
+    thresh = np.float32(theta) * np.where(neg, row_max, row_min)
+    rs = data.sum(axis=0, dtype=np.float32)
+    weak_row = (np.abs(rs) > np.abs(diag) * np.float32(max_row_sum)
+                if max_row_sum < 1.0 else np.zeros(n, bool))
+    S = np.zeros((len(offsets), n), dtype=bool)
+    for k, off in enumerate(offsets):
+        if off == 0:
+            continue
+        s = np.where(neg, data[k] > thresh, data[k] < thresh)
+        S[k] = s & ~weak_row
+
+    cnt = np.zeros(n, np.int32)
+    for k, off in enumerate(offsets):
+        if off != 0:
+            cnt += _np_shift(S[k].astype(np.int32), -off)
+    isolated = ~S.any(axis=0)
+    cf = np.where(isolated, np.int8(-3), np.int8(0))
+    in_graph = ~isolated
+    cnt = np.where(isolated, 0, cnt).astype(np.int32)
+
+    adj_offs = sorted({o for o in offsets if o != 0} |
+                      {-o for o in offsets if o != 0})
+    k_of = {o: k for k, o in enumerate(offsets)}
+
+    def adj_mask(off):
+        m = np.zeros(n, bool)
+        if off in k_of:
+            m |= S[k_of[off]]
+        if -off in k_of:
+            m |= _np_shift(S[k_of[-off]], off)
+        return m
+
+    it = 0
+    while in_graph.any() and it < 500:
+        cand = in_graph & (cnt >= 1)
+        dominated = np.zeros(n, bool)
+        ccnt = np.where(cand, cnt, 0).astype(np.int32)
+        clcg = np.where(cand, lcg, 0).astype(np.int32)
+        for off in adj_offs:
+            nb_cand = _np_shift(cand, off, fill=False)
+            nb_cnt = _np_shift(ccnt, off)
+            nb_lcg = _np_shift(clcg, off)
+            better = (nb_cnt > cnt) | ((nb_cnt == cnt) & (nb_lcg > lcg))
+            dominated |= adj_mask(off) & nb_cand & better
+        in_is = cand & ~dominated
+        cf = np.where(in_is, np.int8(1), cf)
+
+        is_c = cf > 0
+        newly_f = in_graph & (cnt < 1)
+        infl_c = np.zeros(n, bool)
+        for k, off in enumerate(offsets):
+            if off == 0:
+                continue
+            infl_c |= S[k] & _np_shift(is_c, off, fill=False)
+        newly_f |= in_graph & ~is_c & infl_c
+        cf = np.where(in_graph & is_c, np.int8(1), cf)
+        cf = np.where(newly_f, np.int8(-1), cf)
+        settled = in_graph & (cf != 0)
+        cnt = np.where(settled, 0, cnt).astype(np.int32)
+        in_graph = in_graph & (cf == 0)
+        it += 1
+    return cf.astype(np.int8)
+
+
 def device_pmis(data, offsets, n, seed: int = _PMIS_SEED,
                 theta: float = 0.25, max_row_sum: float = 0.9):
     """CF marker (int8: 1 C, -1 F, -3 isolated) for a DIA stencil

@@ -10,7 +10,7 @@ from hypre_tpu.ops.csr import CSRMatrix
 from hypre_tpu.ops.dia import csr_to_dia
 from hypre_tpu.solvers.amg.coarsen import pmis_coarsen
 from hypre_tpu.solvers.amg.device_coarsen import (
-    device_pmis, lcg_states_host,
+    device_pmis, lattice_pmis_host, lcg_states_host,
 )
 from hypre_tpu.solvers.amg.strength import strength_matrix
 from hypre_tpu.utils.lcg import M, lcg_fill
@@ -36,6 +36,10 @@ def test_device_pmis_bitwise_matches_host(builder):
     D = csr_to_dia(A, device=False)
     cf_dev = np.asarray(device_pmis(D.data, D.offsets, n))
     np.testing.assert_array_equal(cf_dev.astype(np.int64), cf_host)
+    # the numpy twin (the graded chain's PMIS — see boomeramg.py
+    # _device_setup_level0) is bitwise the same marker as well
+    cf_np = lattice_pmis_host(D.data, D.offsets, n)
+    np.testing.assert_array_equal(cf_np.astype(np.int64), cf_host)
 
 
 @pytest.mark.slow  # ~27 s; device PMIS bitwise parity is covered fast in test_device_setup
