@@ -103,6 +103,7 @@ def run(argv=None):
     max_iter = flag("-max_iter", 1, 100, int)
     kdim = flag("-k", 1, 5, int)
     w = flag("-w", 1, 1.0)
+    om = flag("-om", 1, 1.0)  # outer SOR weight (ij.c -om, SetOuterWt)
     cf_order = flag("-CF", 1, 0, int)
     restri = flag("-restritype", 1, 0, int)  # ij.c AIR restriction
     ilu_type = flag("-ilu_type", 1, 0, int)  # 0 ILU(k) | 1 ILUT
@@ -161,6 +162,7 @@ def run(argv=None):
         relax_down=relax["down"],
         relax_up=relax["up"],
         relax_weight=w,
+        omega=om,
         agg_num_levels=agg_nl,
         agg_interp_type=agg_interp,
         num_functions=max(num_fun, 1),

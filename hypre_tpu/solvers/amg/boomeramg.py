@@ -142,10 +142,15 @@ class BoomerAMGOptions:
     # per-level smoother weights (par_amg.h relax_weight[max_levels];
     # HYPRE_BoomerAMGSetLevelRelaxWt / ij driver -w <wt> <level>).
     # None = the scalar relax_weight everywhere; a shorter tuple clamps
-    # to its last entry for deeper levels.  (The outer SOR weight
-    # omega[level] is not modeled — hypre's default omega == 1.0; the
-    # (1 - w*omega) SOR recurrence is a documented gap, GAPS.md.)
+    # to its last entry for deeper levels.
     level_relax_weights: Optional[tuple] = None
+    # outer SOR weight (par_amg.h omega[max_levels]; SetOuterWt /
+    # SetLevelOuterWt, ij driver -om <wt> <level>).  Applies to the
+    # SOR/SSOR family (relax 3/4/6) via the par_relax.c:1277
+    # prod = (1 - w*omega) recurrence (see relax.gauss_seidel); hypre's
+    # other smoothers ignore omega, as does its own default 1.0.
+    omega: float = 1.0
+    level_omegas: Optional[tuple] = None
     num_sweeps: int = 1
     # per-cycle-position sweep counts (HYPRE_BoomerAMGSetCycleNumSweeps
     # k=1/2/3; ij driver -ns_down/-ns_up/-ns_coarse); None = num_sweeps
@@ -1745,14 +1750,22 @@ class BoomerAMG:
             return jacobi(lvl.A, div, u, f, w)
         if relax_type in (1, 2, 3, 13):
             # sequential/hybrid forward GS (np=1: true GS; 13 = L1-GS
-            # whose option-4 divisor degenerates to |diag|)
-            return self._gs(lvl.gs_fwd, u, f, w, up, points)
+            # whose option-4 divisor degenerates to |diag|).  omega
+            # applies to the SOR member (3) only — hypre's 1/2/13
+            # branches carry no omega term.
+            om = self._level_omega(level) if relax_type == 3 else 1.0
+            return self._gs(lvl.gs_fwd, u, f, w, up, points, omega=om)
         if relax_type in (4, 14):
-            return self._gs(lvl.gs_bwd, u, f, w, up, points)
+            om = self._level_omega(level) if relax_type == 4 else 1.0
+            return self._gs(lvl.gs_bwd, u, f, w, up, points, omega=om)
         if relax_type in (6, 8):
-            # hybrid SSOR / L1-SSOR (same degenerate divisor at np=1)
-            u = self._gs(lvl.gs_fwd, u, f, w, up, points)
-            return self._gs(lvl.gs_bwd, u, f, w, up, points)
+            # hybrid SSOR / L1-SSOR (same degenerate divisor at np=1).
+            # ONE Vtemp copy per Relax call (par_relax.c:3148): the
+            # backward half-sweep's S_pre uses the pre-FORWARD iterate.
+            om = self._level_omega(level) if relax_type == 6 else 1.0
+            v0 = u if om != 1.0 else None
+            u = self._gs(lvl.gs_fwd, u, f, w, up, points, omega=om, v=v0)
+            return self._gs(lvl.gs_bwd, u, f, w, up, points, omega=om, v=v0)
         if relax_type == 16:
             return chebyshev(lvl.A, lvl.cheby, u, f)
         if relax_type == 17:
@@ -1791,16 +1804,29 @@ class BoomerAMG:
             return o.relax_weight
         return float(lw[min(level, len(lw) - 1)])
 
-    def _gs(self, sched, u, f, w, up, points: int = 0):
+    def _level_omega(self, level: int | None) -> float:
+        """omega[level] (par_amg.h; SetLevelOuterWt) with the scalar
+        fallback; deeper levels clamp to the last array entry."""
+        o = self.opts
+        lo = o.level_omegas
+        if lo is None or level is None or not len(lo):
+            return o.omega
+        return float(lo[min(level, len(lo) - 1)])
+
+    def _gs(self, sched, u, f, w, up, points: int = 0, omega: float = 1.0,
+            v=None):
         if isinstance(sched, tuple):
             # CF-ordered: down C then F, up F then C (par_cycle.c:398);
-            # a grid_relax_points sweep runs just the requested half
+            # a grid_relax_points sweep runs just the requested half.
+            # Each half-sweep is its own hypre Relax call -> fresh Vtemp
+            # (v=None) unless the caller pinned one (SSOR).
             sc, sf = sched
             if points:
-                return gauss_seidel(sc if points == 1 else sf, u, f, w)
+                return gauss_seidel(sc if points == 1 else sf, u, f, w,
+                                    omega=omega, v=v)
             order = (sf, sc) if up else (sc, sf)
             for sd in order:
-                u = gauss_seidel(sd, u, f, w)
+                u = gauss_seidel(sd, u, f, w, omega=omega, v=v)
             return u
         if points:
             # Only reachable on a level built without a CF split (the
@@ -1815,7 +1841,7 @@ class BoomerAMG:
                 "this combination; use 0 (all points) for the coarsest "
                 "sweep"
             )
-        return gauss_seidel(sched, u, f, w)
+        return gauss_seidel(sched, u, f, w, omega=omega, v=v)
 
     def cycle(self, f, u=None, levels=None):
         """One V-cycle.  Pass `levels` explicitly inside jits (see note

@@ -148,16 +148,42 @@ def _pack_gs(A: CSRMatrix, buckets, divisor):
     )
 
 
-def gauss_seidel(sched: GSSchedule, u, f, weight=1.0):
-    """One sweep in the schedule's direction; exact sequential-GS math."""
+def gauss_seidel(sched: GSSchedule, u, f, weight=1.0, omega=1.0, v=None):
+    """One sweep in the schedule's direction; exact sequential-GS math.
+
+    `omega` is hypre's outer SOR weight (par_relax.c:1277
+    ``prod = 1 - relax_weight*omega`` recurrence).  Expanding the
+    reference update
+    ``u_i = prod*u_i + w*(omega*f_i + res0 + (1-omega)*res2)/a_ii``
+    with full row sums S (diagonal included), the a_ii terms collapse
+    to ``u_i += w*((1-omega)*(u_i - v_i)
+    + dinv_i*(omega*f_i - S_cur + (1-omega)*S_pre))`` — with v == u
+    (a single sweep) the first term vanishes and omega == 1 recovers
+    the plain weighted sweep bitwise.  `v` is the pre-CALL iterate
+    defining S_pre: hypre copies Vtemp once per Relax call
+    (par_relax.c:3148), so SSOR's backward half reuses the forward
+    half's v; defaults to u (a plain single sweep)."""
     n = sched.n
     u_ext = jnp.concatenate([u, jnp.zeros(1, u.dtype)])
     f_ext = jnp.concatenate([f, jnp.zeros(1, f.dtype)])
+    plain = isinstance(omega, float) and omega == 1.0
+    v_ext = (u_ext if v is None or plain
+             else jnp.concatenate([v, jnp.zeros(1, v.dtype)]))
 
     def step(u_ext, slab):
         rows, acols, adata, dinv = slab
-        r = f_ext[rows] - jnp.sum(adata * u_ext[acols], axis=-1)
-        u_ext = u_ext.at[rows].add(weight * dinv * r)
+        if plain:
+            r = f_ext[rows] - jnp.sum(adata * u_ext[acols], axis=-1)
+            u_ext = u_ext.at[rows].add(weight * dinv * r)
+        else:
+            s_cur = jnp.sum(adata * u_ext[acols], axis=-1)
+            s_pre = jnp.sum(adata * v_ext[acols], axis=-1)
+            r = omega * f_ext[rows] - s_cur + (1.0 - omega) * s_pre
+            # zero-diagonal rows are skipped by the reference
+            # (a_ii != 0 guard) — dinv == 0 marks them and the pads
+            upd = weight * ((1.0 - omega) * (u_ext[rows] - v_ext[rows])
+                            + dinv * r)
+            u_ext = u_ext.at[rows].add(jnp.where(dinv != 0, upd, 0.0))
         return u_ext, None
 
     with jax.named_scope("RELAX"):

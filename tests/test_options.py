@@ -204,3 +204,80 @@ def test_level_relax_weights():
     assert bool(r_v.converged)
     assert not np.array_equal(np.asarray(r_v.x[:8]), np.asarray(r_a.x[:8])) \
         or int(r_v.num_iterations) != int(r_a.num_iterations)
+
+
+def _sor_sweep_ref(Ad, u, f, w, om, v, forward=True):
+    """Literal np=1 single-thread twin of hypre's weighted SOR branch
+    (par_relax.c:1446-1460: Vtemp copy, prod = 1 - w*omega,
+    u_i = prod*u_i + w*(omega*f_i + res0 + (1-omega)*res2)/a_ii)."""
+    n = len(f)
+    u = u.copy()
+    prod = 1.0 - w * om
+    order = range(n) if forward else range(n - 1, -1, -1)
+    for i in order:
+        row = Ad[i]
+        aii = row[i]
+        res0 = -(row @ u - aii * u[i])
+        res2 = row @ v - aii * v[i]
+        u[i] = prod * u[i] + w * (om * f[i] + res0 + (1.0 - om) * res2) / aii
+    return u
+
+
+def test_outer_weight_omega():
+    """omega (SetOuterWt / ij -om): the GS sweep with omega != 1 is
+    bitwise-equivalent to the reference recurrence; SSOR reuses ONE
+    Vtemp across both half-sweeps (par_relax.c:3148); and the solver
+    still converges with SOR smoothing at omega != 1."""
+    from hypre_tpu.solvers.amg.relax import build_gs_schedule, gauss_seidel
+
+    rng = np.random.default_rng(7)
+    n = 60
+    A = laplacian_7pt(5, 4, 3)
+    Ad = A.to_scipy().toarray()
+    u0 = rng.standard_normal(n)
+    f = rng.standard_normal(n)
+    w, om = 0.8, 0.6
+
+    from hypre_tpu.ops.csr import CSRMatrix
+    Ac = CSRMatrix.from_scipy(A.to_scipy().tocsr())
+    fwd = build_gs_schedule(Ac, forward=True)
+    bwd = build_gs_schedule(Ac, forward=False)
+
+    # single forward sweep (relax 3): v defaults to the entry iterate
+    got = np.asarray(gauss_seidel(
+        fwd, jnp.asarray(u0), jnp.asarray(f), w, omega=om))
+    ref = _sor_sweep_ref(Ad, u0, f, w, om, v=u0, forward=True)
+    np.testing.assert_allclose(got, ref, rtol=1e-13, atol=1e-13)
+
+    # SSOR (relax 6): backward half reuses the pre-FORWARD Vtemp
+    v0 = jnp.asarray(u0)
+    u1 = gauss_seidel(fwd, v0, jnp.asarray(f), w, omega=om, v=v0)
+    u2 = np.asarray(gauss_seidel(bwd, u1, jnp.asarray(f), w,
+                                 omega=om, v=v0))
+    r1 = _sor_sweep_ref(Ad, u0, f, w, om, v=u0, forward=True)
+    r2 = _sor_sweep_ref(Ad, r1, f, w, om, v=u0, forward=False)
+    np.testing.assert_allclose(u2, r2, rtol=1e-12, atol=1e-12)
+
+    # omega == 1 keeps the plain weighted-GS path bitwise
+    g1 = np.asarray(gauss_seidel(fwd, jnp.asarray(u0), jnp.asarray(f), w))
+    g2 = np.asarray(gauss_seidel(
+        fwd, jnp.asarray(u0), jnp.asarray(f), w, omega=1.0))
+    np.testing.assert_array_equal(g1, g2)
+
+    # end-to-end: SOR-smoothed AMG with omega != 1 converges
+    Abig = laplacian_7pt(10, 10, 10)
+    b = jnp.asarray(Abig.to_scipy() @ np.ones(1000))
+    amg = BoomerAMG(Abig, BoomerAMGOptions(
+        coarsen_type="pmis", interp_type="ext+i", P_max_elmts=4,
+        relax_down=6, relax_up=6, relax_weight=0.9, omega=0.8,
+        dtype="float64", embed_level1=False))
+    r = amg.solve(b, tol=1e-8, max_iter=60)
+    assert bool(r.converged)
+    # and differs from the omega=1 hierarchy's trajectory
+    amg1 = BoomerAMG(Abig, BoomerAMGOptions(
+        coarsen_type="pmis", interp_type="ext+i", P_max_elmts=4,
+        relax_down=6, relax_up=6, relax_weight=0.9,
+        dtype="float64", embed_level1=False))
+    r1_ = amg1.solve(b, tol=1e-8, max_iter=60)
+    assert (int(r.num_iterations) != int(r1_.num_iterations)
+            or not np.array_equal(np.asarray(r.x[:8]), np.asarray(r1_.x[:8])))
