@@ -89,7 +89,8 @@ def _chain_cache_warm(size: int) -> bool:
             m = json.load(f)
         import jax
 
-        return (int(m.get("size", -1)) == int(size)
+        sizes = set(m.get("sizes", [])) | {m.get("size", -1)}
+        return (int(size) in {int(s) for s in sizes}
                 and m.get("jax") == jver
                 and m.get("device") == jax.devices()[0].device_kind)
     except Exception:
@@ -101,10 +102,23 @@ def _write_warm_marker(size: int) -> None:
         import jax
 
         path, jver = _warm_marker_path()
+        dev = jax.devices()[0].device_kind
+        sizes = {int(size)}
+        try:  # merge with an existing marker for the same jax/device:
+            # each size's chain programs live independently in the
+            # persistent cache, so warming 256^3 must not unwarm 96^3
+            with open(path) as f:
+                m = json.load(f)
+            if m.get("jax") == jver and m.get("device") == dev:
+                sizes |= {int(s) for s in m.get("sizes", [])}
+                if "size" in m:
+                    sizes.add(int(m["size"]))
+        except Exception:
+            pass
         os.makedirs(os.path.dirname(path), exist_ok=True)
         with open(path, "w") as f:
-            json.dump({"size": int(size), "jax": jver,
-                       "device": jax.devices()[0].device_kind}, f)
+            json.dump({"sizes": sorted(sizes), "jax": jver,
+                       "device": dev}, f)
     except Exception:
         pass
 
