@@ -104,6 +104,13 @@ def run(argv=None):
     kdim = flag("-k", 1, 5, int)
     w = flag("-w", 1, 1.0)
     om = flag("-om", 1, 1.0)  # outer SOR weight (ij.c -om, SetOuterWt)
+    # additive variants (ij.c:1580-1610)
+    additive = flag("-additive", 1, -1, int)
+    mult_add = flag("-mult_add", 1, -1, int)
+    simple = flag("-simple", 1, -1, int)
+    add_pmx = flag("-add_Pmx", 1, 0, int)
+    add_tr = flag("-add_tr", 1, 0.0)
+    add_rlx = flag("-add_rlx", 1, 18, int)
     cf_order = flag("-CF", 1, 0, int)
     restri = flag("-restritype", 1, 0, int)  # ij.c AIR restriction
     ilu_type = flag("-ilu_type", 1, 0, int)  # 0 ILU(k) | 1 ILUT
@@ -163,6 +170,12 @@ def run(argv=None):
         relax_up=relax["up"],
         relax_weight=w,
         omega=om,
+        additive=additive,
+        mult_additive=mult_add,
+        simple=simple,
+        add_P_max_elmts=add_pmx,
+        add_trunc_factor=add_tr,
+        add_rlx=add_rlx,
         agg_num_levels=agg_nl,
         agg_interp_type=agg_interp,
         num_functions=max(num_fun, 1),

@@ -116,11 +116,29 @@ class BoomerAMGOptions:
     restrict_type: int = 0
     filter_threshold_r: float = 0.0
     air_neumann_degree: int = -1
-    # additive cycling (par_add_cycle.c): levels >= `additive` smooth on
-    # simultaneously-restricted residuals and corrections sum up the
-    # hierarchy (one l1-Jacobi per level, coarsest direct) — fully
-    # parallel across levels, the mult_additive/simple family
+    # additive cycling (par_add_cycle.c hypre_BoomerAMGAdditiveCycle):
+    # levels in [addlvl, add_last_lvl] restrict the raw residual down,
+    # smooth simultaneously, and sum prolongated corrections; levels
+    # outside stay multiplicative.  Variants (each value = start level,
+    # -1 off; addlvl = max of the three):
+    #   additive      — Lambda smoothing (2*Dinv - Dinv*A*Dinv, the
+    #                   symmetrized two-sweep Jacobi; CreateLambda)
+    #   mult_additive — same smoothing + the solve-phase P replaced by
+    #                   C^ns * P, C = I - Dinv*A (par_amg_setup.c:2635
+    #                   hypre_CreateC; RAP keeps the ORIGINAL P)
+    #   simple        — plain x += Dinv*r (CreateDinv) + smoothed P
     additive: int = -1
+    mult_additive: int = -1
+    simple: int = -1
+    add_last_lvl: int = -1
+    # truncation of the smoothed P (SetMultAddPMaxElmts/TruncFactor,
+    # par_amg_setup.c:2663 hypre_BoomerAMGTruncandBuild)
+    add_P_max_elmts: int = 0
+    add_trunc_factor: float = 0.0
+    # additive-band smoother scaling (SetAddRelaxType/Wt): 18 = l1
+    # (option-1 row |.|-sums), 0 = weighted Jacobi diag/add_rlx_wt
+    add_rlx: int = 18
+    add_rlx_wt: float = 1.0
     # non-Galerkin coarse-operator sparsification (par_nongalerkin.c
     # role): drop tol applied to coarse levels >= 1 (0 = off).  A tuple
     # gives per-level tolerances (hypre SetLevelNonGalerkinTol; the last
@@ -551,6 +569,42 @@ class BoomerAMG:
                 A = Ac
                 if nf > 1:
                     dof = dof[cf > 0]
+            self._apply_mult_additive_P()
+
+    def _apply_mult_additive_P(self) -> None:
+        """mult_additive/simple solve-phase prolongator smoothing
+        (par_amg_setup.c:2485-2665): for levels in [mult_addlvl,
+        add_end], P <- C^ns P with C = I - Dinv*A (hypre_CreateC; D =
+        option-1 l1 norms for add_rlx 18, diag/add_rlx_wt for 0), then
+        hypre_BoomerAMGTruncandBuild truncation.  The coarse operators
+        keep the ORIGINAL Galerkin P — only the cycle's P/R change."""
+        o = self.opts
+        maddlvl = max(o.mult_additive, o.simple)
+        if maddlvl < 0:
+            return
+        L = len(self._host_A)
+        add_end = L - 2 if o.add_last_lvl < 0 else min(o.add_last_lvl, L - 2)
+        ns = o.num_sweeps_down if o.num_sweeps_down is not None else o.num_sweeps
+        for l in range(maddlvl, add_end + 1):
+            P = self._host_P[l]
+            if P is None:
+                continue
+            A = self._host_A[l]
+            if o.add_rlx == 0:
+                d = A.diagonal() / o.add_rlx_wt
+            else:
+                d = np.asarray(np.abs(A).sum(axis=1)).ravel()
+            dinv = np.where(d != 0, 1.0 / np.where(d == 0, 1.0, d), 0.0)
+            Dinv = sp.diags(dinv)
+            for _ in range(max(int(ns), 1)):
+                P = (P - Dinv @ (A @ P)).tocsr()
+            if o.add_P_max_elmts or o.add_trunc_factor:
+                P = truncate_interp(P, o.add_trunc_factor, o.add_P_max_elmts)
+            P.sort_indices()
+            # R = P^T picks up the smoothed P at freeze time (hypre
+            # replaces P_array, and R_array aliases it unless AIR set
+            # an explicit R — which stays untouched, as in hypre)
+            self._host_P[l] = P
 
     # ------------------------------------------------------------------
     # device-resident level-0 setup (ops/device_setup.py)
@@ -563,7 +617,8 @@ class BoomerAMG:
             return False
         if o.coarsen_type != "pmis" or o.interp_type != "classical":
             return False
-        if o.post_interp_type or o.restrict_type or o.additive >= 0:
+        if (o.post_interp_type or o.restrict_type
+                or max(o.additive, o.mult_additive, o.simple) >= 0):
             return False
         if (_updown_relax_types(o) - {0, 7, 18} or o.smooth_num_levels
                 or o.grid_relax_points is not None):
@@ -1267,7 +1322,8 @@ class BoomerAMG:
         cheap relative to its levels)."""
         o = self.opts
         if (o.collapse_coarse_n <= 0 or o.cycle_type != 1 or o.fcycle
-                or o.additive >= 0 or o.relax_order == 1
+                or max(o.additive, o.mult_additive, o.simple) >= 0
+                or o.relax_order == 1
                 or o.relax_coarse != 9 or o.smooth_num_levels > 0
                 or o.grid_relax_type is not None
                 or o.grid_relax_points is not None
@@ -1850,33 +1906,95 @@ class BoomerAMG:
         u_zero = u is None
         if u is None:
             u = jnp.zeros_like(f)
-        if self.opts.additive >= 0:
-            return u + self._additive_cycle(levels, f - spmv(levels[0].A, u) if u is not f else f)
+        o = self.opts
+        if max(o.additive, o.mult_additive, o.simple) >= 0:
+            return self._additive_cycle(levels, u, f, fine_u_zero=u_zero)
         return self._vcycle(levels, 0, u, f, fine_u_zero=u_zero)
 
-    def _additive_cycle(self, levels, r):
-        """Additive correction (par_add_cycle.c hypre_BoomerAMGAdditiveCycle):
-        restrict the residual down the whole hierarchy, smooth every
-        level independently (l1-Jacobi; coarsest direct), sum the
-        prolongated corrections."""
+    def _add_dinv(self, lvl):
+        """The additive band's smoother scaling (CreateLambda/CreateDinv
+        D_data): 1/l1 for add_rlx 18, add_rlx_wt/a_ii for add_rlx 0."""
+        o = self.opts
+        if o.add_rlx == 0:
+            return o.add_rlx_wt * lvl.dinv
+        return lvl.l1inv
+
+    def _additive_cycle(self, levels, u, f, fine_u_zero=False):
+        """hypre_BoomerAMGAdditiveCycle (par_add_cycle.c:22).  Levels in
+        [addlvl, add_end] are additive: the down pass restricts the RAW
+        F vector (hypre restricts F_array, not a recomputed residual —
+        exact as a preconditioner where u == 0), corrections are applied
+        simultaneously and summed through the up pass.  Levels outside
+        the band run the multiplicative V steps.  The band smoother is
+        Lambda = 2*Dinv - Dinv*A*Dinv (the symmetrized two-sweep Jacobi
+        CreateLambda assembles; SPD — safe under PCG), with the ns > 1
+        Neumann variant r <- 2r - A*(Lambda r) first; `simple` uses the
+        plain x += Dinv*r of CreateDinv."""
         o = self.opts
         levels = unview(list(levels))
         L = len(levels)
-        res = [r]
+        # clamp: a start level past the hierarchy still smooths the
+        # coarsest additively (no direct solve exists in this cycle)
+        addlvl = min(max(o.additive, o.mult_additive, o.simple), L - 1)
+        add_end = L - 1 if o.add_last_lvl < 0 else min(o.add_last_lvl, L - 1)
+        ns_down = o.num_sweeps_down or o.num_sweeps
+        ns_up = o.num_sweeps_up or o.num_sweeps
+        ns_coarse = o.num_sweeps_coarse or o.num_sweeps
+        in_band = lambda l: addlvl <= l <= add_end
+
+        U = [None] * L
+        F = [None] * L
+        U[0], F[0] = u, f
+        uz = [False] * L
+        uz[0] = fine_u_zero
+        # down
         for l in range(L - 1):
-            res.append(spmv(levels[l].R, res[-1]))
-        cors = []
-        for l in range(L):
             lvl = levels[l]
-            if l == L - 1 and lvl.coarse_inv is not None:
-                cors.append(lvl.coarse_inv @ res[l])
+            if not in_band(l):
+                for s in range(ns_down):
+                    U[l] = self._smooth(lvl, o.relax_down, U[l], F[l],
+                                        up=False, u_zero=uz[l] and s == 0,
+                                        level=l)
+                uz[l] = False
+                r = F[l] - spmv(lvl.A, U[l])
+                F[l + 1] = spmv(lvl.R, r)
             else:
-                div = lvl.l1inv if o.relax_down == 18 else lvl.dinv
-                cors.append(self._level_weight(l) * div * res[l])
-        e = cors[-1]
+                F[l + 1] = spmv(lvl.R, F[l])
+            U[l + 1] = jnp.zeros_like(F[l + 1])
+            uz[l + 1] = True
+        # additive corrections (the Lambda / D_inv apply)
+        for l in range(addlvl, min(add_end, L - 1) + 1):
+            if l < 0:
+                continue
+            lvl = levels[l]
+            dinv = self._add_dinv(lvl)
+            r = F[l]
+            if o.simple >= 0:
+                c = dinv * r
+            else:
+                if ns_down > 1:
+                    r = 2.0 * r - spmv(
+                        lvl.A, dinv * (2.0 * r - spmv(lvl.A, dinv * r)))
+                c = dinv * (2.0 * r - spmv(lvl.A, dinv * r))
+            U[l] = c if uz[l] else U[l] + c
+            uz[l] = False
+        # multiplicative coarsest below the band
+        if add_end < L - 1:
+            lvl = levels[L - 1]
+            for s in range(ns_coarse):
+                U[L - 1] = self._smooth(lvl, o.relax_coarse, U[L - 1],
+                                        F[L - 1], up=False,
+                                        u_zero=uz[L - 1] and s == 0,
+                                        level=L - 1)
+        # up
         for l in range(L - 2, -1, -1):
-            e = cors[l] + spmv(levels[l].P, e)
-        return e
+            U[l] = U[l] + spmv(levels[l].P, U[l + 1])
+            coarse = l + 1
+            if coarse <= addlvl or coarse > add_end + 1:
+                for _ in range(ns_up):
+                    U[l] = self._smooth(levels[l], o.relax_up, U[l], F[l],
+                                        up=True, level=l)
+        return U[0]
 
     def _vcycle(self, levels, l: int, u, f, top_counter: int | None = None,
                 fine_u_zero: bool = False):

@@ -281,3 +281,82 @@ def test_outer_weight_omega():
     r1_ = amg1.solve(b, tol=1e-8, max_iter=60)
     assert (int(r.num_iterations) != int(r1_.num_iterations)
             or not np.array_equal(np.asarray(r.x[:8]), np.asarray(r1_.x[:8])))
+
+
+def test_additive_variants():
+    """par_add_cycle.c additive family: (a) the pure-additive cycle is
+    bitwise the Lambda math (Lambda = 2*Dinv - Dinv*A*Dinv per level,
+    raw-F restriction, summed prolongated corrections); (b) additive /
+    mult_additive / simple all converge under PCG; (c) a nonzero start
+    level runs multiplicative steps above the band (different
+    trajectory); (d) mult_additive smooths the solve-phase P
+    (C^ns * P, truncated by add_Pmx)."""
+    import scipy.sparse as sp
+
+    from hypre_tpu.solvers.krylov import PCGOptions, pcg
+    from hypre_tpu.ops.dia import spmv as dspmv
+
+    A = laplacian_7pt(8, 8, 8)
+    n = 512
+    b = jnp.asarray(A.to_scipy() @ np.ones(n))
+    common = dict(coarsen_type="pmis", interp_type="ext+i",
+                  P_max_elmts=4, relax_down=18, relax_up=18,
+                  dtype="float64", embed_level1=False, max_levels=3)
+
+    # (a) one cycle == explicit numpy Lambda math
+    amg = BoomerAMG(A, BoomerAMGOptions(additive=0, **common))
+    f = np.asarray(b, dtype=np.float64)
+    got = np.asarray(amg.cycle(jnp.asarray(f)))
+    L = len(amg._host_A)
+    Fs = [f]
+    for l in range(L - 1):
+        Fs.append(amg._host_P[l].T @ Fs[-1])
+    corr = []
+    for l in range(L):
+        Al = amg._host_A[l]
+        l1 = np.asarray(np.abs(Al).sum(axis=1)).ravel()
+        dinv = 1.0 / l1
+        r = Fs[l]
+        corr.append(dinv * (2.0 * r - Al @ (dinv * r)))
+    e = corr[-1]
+    for l in range(L - 2, -1, -1):
+        e = corr[l] + amg._host_P[l] @ e
+    np.testing.assert_allclose(got, e, rtol=1e-12, atol=1e-14)
+
+    # (b) all variants converge as PCG preconditioners
+    its = {}
+    for name, opts in (
+        ("additive", dict(additive=0)),
+        ("mult_additive", dict(mult_additive=0, add_P_max_elmts=4)),
+        ("simple", dict(simple=0)),
+    ):
+        amg_v = BoomerAMG(A, BoomerAMGOptions(**opts, **common))
+        E = amg_v.levels[0].A
+        r = pcg(lambda x: dspmv(E, x), b, M=amg_v.precond,
+                opts=PCGOptions(tol=1e-8, max_iter=120))
+        assert bool(r.converged), name
+        its[name] = int(r.num_iterations)
+
+    # (c) additive=1: level 0 multiplicative, band below — different
+    # trajectory from additive=0, still converges
+    amg1 = BoomerAMG(A, BoomerAMGOptions(additive=1, **common))
+    E1 = amg1.levels[0].A
+    r1 = pcg(lambda x: dspmv(E1, x), b, M=amg1.precond,
+             opts=PCGOptions(tol=1e-8, max_iter=120))
+    assert bool(r1.converged)
+    # the banded cycle really is a different preconditioner: one
+    # application differs from the pure-additive one
+    c_full = np.asarray(amg.cycle(jnp.asarray(f)))
+    c_band = np.asarray(amg1.cycle(jnp.asarray(f)))
+    assert not np.allclose(c_full, c_band)
+
+    # (d) mult_additive replaces P by C^ns P: row sums/pattern change
+    amg_p = BoomerAMG(A, BoomerAMGOptions(**common))
+    amg_m = BoomerAMG(A, BoomerAMGOptions(mult_additive=0, **common))
+    P0, Pm = amg_p._host_P[0], amg_m._host_P[0]
+    assert Pm.nnz != P0.nnz or abs(Pm - P0).max() > 1e-12
+    # and the Galerkin coarse operator used the ORIGINAL P
+    A1m = amg_m._host_A[1]
+    A1p = amg_p._host_A[1]
+    d = (A1m - A1p).tocoo()
+    assert d.nnz == 0 or np.abs(d.data).max() < 1e-12
