@@ -98,6 +98,7 @@ class CSRMatrix:
         dtype=None,
         min_width: int = 1,
         device: bool = True,
+        transposed: bool = True,
     ) -> "ELLMatrix":
         n, m = self.shape
         rn = self.row_nnz()
@@ -118,25 +119,45 @@ class CSRMatrix:
             k = np.arange(self.nnz) - np.repeat(self.indptr[:-1], rn)
             cols[r, k] = self.indices
             vals[r, k] = data
+        if transposed:
+            # [width, n_pad] storage: TPU-friendly tiling (see
+            # ELLMatrix docstring); also applied to host leaves that
+            # later ship to device through the transfer arenas
+            cols = np.ascontiguousarray(cols.T)
+            vals = np.ascontiguousarray(vals.T)
         return ELLMatrix(
             cols=_fast_put(cols) if device else cols,
             data=_fast_put(vals) if device else vals,
             num_rows=n,
             num_cols=m,
             nnz=self.nnz,
+            transposed=bool(transposed),
         )
 
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class ELLMatrix:
-    """Device-side padded ELL — the static-shape solve-phase format."""
+    """Device-side padded ELL — the static-shape solve-phase format.
 
-    cols: jax.Array  # int32 [n_pad, width]
-    data: jax.Array  # real [n_pad, width]
+    `transposed` stores cols/data as [width, n_pad] instead of
+    [n_pad, width].  On TPU the minor dimension tiles to 128 lanes, so
+    a row-major [N, 4] index array is padded 32x in HBM — and worse,
+    XLA's slice/reshape reassociation can materialize a whole shipped
+    arena at that layout (observed: s32[34232322,4] T(8,128) = 17.5 GB
+    for a 547 MB arena, OOMing the 256^3 solve compile).  [width, N]
+    puts the large dimension minor: the same data tiles benignly, and
+    the SpMV gather/reduce is unchanged math (identical per-row
+    reduction order).  Device instances default to transposed; host
+    (numpy) instances keep row-major for row-indexed consumers."""
+
+    cols: jax.Array  # int32 [n_pad, width]  ([width, n_pad] transposed)
+    data: jax.Array  # real, same shape as cols
     num_rows: int = dataclasses.field(metadata=dict(static=True))
     num_cols: int = dataclasses.field(metadata=dict(static=True))
     nnz: int = dataclasses.field(metadata=dict(static=True))
+    transposed: bool = dataclasses.field(
+        default=False, metadata=dict(static=True))
 
     @property
     def shape(self):
@@ -144,4 +165,4 @@ class ELLMatrix:
 
     @property
     def width(self) -> int:
-        return self.data.shape[1]
+        return self.data.shape[0] if self.transposed else self.data.shape[1]

@@ -24,6 +24,8 @@ from .csr import ELLMatrix
 def ell_spmv(A: ELLMatrix, x: jax.Array) -> jax.Array:
     """y = A @ x for the padded rows too (callers slice to num_rows)."""
     with jax.named_scope("MATVEC"):
+        if A.transposed:  # [width, n_pad] storage — same reduction order
+            return jnp.sum(A.data * jnp.take(x, A.cols, axis=0), axis=0)
         gathered = jnp.take(x, A.cols, axis=0)  # [n_pad, width]
         return jnp.sum(A.data * gathered, axis=1)
 
@@ -57,5 +59,8 @@ def csr_spmv_host(A, x):
 def ell_spmv_multi(A: ELLMatrix, X: jax.Array) -> jax.Array:
     """Multivector SpMV: X is [n, k] (vector.h:21 num_vectors analog)."""
     with jax.named_scope("MATVEC"):
+        if A.transposed:
+            gathered = jnp.take(X, A.cols, axis=0)  # [width, n_pad, k]
+            return jnp.einsum("wr,wrk->rk", A.data, gathered)[: A.num_rows]
         gathered = jnp.take(X, A.cols, axis=0)  # [n_pad, width, k]
         return jnp.einsum("rw,rwk->rk", A.data, gathered)[: A.num_rows]

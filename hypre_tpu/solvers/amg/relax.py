@@ -123,7 +123,8 @@ def _pack_gs(A: CSRMatrix, buckets, divisor):
     n = A.num_rows
     nlev = len(buckets)
     W = max((len(b) for b in buckets), default=1) or 1
-    E = A.to_ell()
+    # host row-major (rows are indexed below)
+    E = A.to_ell(device=False, transposed=False)
     cols_h = np.asarray(E.cols)
     data_h = np.asarray(E.data)
     width = E.width
