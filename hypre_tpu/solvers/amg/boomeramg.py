@@ -423,8 +423,12 @@ class BoomerAMG:
                         elif o.strength_abs:
                             from .strength import strength_matrix_abs
 
+                            # the reference's useSabs call hardwires
+                            # max_row_sum = 1.0 and num_functions = 1
+                            # (par_amg_setup.c:1040-1045) — the user's
+                            # max_row_sum is deliberately ignored here
                             S = strength_matrix_abs(
-                                A_si, o.strong_threshold, o.max_row_sum
+                                A, o.strong_threshold, 1.0
                             )
                         else:
                             S = strength_matrix(

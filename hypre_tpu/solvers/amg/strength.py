@@ -140,8 +140,11 @@ def create_nodal_A(
     (par_nodal_systems.c hypre_BoomerAMGCreateNodalA:38): collapse each
     num_functions x num_functions block to a scalar norm.
       option 1: frobenius   2: sum of |.|   3: largest |element|
-      4: row-sum norm       6: signed sum of all elements
-    diag_option 1: diagonal = -(sum of off-diagonal entries).
+      4: inf norm (max over block rows of the |.| row sum,
+         par_nodal_systems.c:330-343)
+      6: signed sum of all elements
+    diag_option 1: diagonal = -(sum of off-diagonal entries);
+    diag_option 2: diagonal entries negated (par_nodal_systems.c:395).
     Interleaved unknowns (node = i // num_functions) assumed.
     """
     nf = num_functions
@@ -179,15 +182,28 @@ def create_nodal_A(
     elif mode == 6:
         M = sp.csr_matrix((Ac.data, (nr, ncol)), shape=(nn, nn))
         M.sum_duplicates()
-    else:  # mode 4: row-sum (inf) norm of each block row-wise
-        M = sp.csr_matrix((np.abs(Ac.data), (nr, ncol)), shape=(nn, nn))
-        M.sum_duplicates()
-        M.data /= nf
+    else:  # mode 4: block inf norm — max over the block's rows of the
+        # per-row |.| sums (the reference accumulates data[.., j] per
+        # function row j then takes hypre_max over j)
+        key = (nr.astype(np.int64) * nn + ncol) * nf + (Ac.row % nf)
+        uk, inv = np.unique(key, return_inverse=True)
+        rowsum = np.zeros(len(uk))
+        np.add.at(rowsum, inv, np.abs(Ac.data))
+        blk = uk // nf  # node-pair id per per-function row sum
+        ub, binv = np.unique(blk, return_inverse=True)
+        mx = np.zeros(len(ub))
+        np.maximum.at(mx, binv, rowsum)
+        M = sp.csr_matrix(
+            (mx, ((ub // nn).astype(np.int64), (ub % nn).astype(np.int64))),
+            shape=(nn, nn),
+        )
     M = M.tocsr()
     M.sort_indices()
     if diag_option == 1:
         off = M - sp.diags(M.diagonal())
         M = (off + sp.diags(-np.asarray(off.sum(axis=1)).ravel())).tocsr()
+    elif diag_option == 2:
+        M = (M - 2.0 * sp.diags(M.diagonal())).tocsr()
     return M
 
 
