@@ -103,7 +103,7 @@ def run(argv=None):
     max_iter = flag("-max_iter", 1, 100, int)
     kdim = flag("-k", 1, 5, int)
     w = flag("-w", 1, 1.0)
-    om = flag("-om", 1, 1.0)  # outer SOR weight (ij.c -om, SetOuterWt)
+    om = flag("-ow", 1, 1.0)  # outer SOR weight (ij.c:1261 -ow, SetOuterWt)
     # additive variants (ij.c:1580-1610)
     additive = flag("-additive", 1, -1, int)
     mult_add = flag("-mult_add", 1, -1, int)

@@ -1811,18 +1811,23 @@ class BoomerAMG:
         if relax_type in (1, 2, 3, 13):
             # sequential/hybrid forward GS (np=1: true GS; 13 = L1-GS
             # whose option-4 divisor degenerates to |diag|).  omega
-            # applies to the SOR member (3) only — hypre's 1/2/13
-            # branches carry no omega term.
-            om = self._level_omega(level) if relax_type == 3 else 1.0
+            # applies to the hybrid SOR/L1 members (3/13 — par_relax.c
+            # has the prod=(1-w*omega) branch in both, :1277/:4525);
+            # the pure-sequential 1/2 branches carry no omega term.
+            # gauss_seidel's cancellation form assumes divisor == a_ii,
+            # which holds for 3 always and for 13 at np=1 (option-4 l1
+            # == |diag| with an empty offd).
+            om = (self._level_omega(level) if relax_type in (3, 13)
+                  else 1.0)
             return self._gs(lvl.gs_fwd, u, f, w, up, points, omega=om)
         if relax_type in (4, 14):
-            om = self._level_omega(level) if relax_type == 4 else 1.0
+            om = self._level_omega(level)
             return self._gs(lvl.gs_bwd, u, f, w, up, points, omega=om)
         if relax_type in (6, 8):
             # hybrid SSOR / L1-SSOR (same degenerate divisor at np=1).
             # ONE Vtemp copy per Relax call (par_relax.c:3148): the
             # backward half-sweep's S_pre uses the pre-FORWARD iterate.
-            om = self._level_omega(level) if relax_type == 6 else 1.0
+            om = self._level_omega(level)
             v0 = u if om != 1.0 else None
             u = self._gs(lvl.gs_fwd, u, f, w, up, points, omega=om, v=v0)
             return self._gs(lvl.gs_bwd, u, f, w, up, points, omega=om, v=v0)

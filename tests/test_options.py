@@ -359,3 +359,25 @@ def test_additive_variants():
     # and the Galerkin coarse operator used the ORIGINAL P
     d = (amg_m._host_A[1] - amg._host_A[1]).tocoo()
     assert d.nnz == 0 or np.abs(d.data).max() < 1e-12
+
+
+def test_outer_weight_oracle_pins():
+    """Oracle-pinned omega configs (hypre 2.20.0 serial solver-0 on
+    this machine, 2026-08-21: `ij -laplacian -n 12 12 12 -solver 0
+    -pmis -interptype 0 -Pmx 4 <cfg> -tol 1e-8`): iteration counts
+    match hypre EXACTLY; residuals agree to the documented deep-level
+    truncation-tie delta (grid cx 1.4265 vs 1.4277)."""
+    A = laplacian_7pt(12, 12, 12)
+    b = jnp.asarray(A.to_scipy() @ np.zeros(1728) + 1.0)  # b = ones
+    pins = (
+        (dict(relax_down=4, relax_up=4, omega=0.7), 23),
+        (dict(relax_down=4, relax_up=4, relax_weight=0.9, omega=0.8), 24),
+        (dict(relax_down=13, relax_up=13, omega=0.5), 33),
+    )
+    for kw, want in pins:
+        amg = BoomerAMG(A, BoomerAMGOptions(
+            coarsen_type="pmis", interp_type="classical", P_max_elmts=4,
+            dtype="float64", embed_level1=False, **kw))
+        r = amg.solve(b, tol=1e-8, max_iter=100)
+        assert int(r.num_iterations) == want, (kw, int(r.num_iterations))
+        assert float(r.rel_residual_norm) < 1e-8
