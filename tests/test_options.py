@@ -381,3 +381,35 @@ def test_outer_weight_oracle_pins():
         r = amg.solve(b, tol=1e-8, max_iter=100)
         assert int(r.num_iterations) == want, (kw, int(r.num_iterations))
         assert float(r.rel_residual_norm) < 1e-8
+
+
+def test_additive_oracle_pins():
+    """Oracle-pinned additive-family configs (hypre 2.20.0 serial on
+    this machine, 2026-08-21: `ij -laplacian -n 12 12 12 -solver 1
+    -pmis -interptype 0 -Pmx 4 <variant> -rlx 18 -tol 1e-8`): PCG
+    iteration counts match hypre exactly for mult_add/simple/banded
+    configs; plain additive converges one iteration earlier (residual
+    9.58e-9 vs hypre's 32nd-iteration 5.79e-9 — a tolerance-boundary
+    fp difference on the deep-tie hierarchy delta, GAPS.md)."""
+    from hypre_tpu.ops.dia import spmv as dspmv
+    from hypre_tpu.solvers.krylov import PCGOptions, pcg
+
+    A = laplacian_7pt(12, 12, 12)
+    b = jnp.asarray(np.ones(1728))
+    pins = (
+        (dict(additive=0), (31, 32)),
+        (dict(mult_additive=0), (15,)),
+        (dict(simple=0), (20,)),
+        (dict(mult_additive=0, add_P_max_elmts=4), (19,)),
+        (dict(additive=1), (20,)),
+    )
+    for kw, want in pins:
+        amg = BoomerAMG(A, BoomerAMGOptions(
+            coarsen_type="pmis", interp_type="classical", P_max_elmts=4,
+            relax_down=18, relax_up=18, dtype="float64",
+            embed_level1=False, **kw))
+        E = amg.levels[0].A
+        r = pcg(lambda x: dspmv(E, x), b, M=amg.precond,
+                opts=PCGOptions(tol=1e-8, max_iter=200, two_norm=True))
+        assert int(r.num_iterations) in want, (kw, int(r.num_iterations))
+        assert float(r.rel_residual_norm) < 1e-8
