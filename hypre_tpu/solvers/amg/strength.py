@@ -161,24 +161,29 @@ def create_nodal_A(
         M = sp.csr_matrix((np.abs(Ac.data), (nr, ncol)), shape=(nn, nn))
         M.sum_duplicates()
     elif mode == 3:
-        M = sp.csr_matrix((np.abs(Ac.data), (nr, ncol)), shape=(nn, nn))
-        M = M.tocsr()
-        # max per (node-row, node-col) pair
-        Mc = sp.csr_matrix((np.abs(Ac.data), (nr, ncol)), shape=(nn, nn))
-        Mc.sum_duplicates()  # placeholder structure
-        # recompute via maximum.at over compact pattern
-        Mc.data[:] = 0.0
-        Mc.sort_indices()
-        from .interp import _csr_lookup  # sorted-key position lookup
-
-        # positions of each (nr, ncol) in the deduped pattern
+        # the SIGNED element of largest magnitude per block
+        # (par_nodal_systems.c:295-297 stores A_diag_data[k], not its
+        # abs — signs survive, so CreateS's signed test applies)
         key = nr.astype(np.int64) * nn + ncol
-        pat = sp.csr_matrix((np.ones_like(Mc.data), Mc.indices, Mc.indptr), shape=(nn, nn)).tocoo()
-        patkey = pat.row.astype(np.int64) * nn + pat.col
-        order = np.argsort(patkey)
-        pos = order[np.searchsorted(patkey[order], key)]
-        np.maximum.at(Mc.data, pos, np.abs(Ac.data))
-        M = Mc
+        uk, inv = np.unique(key, return_inverse=True)
+        mx = np.zeros(len(uk))
+        np.maximum.at(mx, inv, np.abs(Ac.data))
+        sign = np.ones(len(uk))
+        # a signed value whose |.| equals the block max wins; ties at
+        # equal magnitude with opposite signs resolve to the LAST such
+        # entry in the reference's row order — use the positive one
+        # only if some positive entry attains the max
+        neg_at_max = np.zeros(len(uk), dtype=bool)
+        pos_at_max = np.zeros(len(uk), dtype=bool)
+        at_max = np.abs(Ac.data) == mx[inv]
+        np.logical_or.at(neg_at_max, inv[at_max], Ac.data[at_max] < 0)
+        np.logical_or.at(pos_at_max, inv[at_max], Ac.data[at_max] > 0)
+        sign = np.where(neg_at_max & ~pos_at_max, -1.0, 1.0)
+        M = sp.csr_matrix(
+            (sign * mx,
+             ((uk // nn).astype(np.int64), (uk % nn).astype(np.int64))),
+            shape=(nn, nn),
+        )
     elif mode == 6:
         M = sp.csr_matrix((Ac.data, (nr, ncol)), shape=(nn, nn))
         M.sum_duplicates()

@@ -82,3 +82,32 @@ def test_nodal_coarsening_variants():
         assert (cf[0::2] == cf[1::2]).all()
         res = amg.solve(b, tol=1e-8, max_iter=60)
         assert bool(res.converged), nodal
+
+
+def test_nodal_oracle_pins():
+    """Oracle-pinned nodal configs (hypre 2.20.0 serial, 2026-08-21:
+    `ij -laplacian -n 10 10 10 -sysL 2 -nf 2 -solver 1 -pmis
+    -interptype 0 -Pmx 4 -rlx 18 -nodal <k> -tol 1e-8`): PCG iteration
+    counts match hypre EXACTLY for every norm option incl. the signed
+    mode 3 (grid cx 1.422/1.436 vs hypre 1.423/1.436 — one deep-level
+    truncation-tie node).  NOTE: the reference driver requires -nf 2
+    alongside -sysL 2; without it hypre silently runs num_functions=1
+    — the round-4 GAPS 'nodal delta' was an artifact of exactly that
+    mis-flagged oracle run."""
+    import jax.numpy as jnp
+
+    from hypre_tpu.ops.dia import spmv as dspmv
+    from hypre_tpu.solvers.krylov import PCGOptions, pcg
+
+    A = sys_laplacian_7pt(10, 10, 10, 2)
+    b = jnp.asarray(np.ones(A.num_rows))
+    pins = ((1, 15), (3, 14), (4, 15), (6, 14))
+    for nodal, want in pins:
+        amg = BoomerAMG(A, BoomerAMGOptions(
+            coarsen_type="pmis", interp_type="classical", P_max_elmts=4,
+            relax_down=18, relax_up=18, num_functions=2, nodal=nodal,
+            max_row_sum=1.0, dtype="float64", embed_level1=False))
+        E = amg.levels[0].A
+        r = pcg(lambda x: dspmv(E, x), b, M=amg.precond,
+                opts=PCGOptions(tol=1e-8, max_iter=100, two_norm=True))
+        assert int(r.num_iterations) == want, (nodal, int(r.num_iterations))
