@@ -95,6 +95,7 @@ def run(argv=None):
     mxrs = flag("-mxrs", 1, 1.0)
     agg_nl = flag("-agg_nl", 1, 0, int)
     sysl = flag("-sysL", 1, 0, int)
+    sysl_opt = flag("-sysL_opt", 1, 0, int)
     nodal = flag("-nodal", 1, 0, int)
     gsmg = flag("-gsmg", 1, 0, int)
     num_fun = flag("-nf", 1, 0, int) or sysl
@@ -128,7 +129,7 @@ def run(argv=None):
     do_print = flag("-print")
 
     if sysl and sysl > 1:
-        A = sys_laplacian_7pt(nx, ny, nz, sysl)
+        A = sys_laplacian_7pt(nx, ny, nz, sysl, sys_opt=sysl_opt)
     elif use9:
         A = laplacian_9pt(nx, ny)
     elif use27:

@@ -257,20 +257,38 @@ _SYS_MTRX = {
     ],
 }
 
+_SYS_OPT_MTRX = {
+    # test/ij.c -sysL_opt coupling variants (ij.c:7826-7975)
+    (2, 1): [[1.0, 0.0], [0.0, 1.0]],
+    (2, 2): [[1.0, 0.0], [0.0, 20.0]],
+    (2, 3): [[1.0, 2.0], [2.0, 1.0]],        # "barry's talk ex1"
+    (2, 4): [[1.0, 1.0], [1.0, 1.0]],
+    (2, 5): [[1.0, 1.1], [1.1, 1.0]],
+    (2, 6): [[1.1, 1.0], [1.0, 1.1]],
+    (3, 1): [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]],
+    (3, 2): [[1.0, 0.0, 0.0], [0.0, 20.0, 0.0], [0.0, 0.0, 0.01]],
+    (3, 3): [[1.01, 1.0, 0.0], [1.0, 2.0, 1.0], [0.0, 1.0, 1.01]],
+    (3, 4): [[3.0, 1.0, 0.0], [1.0, 4.0, 2.0], [0.0, 2.0, 0.25]],
+    (3, 5): [[2.0, 1.0, 0.0], [1.0, 2.0, 1.0], [0.0, 1.0, 2.0]],
+}
+
 
 def sys_laplacian_7pt(
     nx: int, ny: int, nz: int, num_fun: int, mtrx=None,
     cx: float = 1.0, cy: float = 1.0, cz: float = 1.0,
+    sys_opt: int = 0,
 ):
     """Systems 7-pt Laplacian: A = L (x) M with interleaved unknowns
     (row = grid_index * num_fun + function), matching
     parcsr_ls/par_laplace.c GenerateSysLaplacian and the test/ij.c
-    -sysL default coupling matrices."""
+    -sysL/-sysL_opt coupling matrices."""
     import scipy.sparse as sp
 
     from ..ops.csr import CSRMatrix
 
     L = laplacian_7pt(nx, ny, nz, cx, cy, cz).to_scipy()
+    if mtrx is None and sys_opt:
+        mtrx = _SYS_OPT_MTRX.get((num_fun, sys_opt))
     M = np.asarray(
         mtrx if mtrx is not None else _SYS_MTRX.get(num_fun, np.eye(num_fun)),
         dtype=np.float64,

@@ -111,3 +111,32 @@ def test_nodal_oracle_pins():
         r = pcg(lambda x: dspmv(E, x), b, M=amg.precond,
                 opts=PCGOptions(tol=1e-8, max_iter=100, two_norm=True))
         assert int(r.num_iterations) == want, (nodal, int(r.num_iterations))
+
+
+def test_sysl_opt_variants():
+    """-sysL_opt coupling-matrix variants (ij.c:7826): the SPD variant
+    6 is oracle-pinned (13 PCG iterations, hypre 2.20.0 serial
+    2026-08-21); the indefinite variant 3 generates (both sides stop
+    at PCG breakdown) and identity variant 1 equals kron(L, I)."""
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+
+    from hypre_tpu.ops.dia import spmv as dspmv
+    from hypre_tpu.solvers.krylov import PCGOptions, pcg
+
+    A = sys_laplacian_7pt(8, 8, 8, 2, sys_opt=6)
+    b = jnp.asarray(np.ones(A.num_rows))
+    amg = BoomerAMG(A, BoomerAMGOptions(
+        coarsen_type="pmis", interp_type="classical", P_max_elmts=4,
+        relax_down=18, relax_up=18, num_functions=2, nodal=2,
+        max_row_sum=1.0, dtype="float64", embed_level1=False))
+    E = amg.levels[0].A
+    r = pcg(lambda x: dspmv(E, x), b, M=amg.precond,
+            opts=PCGOptions(tol=1e-8, max_iter=100, two_norm=True))
+    assert int(r.num_iterations) == 13
+
+    ident = sys_laplacian_7pt(4, 4, 4, 2, sys_opt=1).to_scipy()
+    from hypre_tpu.models import laplacian_7pt
+    L = laplacian_7pt(4, 4, 4).to_scipy()
+    d = (ident - sp.kron(L, sp.eye(2))).tocoo()
+    assert d.nnz == 0 or np.abs(d.data).max() == 0.0
