@@ -497,7 +497,14 @@ class BoomerAMG:
                         from .strength import second_strength
 
                         S2 = second_strength(S, cf, o.num_paths)
-                        cf2 = self._coarsen(S2)
+                        if o.coarsen_type == "pmis":
+                            # the reference's second round runs PMIS
+                            # with CF_init=3 (par_amg_setup.c:1272):
+                            # S2-isolated C points STAY coarse
+                            cf2 = pmis_coarsen(
+                                S2, seed=o.seed, isolated_to_c=True)
+                        else:
+                            cf2 = self._coarsen(S2)
                         cidx1 = np.flatnonzero(cf > 0)
                         if 0 < (cf2 > 0).sum() < len(cidx1):
                             cf = np.where(cf > 0, -1, cf).astype(np.int64)

@@ -67,12 +67,17 @@ def pmis_coarsen(
     S: sp.csr_matrix,
     cf_init: np.ndarray | None = None,
     seed: int = _PMIS_SEED,
+    isolated_to_c: bool = False,
 ) -> np.ndarray:
     """Returns CF_marker (C_PT / F_PT / SF_PT per row).
 
     cf_init: preset CF_marker from a prior pass (the HMIS path,
     CF_init==1 in the reference); entries already +-1 are honored and the
     first IS round is skipped for them (par_coarsen.c:2424 `!CF_init || iter`).
+    isolated_to_c: rows with no strong connections become C instead of
+    SF — hypre's CF_init==3/4 mode used for the aggressive-coarsening
+    SECOND round (par_coarsen.c:2323-2326; an isolated first-round C
+    point must stay coarse, it has nothing to interpolate from).
     """
     n = S.shape[0]
     measure = _measures(S, seed)
@@ -84,7 +89,7 @@ def pmis_coarsen(
         isolated = row_nnz == 0  # no strong connections in the row
         # also isolated columns: hypre checks S row AND offd; a node with
         # empty row is SF regardless of column count (par_coarsen.c:2311-2320)
-        cf[isolated] = SF_PT
+        cf[isolated] = C_PT if isolated_to_c else SF_PT
         measure[isolated] = 0.0
         in_graph = ~isolated
         first_round_is = True
