@@ -505,6 +505,14 @@ class BoomerAMG:
                                 S2, seed=o.seed, isolated_to_c=True)
                         else:
                             cf2 = self._coarsen(S2)
+                            if o.coarsen_type == "hmis":
+                                # HMIS second round: measure_type+3 sets
+                                # agg_2, keeping S2-isolated points
+                                # coarse (par_coarsen.c:960,1141 SC_PT).
+                                # Equivalent post-flip: an isolated row
+                                # influences no other decision.
+                                cf2 = np.where(
+                                    np.diff(S2.indptr) == 0, 1, cf2)
                         cidx1 = np.flatnonzero(cf > 0)
                         if 0 < (cf2 > 0).sum() < len(cidx1):
                             cf = np.where(cf > 0, -1, cf).astype(np.int64)
