@@ -109,6 +109,13 @@ class BlockAMGOptions:
     trunc_max_elmts: int = 4
     seed: int = 2747
     dtype: str = "float64"
+    # block interpolation family (ij.c help: 10 = classical block
+    # interpolation, 11 = classical block w/ diagonal blocks only,
+    # 23 here spelled by name): "direct" (BuildBlockDirInterp) |
+    # "classical" (par_csr_block_interp.c:27 BuildBlockInterp) |
+    # "classical_diag" (BuildBlockInterpDiag:1660 — F-distribution and
+    # diagonal inverses use only the DIAGONAL entries of each block)
+    interp_type: str = "direct"
 
 
 class BlockAMG:
@@ -152,13 +159,109 @@ class BlockAMG:
                 nc = int((cf > 0).sum())
                 if nc == 0 or nc == nnode:
                     last = True
-                else:
+                elif o.interp_type == "direct":
                     P = self._block_direct_interp(A, SN, cf)
+                else:
+                    P = self._block_classical_interp(
+                        A, SN, cf, diag_only=o.interp_type == "classical_diag"
+                    )
             self.levels.append(self._freeze(A, P, cf, dt))
             if last:
                 break
             R = _bsr_T(P)
             A = (R @ (A @ P)).tobsr(blocksize=(nb, nb))
+
+    @staticmethod
+    def _block_classical_interp(A: sp.bsr_matrix, SN: sp.csr_matrix, cf,
+                                diag_only: bool = False):
+        """Block classical interpolation (par_csr_block_interp.c:27
+        hypre_BoomerAMGBuildBlockInterp, serial semantics):
+
+        For F node i with strong-C set C_i and diagonal block D = A_ii:
+          * strong C neighbor j:  W_ij += A_ij
+          * strong F neighbor k:  sum = SUM_{j in C_i} A_kj; if sum is
+            invertible, distribute = A_ik * sum^{-1} (that operand
+            order — the reference notes it matters for non-symmetric
+            blocks) and W_ij += distribute * A_kj for j in C_i; if
+            singular, D += A_ik (lumped, add_weak_to_diag=1 default)
+          * weak neighbor k (not SF): D += A_ik
+        finally W_ij <- -D^{-1} W_ij; C rows get identity blocks.
+
+        diag_only (BuildBlockInterpDiag:1660): every block above is
+        first masked to its diagonal (off-diagonal entries of each
+        nb x nb block ignored), decoupling the functions."""
+        nb = A.blocksize[0]
+        nnode = A.shape[0] // nb
+        Ab = A.tobsr()
+        Ab.sort_indices()
+        indptr, indices, data = Ab.indptr, Ab.indices, Ab.data
+        if diag_only:
+            data = np.where(np.eye(nb, dtype=bool)[None, :, :], Ab.data, 0.0)
+        cmap = -np.ones(nnode, dtype=np.int64)
+        cmap[cf > 0] = np.arange(int((cf > 0).sum()))
+        strong_of = [
+            set(SN.indices[SN.indptr[i]: SN.indptr[i + 1]])
+            for i in range(nnode)
+        ]
+        # block row lookup: node -> {col: block}
+        rows_l, cols_l, blocks_l = [], [], []
+        eye = np.eye(nb)
+        for i in range(nnode):
+            if cf[i] > 0:
+                rows_l.append(i)
+                cols_l.append(cmap[i])
+                blocks_l.append(eye)
+                continue
+            s, e = indptr[i], indptr[i + 1]
+            cset = {}
+            D = None
+            strong = strong_of[i]
+            # pass 1: columns + diagonal
+            for p in range(s, e):
+                j = indices[p]
+                if j == i:
+                    D = data[p].copy()
+                elif j in strong and cf[j] > 0:
+                    cset[j] = np.zeros((nb, nb))
+            if D is None or not cset:
+                continue  # isolated F node
+            for p in range(s, e):
+                j = indices[p]
+                if j == i:
+                    continue
+                blk = data[p]
+                if j in cset:
+                    cset[j] += blk
+                elif j in strong and cf[j] <= 0 and cf[j] != -3:
+                    # strong F: distribute through row j's C_i entries
+                    sj, ej = indptr[j], indptr[j + 1]
+                    cols_j = indices[sj:ej]
+                    summ = np.zeros((nb, nb))
+                    hits = []
+                    for q in range(sj, ej):
+                        j2 = cols_j[q - sj]
+                        if j2 in cset:
+                            summ += data[q]
+                            hits.append((j2, q))
+                    ok = hits and np.linalg.cond(summ) < 1e12
+                    if ok:
+                        distribute = blk @ np.linalg.inv(summ)
+                        for j2, q in hits:
+                            cset[j2] += distribute @ data[q]
+                    else:
+                        D += blk
+                elif cf[j] != -3:
+                    D += blk  # weak, lump to diagonal
+            Dinv = np.linalg.pinv(D)
+            for j, W in cset.items():
+                rows_l.append(i)
+                cols_l.append(cmap[j])
+                blocks_l.append(-Dinv @ W)
+        nc = int((cf > 0).sum())
+        return _bsr_from_blocks(
+            np.asarray(rows_l), np.asarray(cols_l), np.asarray(blocks_l),
+            nnode, nc, nb,
+        )
 
     @staticmethod
     def _block_direct_interp(A: sp.bsr_matrix, SN: sp.csr_matrix, cf):
