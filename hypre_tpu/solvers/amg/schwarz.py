@@ -38,6 +38,17 @@ class SchwarzOptions:
     #                    update, residual refreshes, odd blocks update —
     #                    the color classes are the parallel width)
     variant: str = "ras"
+    # subdomain construction:
+    #   "rows"        uniform contiguous row blocks (block_size/overlap)
+    #   "agglomerate" graph-agglomerated domains (schwarz.c
+    #                 hypre_AMGCreateDomainDof domain_type 2 role: each
+    #                 domain = the rows of one connectivity aggregate;
+    #                 overlap > 0 adds the domains' 1-ring A-neighbors,
+    #                 RAS-owned rows stay the aggregate).  The
+    #                 agglomeration is the femli greedy root scheme, not
+    #                 hypre_AMGeAgglomerate's weighted matching — same
+    #                 role, documented algorithmic difference.
+    domain: str = "rows"
 
 
 class Schwarz:
@@ -45,6 +56,38 @@ class Schwarz:
         self.opts = opts
         As = A.to_scipy().tocsr()
         n = A.num_rows
+        if opts.domain == "agglomerate":
+            from .smoothed_aggregation import _aggregate
+
+            pat = As + As.T
+            agg = _aggregate(pat.tocsr())
+            na = int(agg.max()) + 1
+            doms = []
+            for k in range(na):
+                core = np.flatnonzero(agg == k)
+                rows = core
+                if opts.overlap > 0:
+                    ring = np.unique(pat[core].tocoo().col)
+                    rows = np.unique(np.concatenate([core, ring]))
+                doms.append((rows, np.isin(rows, core)))
+            nb = na
+            width = max(len(r) for r, _ in doms)
+            inv = np.zeros((nb, width, width))
+            idx = np.full((nb, width), n, dtype=np.int32)
+            own = np.zeros((nb, width), dtype=bool)
+            for k, (rows, owned) in enumerate(doms):
+                blk = As[rows][:, rows].toarray()
+                inv[k, : len(rows), : len(rows)] = np.linalg.pinv(
+                    blk, rcond=1e-12)
+                idx[k, : len(rows)] = rows
+                own[k, : len(rows)] = owned
+            self.n = n
+            self._matvec = None
+            self._inv = jnp.asarray(inv)
+            self._idx = jnp.asarray(idx)
+            self._own = jnp.asarray(own)
+            return
+
         bs, ov = opts.block_size, opts.overlap
         width = bs + 2 * ov
         starts = list(range(0, n, bs))
