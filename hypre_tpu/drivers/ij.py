@@ -105,6 +105,17 @@ def run(argv=None):
     kdim = flag("-k", 1, 5, int)
     w = flag("-w", 1, 1.0)
     om = flag("-ow", 1, 1.0)  # outer SOR weight (ij.c:1261 -ow, SetOuterWt)
+    # -wl <wt> <level> / -owl <wt> <level> (SetLevelRelaxWt/
+    # SetLevelOuterWt): one level's weight; tuple clamping keeps the
+    # scalar default beyond it
+    wl = flag("-wl", 2, None)
+    owl = flag("-owl", 2, None)
+    lvl_w = None
+    if wl is not None:
+        lvl_w = (w,) * int(wl[1]) + (float(wl[0]), w)
+    lvl_ow = None
+    if owl is not None:
+        lvl_ow = (om,) * int(owl[1]) + (float(owl[0]), om)
     # additive variants (ij.c:1580-1610)
     additive = flag("-additive", 1, -1, int)
     mult_add = flag("-mult_add", 1, -1, int)
@@ -171,6 +182,8 @@ def run(argv=None):
         relax_up=relax["up"],
         relax_weight=w,
         omega=om,
+        level_relax_weights=lvl_w,
+        level_omegas=lvl_ow,
         additive=additive,
         mult_additive=mult_add,
         simple=simple,
