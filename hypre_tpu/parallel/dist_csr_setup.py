@@ -383,3 +383,77 @@ def dist_csr_hierarchy(
         levels.append(A1)
         cur = A1
     return levels, Ps, cfs
+
+
+# ----------------------------------------------------------------------
+# standalone distributed matrix products (parcsr_mv analogs)
+# ----------------------------------------------------------------------
+
+def par_matmul(A: ParCSR, B: ParCSR) -> ParCSR:
+    """C = A @ B for general distributed CSR (hypre_ParMatmul,
+    par_csr_matop.c:277): per shard, A's local rows multiply B's
+    visible rows — B's local block plus the remote rows named by A's
+    offd column map, fetched batched per owner (the
+    hypre_ParCSRMatrixExtractBExt role, par_csr_matop.c:1655).  C
+    keeps A's row partition and B's column partition; no shard ever
+    holds a global matrix."""
+    if A.m != B.n:
+        raise ValueError(f"shape mismatch: {A.m} vs {B.n}")
+    S = A.part.n_shards
+    per = A.part.rows_per_shard
+    blocks = []
+    for s in range(S):
+        lo = min(s * per, A.n)
+        hi = min(lo + per, A.n)
+        own = np.arange(min(s * B.part.rows_per_shard, B.n),
+                        min(s * B.part.rows_per_shard
+                            + B.part.rows_per_shard, B.n), dtype=np.int64)
+        gids = np.unique(np.concatenate(
+            [own, np.asarray(A.col_maps[s], dtype=np.int64)]))
+        gids = gids[gids < B.n]
+        Bvis = _fetch_rows(B.host_blocks, B.part, gids, (A.m, B.m))
+        Cs = (A.host_blocks[s][: hi - lo] @ Bvis).tocsr()
+        Cs.sort_indices()
+        blocks.append(Cs)
+    return ParCSR.from_row_blocks(
+        blocks, (A.n, B.m), mesh=A.mesh, axis=A.axis,
+        col_part=B.col_part)
+
+
+def par_transpose(A: ParCSR) -> ParCSR:
+    """C = A^T for distributed CSR (hypre_ParCSRMatrixTranspose,
+    par_csr_matop.c:1700): each shard transposes its local row block
+    and ships the resulting rows to their owners under A's COLUMN
+    partition, which sum contributions (the reverse/transposed-comm
+    add-combine, communicationT.c)."""
+    S = A.part.n_shards
+    per = A.part.rows_per_shard
+    tpart = A.col_part
+    tn, tm = A.m, A.n
+    per_target: list[list] = [[] for _ in range(S)]
+    for s in range(S):
+        lo = min(s * per, A.n)
+        hi = min(lo + per, A.n)
+        blk = A.host_blocks[s][: hi - lo].tocoo()
+        # transposed coordinates in the (tn x tm) global space
+        rows_t = blk.col.astype(np.int64)
+        cols_t = blk.row.astype(np.int64) + lo
+        owners = tpart.owner(rows_t)
+        for t in np.unique(owners):
+            sel = owners == t
+            tlo = min(int(t) * tpart.rows_per_shard, tn)
+            thi = min(tlo + tpart.rows_per_shard, tn)
+            per_target[int(t)].append(sp.csr_matrix(
+                (blk.data[sel], (rows_t[sel] - tlo, cols_t[sel])),
+                shape=(thi - tlo, tm)))
+    blocks = []
+    for t in range(S):
+        tlo = min(t * tpart.rows_per_shard, tn)
+        thi = min(tlo + tpart.rows_per_shard, tn)
+        acc = sp.csr_matrix((thi - tlo, tm))
+        for b in per_target[t]:
+            acc = acc + b
+        acc.sort_indices()
+        blocks.append(acc.tocsr())
+    return ParCSR.from_row_blocks(
+        blocks, (tn, tm), mesh=A.mesh, axis=A.axis, col_part=A.part)

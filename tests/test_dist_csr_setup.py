@@ -123,3 +123,54 @@ def _wrap(A: sp.csr_matrix):
     from hypre_tpu.ops.csr import CSRMatrix
 
     return CSRMatrix.from_scipy(A)
+
+
+def test_par_matmul_and_transpose():
+    """Standalone distributed general-CSR products (par_csr_matop.c):
+    par_matmul == scipy A@B bitwise-to-roundoff on 8 shards with no
+    global matrix per shard; par_transpose == scipy A.T exactly,
+    including rectangular operands (P: n x nc)."""
+    import scipy.sparse as sp
+
+    from hypre_tpu.models import laplacian_7pt
+    from hypre_tpu.ops.csr import CSRMatrix
+    from hypre_tpu.parallel import ParCSR, make_mesh
+    from hypre_tpu.parallel.dist_csr_setup import (
+        par_matmul,
+        par_transpose,
+    )
+
+    mesh = make_mesh(8)
+    Ad = laplacian_7pt(8, 8, 8).to_scipy().tocsr()
+    A = ParCSR(CSRMatrix.from_scipy(Ad), mesh=mesh)
+
+    # square product: A @ A
+    C = par_matmul(A, A)
+    Cd = sp.vstack([C.host_blocks[s] for s in range(8)]).tocsr()[: C.n]
+    d = (Cd - Ad @ Ad).tocoo()
+    assert d.nnz == 0 or np.abs(d.data).max() < 1e-12
+
+    # rectangular: A @ P and P^T
+    rng = np.random.default_rng(5)
+    nc = 97
+    Pd = sp.random(512, nc, density=0.02, random_state=rng,
+                   format="csr") + sp.eye(512, nc, format="csr") * 0.5
+    Pd = Pd.tocsr()
+    P = ParCSR(CSRMatrix.from_scipy(Pd), mesh=mesh)
+    AP = par_matmul(A, P)
+    APd = sp.vstack([AP.host_blocks[s] for s in range(8)]).tocsr()[: AP.n]
+    d = (APd - Ad @ Pd).tocoo()
+    assert d.nnz == 0 or np.abs(d.data).max() < 1e-12
+
+    Pt = par_transpose(P)
+    assert (Pt.n, Pt.m) == (nc, 512)
+    Ptd = sp.vstack([Pt.host_blocks[s] for s in range(8)]).tocsr()[: Pt.n]
+    d = (Ptd - Pd.T.tocsr()).tocoo()
+    assert d.nnz == 0 or np.abs(d.data).max() == 0.0
+
+    # triple product through the standalone ops == serial RAP
+    RAP = par_matmul(par_transpose(P), par_matmul(A, P))
+    Rd = sp.vstack([RAP.host_blocks[s] for s in range(8)]).tocsr()[: RAP.n]
+    ref = (Pd.T @ (Ad @ Pd)).tocsr()
+    d = (Rd - ref).tocoo()
+    assert d.nnz == 0 or np.abs(d.data).max() < 1e-10
