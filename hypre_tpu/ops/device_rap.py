@@ -30,6 +30,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
+from ..utils.errors import arg_error
 
 
 def plan_embedded_rap(offs_P, offs_A, offs_out_unf, offs_out_filt):
@@ -71,7 +72,7 @@ def plan_embedded_rap(offs_P, offs_A, offs_out_unf, offs_out_filt):
             slot[j] = fpos[int(o)]
     diag_j = pos.get(0)
     if diag_j is None:
-        raise ValueError("RAP without a diagonal offset")
+        raise arg_error("RAP without a diagonal offset")
     return dict(
         unf=unf, T=T, valid=valid, slot=slot, diag_j=int(diag_j),
         filt=np.asarray(filt_sorted, dtype=np.int64), tmax=tmax,

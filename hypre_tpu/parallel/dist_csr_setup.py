@@ -53,6 +53,7 @@ from .halo import exchange, reverse_exchange
 from .mesh import AXIS
 from .par_csr import ParCSR
 from .partition import block_partition
+from ..utils.errors import arg_error
 
 
 # ----------------------------------------------------------------------
@@ -398,7 +399,7 @@ def par_matmul(A: ParCSR, B: ParCSR) -> ParCSR:
     keeps A's row partition and B's column partition; no shard ever
     holds a global matrix."""
     if A.m != B.n:
-        raise ValueError(f"shape mismatch: {A.m} vs {B.n}")
+        raise arg_error(f"shape mismatch: {A.m} vs {B.n}")
     S = A.part.n_shards
     per = A.part.rows_per_shard
     blocks = []

@@ -39,6 +39,7 @@ from ..ops.device_setup import (
     rap_impl,
 )
 from .mesh import AXIS
+from ..utils.errors import arg_error
 
 _PMIS_SEED = 2747
 
@@ -60,7 +61,7 @@ def make_halo_shift(axis: str, n_shards: int, n_local: int):
             raise NotImplementedError("halo shift supports zero fill only")
         w = abs(off)
         if w > n_local:
-            raise ValueError(
+            raise arg_error(
                 f"halo width {w} exceeds shard size {n_local}; "
                 f"use fewer shards for this offset set"
             )
@@ -111,7 +112,7 @@ def dist_lattice_setup(
     offsets = tuple(int(o) for o in offsets)
     S = mesh.shape[axis]
     if n % S:
-        raise ValueError(f"n={n} not divisible by {S} shards")
+        raise arg_error(f"n={n} not divisible by {S} shards")
     n_loc = n // S
     shard2 = NamedSharding(mesh, P(None, axis))
     shard1 = NamedSharding(mesh, P(axis))

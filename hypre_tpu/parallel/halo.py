@@ -110,7 +110,7 @@ def build_halo_plan(
         send_idx.append(jnp.asarray(sidx))
         recv_pos.append(jnp.asarray(rpos))
 
-    from ..utils.errors import debug_assert
+    from ..utils.errors import arg_error, debug_assert
 
     # hypre_assert-level invariants (active under HYPRE_TPU_DEBUG):
     # every ghost slot of every shard is written by exactly one
@@ -194,7 +194,7 @@ def reverse_exchange(
     S = plan.n_shards
     tail = ghost_contrib.shape[1:]
     if combine not in ("add", "max"):
-        raise ValueError(f"unknown combine {combine!r}")
+        raise arg_error(f"unknown combine {combine!r}")
 
     if plan.use_allgather:
         i = jax.lax.axis_index(axis)

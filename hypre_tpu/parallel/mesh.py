@@ -11,6 +11,7 @@ from __future__ import annotations
 import jax
 import numpy as np
 from jax.sharding import Mesh
+from ..utils.errors import arg_error
 
 
 AXIS = "shard"
@@ -20,7 +21,7 @@ def make_mesh(n_devices: int | None = None, axis: str = AXIS) -> Mesh:
     devs = jax.devices()
     n = n_devices or len(devs)
     if n > len(devs):
-        raise ValueError(f"requested {n} devices, have {len(devs)}")
+        raise arg_error(f"requested {n} devices, have {len(devs)}")
     return Mesh(np.array(devs[:n]), (axis,))
 
 
@@ -31,7 +32,7 @@ def make_mesh_nd(shape, axes=None) -> Mesh:
     devs = jax.devices()
     n = int(np.prod(shape))
     if n > len(devs):
-        raise ValueError(f"requested {n} devices, have {len(devs)}")
+        raise arg_error(f"requested {n} devices, have {len(devs)}")
     axes = tuple(axes) if axes else tuple(f"{AXIS}{d}" for d in range(len(shape)))
     return Mesh(np.array(devs[:n]).reshape(shape), axes)
 

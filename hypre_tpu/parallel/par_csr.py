@@ -31,6 +31,7 @@ from ..ops.csr import CSRMatrix
 from .halo import HaloPlan, build_halo_plan, exchange
 from .mesh import AXIS, default_mesh
 from .partition import BlockPartition, block_partition
+from ..utils.errors import arg_error
 
 
 def _round_up(x, m):
@@ -100,7 +101,7 @@ class ParCSR:
         self.n, self.m = int(shape[0]), int(shape[1])
         S = mesh.shape[axis]
         if len(blocks) != S:
-            raise ValueError(f"need {S} row blocks, got {len(blocks)}")
+            raise arg_error(f"need {S} row blocks, got {len(blocks)}")
         self.part = block_partition(self.n, S)
         self.col_part = col_part or (
             self.part if self.m == self.n else block_partition(self.m, S)
@@ -122,7 +123,7 @@ class ParCSR:
             if dtype is not None:
                 blk = blk.astype(dtype)
             if blk.shape[0] != hi - lo:
-                raise ValueError(
+                raise arg_error(
                     f"shard {s}: expected {hi - lo} rows, got {blk.shape[0]}"
                 )
             self.host_blocks.append(blk)

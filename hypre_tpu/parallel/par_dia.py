@@ -27,6 +27,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..ops.dia import DIAMatrix
 from .mesh import AXIS, default_mesh
 from .partition import block_partition
+from ..utils.errors import arg_error
 
 
 class ParDIA:
@@ -56,7 +57,7 @@ class ParDIA:
         per = self.part.rows_per_shard
         self.halo = int(max((abs(o) for o in self.offsets), default=0))
         if self.halo > per:
-            raise ValueError(
+            raise arg_error(
                 f"halo {self.halo} exceeds shard size {per}: diagonals "
                 "reach beyond adjacent shards (use ParCSR)"
             )
@@ -78,7 +79,7 @@ class ParDIA:
     def from_dia(cls, A: DIAMatrix, mesh=None, axis: str = AXIS,
                  dtype=None) -> "ParDIA":
         if A.num_rows != A.num_cols:
-            raise ValueError("ParDIA requires a square DIA operator")
+            raise arg_error("ParDIA requires a square DIA operator")
         return cls(np.asarray(A.data), A.offsets, A.num_rows, mesh, axis,
                    dtype=dtype)
 

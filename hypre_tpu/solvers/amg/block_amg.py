@@ -34,6 +34,7 @@ from ...ops.csr import CSRMatrix
 from ..krylov.common import SolverResult
 from .coarsen import pmis_coarsen
 from .strength import create_nodal_A, strength_matrix_abs, strength_matrix
+from ...utils.errors import arg_error
 
 
 @jax.tree_util.register_dataclass
@@ -127,7 +128,7 @@ class BlockAMG:
         nb = opts.num_functions
         As = A.to_scipy().tocsr()
         if As.shape[0] % nb:
-            raise ValueError("matrix size not divisible by num_functions")
+            raise arg_error("matrix size not divisible by num_functions")
         self.levels: list[_BLevel] = []
         self._setup(As.tobsr(blocksize=(nb, nb)))
 

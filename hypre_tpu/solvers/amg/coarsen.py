@@ -27,6 +27,7 @@ import numpy as np
 import scipy.sparse as sp
 
 from ...utils.lcg import lcg_fill
+from ...utils.errors import generic_error
 
 C_PT = 1
 F_PT = -1
@@ -50,7 +51,7 @@ def cljp_coarsen(S: sp.csr_matrix, seed: int = _PMIS_SEED) -> np.ndarray:
     measure = _measures(S, seed)
     cf = native.cljp_coarsen(S.indptr, S.indices, n, measure)
     if cf is None:
-        raise RuntimeError("CLJP requires the native kernel (no C compiler found)")
+        raise generic_error("CLJP requires the native kernel (no C compiler found)")
     return cf
 
 
@@ -155,7 +156,7 @@ def pmis_coarsen(
         in_graph = in_graph & (cf == 0)
 
         if it > 500:  # safety
-            raise RuntimeError("PMIS did not converge")
+            raise generic_error("PMIS did not converge")
     return cf
 
 

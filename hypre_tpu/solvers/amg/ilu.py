@@ -21,6 +21,7 @@ import scipy.sparse as sp
 
 from ...ops.csr import CSRMatrix
 from .relax import GSSchedule, build_gs_schedule, gauss_seidel
+from ...utils.errors import generic_error
 
 
 @dataclasses.dataclass(frozen=True)
@@ -84,7 +85,7 @@ def iluk_factor(A: sp.csr_matrix, fill: int):
     if out is None:  # no C compiler: ILU(0) python fallback only
         if fill == 0:
             return ilu0_factor(A)
-        raise RuntimeError("ILU(k>0) requires the native kernel")
+        raise generic_error("ILU(k>0) requires the native kernel")
     (lp, li, lx), (up, ui, ux) = out
     L = sp.csr_matrix((lx, li, lp), shape=(n, n)) + sp.eye(n, format="csr")
     U = sp.csr_matrix((ux, ui, up), shape=(n, n))

@@ -45,6 +45,7 @@ from ...ops.csr import CSRMatrix
 from ...ops.dia import freeze_auto, spmv
 from ..krylov.common import SolverResult
 from .boomeramg import BoomerAMG, BoomerAMGOptions
+from ...utils.errors import arg_error
 
 
 def block_diag_inv(A: sp.csr_matrix, blk: int) -> sp.csr_matrix:
@@ -230,7 +231,7 @@ class MGR:
             return (-sp.diags(dffi) @ Afc).tocsr()
         if kind == "blk_jacobi":
             if Bffi is None:
-                raise ValueError("blk_jacobi needs blk_size > 1")
+                raise arg_error("blk_jacobi needs blk_size > 1")
             return (-Bffi @ Afc).tocsr()
         if kind == "approx_inv":
             return (-nsh_approx_inverse(Aff) @ Afc).tocsr()
@@ -251,7 +252,7 @@ class MGR:
             S = strength_matrix(Ablk, 0.25, 0.9)
             P = classical_interp(Ablk, S, cf).tocsr()
             return P[:nf].tocsr()
-        raise ValueError(f"unknown MGR interp/restrict type {kind!r}")
+        raise arg_error(f"unknown MGR interp/restrict type {kind!r}")
 
     # ------------------------------------------------------------------
     def _frelax(self, lv, rf):

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...ops.csr import CSRMatrix
+from ...utils.errors import generic_error
 
 
 @dataclasses.dataclass(frozen=True)
@@ -147,7 +148,7 @@ class Schwarz:
         blocks correct, the residual refreshes through A, odd blocks
         correct the remainder.  Needs the operator: set via attach()."""
         if self._matvec is None:
-            raise RuntimeError(
+            raise generic_error(
                 "multiplicative Schwarz needs attach(matvec) for the "
                 "inter-color residual refresh")
         zb = self._block_solves(r)

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import numpy as np
 import scipy.sparse as sp
+from ..utils.errors import arg_error
 
 
 def _node_keys(shape, origin):
@@ -245,7 +246,7 @@ def canonicalize_edge_maps(emaps, ne, global_shape):
     ValueError otherwise."""
     emap_box, ne_box = identify_dofs([_edge_keys(global_shape, (0, 0, 0))])
     if ne != ne_box:
-        raise ValueError(
+        raise arg_error(
             f"parts do not tile the global box {tuple(global_shape)}: "
             f"{ne} union edges vs {ne_box} box edges"
         )

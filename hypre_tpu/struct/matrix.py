@@ -21,6 +21,7 @@ import numpy as np
 import scipy.sparse as sp
 
 from .grid import StructGrid
+from ..utils.errors import arg_error
 
 
 def shift(x, offset, periodic=None):
@@ -81,7 +82,7 @@ class StructMatrix:
         elif grid is not None:
             shape = tuple(grid.shape)
         else:
-            raise ValueError("all-constant StructMatrix needs a grid")
+            raise arg_error("all-constant StructMatrix needs a grid")
         co = tuple(sorted(const.keys()))
         data = (
             jnp.stack([jnp.asarray(a) for a in arrs])

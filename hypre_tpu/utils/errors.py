@@ -84,6 +84,11 @@ def arg_error(msg: str) -> HypreError:
     return HypreError(msg, ARG)
 
 
+def generic_error(msg: str) -> HypreError:
+    """hypre_error_w_msg(HYPRE_ERROR_GENERIC, ...) analog."""
+    return HypreError(msg, GENERIC)
+
+
 class ConvergenceWarning(UserWarning):
     pass
 
