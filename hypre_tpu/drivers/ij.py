@@ -133,6 +133,7 @@ def run(argv=None):
     ns_up = flag("-ns_up", 1, 0, int)
     ns_coarse = flag("-ns_coarse", 1, 0, int)
     min_cs = flag("-min_cs", 1, 0, int)
+    seq_th = flag("-seq_th", 1, 0, int)
     sabs = flag("-Sabs")
     xisone = flag("-xisone")
     rhsrand = flag("-rhsrand")
@@ -202,6 +203,7 @@ def run(argv=None):
         num_sweeps_up=ns_up or None,
         num_sweeps_coarse=ns_coarse or None,
         min_coarse_size=min_cs,
+        seq_threshold=seq_th,
         strength_abs=bool(sabs),
         lattice_shape=None if (sysl and sysl > 1) else ((nx, ny) if use9 else (nx, ny, nz)),
     )

@@ -69,6 +69,15 @@ class BoomerAMGOptions:
     # setup (par_amg.c defaults)
     max_levels: int = 25
     max_coarse_size: int = 9
+    # gather-to-sequential coarse solve (par_amg_setup.c:2893
+    # seq_threshold / gen_redcs_mat.c hypre_seqAMGSetup): stop
+    # coarsening once n <= seq_threshold and solve that level with ONE
+    # V-cycle of a nested sequential BoomerAMG inheriting this
+    # config's strength/coarsen/interp/relax settings (MaxIter=1,
+    # Tol=0 — gen_redcs_mat.c:156).  On one chip "gather" is a no-op;
+    # the semantic survives: the tail hierarchy is built by the serial
+    # pipeline and applied as a single nested cycle.  0 = off.
+    seq_threshold: int = 0
     strong_threshold: float = 0.25
     max_row_sum: float = 0.9
     coarsen_type: str = "pmis"  # pmis | hmis | rs  (hypre 8 | 10 | 0)
@@ -410,7 +419,10 @@ class BoomerAMG:
                 n = A.shape[0]
                 self._cur_A = A
                 A_si = A if nf <= 1 else self._mask_cross_dof(A, dof)
-                last = len(self._host_A) >= o.max_levels - 1 or n <= o.max_coarse_size
+                last = (len(self._host_A) >= o.max_levels - 1
+                        or n <= o.max_coarse_size
+                        or (o.seq_threshold > 0 and n <= o.seq_threshold
+                            and len(self._host_A) > 0))
                 if not last:
                     with timed("STRENGTH"):
                         if o.gsmg > 0:
@@ -589,6 +601,24 @@ class BoomerAMG:
                 if nf > 1:
                     dof = dof[cf > 0]
             self._apply_mult_additive_P()
+            self._build_seq_coarse()
+
+    def _build_seq_coarse(self) -> None:
+        """The seq_threshold nested coarse AMG (gen_redcs_mat.c:131-157:
+        a BoomerAMG inheriting the outer settings, MaxIter 1, Tol 0)."""
+        self._seq_coarse = None
+        o = self.opts
+        Ac = self._host_A[-1]
+        if (o.seq_threshold <= 0 or Ac.shape[0] <= o.max_coarse_size
+                or len(self._host_A) < 2):
+            return
+        nested = dataclasses.replace(
+            o, seq_threshold=0, device_setup=False, device_rap=False,
+            device_coarsen=False, lattice_shape=None, lattice_coeffs=None,
+            embed_level1=False, relocate_level2=False,
+            additive=-1, mult_additive=-1, simple=-1,
+        )
+        self._seq_coarse = BoomerAMG(CSRMatrix.from_scipy(Ac.tocsr()), nested)
 
     def _apply_mult_additive_P(self) -> None:
         """mult_additive/simple solve-phase prolongator smoothing
@@ -636,7 +666,7 @@ class BoomerAMG:
             return False
         if o.coarsen_type != "pmis" or o.interp_type != "classical":
             return False
-        if (o.post_interp_type or o.restrict_type
+        if (o.post_interp_type or o.restrict_type or o.seq_threshold > 0
                 or max(o.additive, o.mult_additive, o.simple) >= 0):
             return False
         if (_updown_relax_types(o) - {0, 7, 18} or o.smooth_num_levels
@@ -1078,7 +1108,7 @@ class BoomerAMG:
             )
 
         coarse_inv = None
-        if coarsest:
+        if coarsest and getattr(self, "_seq_coarse", None) is None:
             coarse_inv = np.linalg.pinv(A.toarray(), rcond=1e-12).astype(dt)
 
         # numpy leaves throughout — _freeze_hierarchy ships the whole
@@ -1342,6 +1372,7 @@ class BoomerAMG:
         o = self.opts
         if (o.collapse_coarse_n <= 0 or o.cycle_type != 1 or o.fcycle
                 or max(o.additive, o.mult_additive, o.simple) >= 0
+                or o.seq_threshold > 0
                 or o.relax_order == 1
                 or o.relax_coarse != 9 or o.smooth_num_levels > 0
                 or o.grid_relax_type is not None
@@ -1778,6 +1809,10 @@ class BoomerAMG:
         lvl = unview(lvl)
         if relax_type == 9:
             ci = lvl.coarse_inv
+            if ci is None and self._seq_coarse is not None:
+                # seq_threshold coarse solve: ONE nested V-cycle
+                # (gen_redcs_mat.c hypre_seqAMGCycle, MaxIter 1)
+                return self._seq_coarse.cycle(f)
             if isinstance(ci, (ScatterOp, GatherOp, DenseMatrix)):
                 return spmv(ci, f)  # collapsed sub-cycle operator
             return ci @ f

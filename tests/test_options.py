@@ -413,3 +413,31 @@ def test_additive_oracle_pins():
                 opts=PCGOptions(tol=1e-8, max_iter=200, two_norm=True))
         assert int(r.num_iterations) in want, (kw, int(r.num_iterations))
         assert float(r.rel_residual_norm) < 1e-8
+
+
+def test_seq_threshold_nested_coarse():
+    """seq_threshold (par_amg_setup.c:2893 + gen_redcs_mat.c): stop
+    coarsening at n <= threshold and solve that level with ONE V-cycle
+    of a nested BoomerAMG inheriting the outer settings (MaxIter 1,
+    Tol 0).  The reference disables the feature at np=1
+    (par_amg_setup.c:294) — the redundancy is a multi-rank concern —
+    so the parity claim is: the nested-coarse path reproduces the
+    plain config's PCG count exactly (15, == the np=1 oracle)."""
+    from hypre_tpu.ops.dia import spmv as dspmv
+    from hypre_tpu.solvers.krylov import PCGOptions, pcg
+
+    A = laplacian_7pt(12, 12, 12)
+    b = jnp.asarray(np.ones(1728))
+    common = dict(coarsen_type="pmis", interp_type="classical",
+                  P_max_elmts=4, relax_down=18, relax_up=18,
+                  dtype="float64", embed_level1=False)
+    amg = BoomerAMG(A, BoomerAMGOptions(seq_threshold=150, **common))
+    # the outer hierarchy stopped early; the tail is a nested AMG
+    assert amg._host_A[-1].shape[0] > 9  # beyond max_coarse_size
+    assert amg._seq_coarse is not None
+    assert amg._seq_coarse.num_levels >= 2
+    E = amg.levels[0].A
+    r = pcg(lambda x: dspmv(E, x), b, M=amg.precond,
+            opts=PCGOptions(tol=1e-8, max_iter=100, two_norm=True))
+    assert int(r.num_iterations) == 15
+    assert float(r.rel_residual_norm) < 1e-8
