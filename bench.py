@@ -327,16 +327,20 @@ def main():
         )
         return x[:1], its
 
-    # chain depth: (1, 4) gives a 3-solve marginal; at 224^3+ one solve
-    # is already seconds of chip time (marginal >> tunnel jitter) and a
-    # long chain multiplies exposure to TPU-worker flake (observed
-    # 2026-08-21: ch1 ran, ch4 crashed the worker at 256^3), so use
-    # (1, 2) there
-    reps_hi = 2 if nx >= 224 else 4
-    ch1 = jax.jit(lambda ar, lv, b: refine(ar, lv, b, 1))
-    ch4 = jax.jit(lambda ar, lv, b: refine(ar, lv, b, reps_hi))
-    float(ch1(arenas, dlevels, b)[0][0])
-    float(ch4(arenas, dlevels, b)[0][0])
+    # The chained marginal exists to defeat the fixed ~24 ms per-call
+    # RPC round trip, which matters when one solve is ~60 ms (96^3).
+    # At 224^3+ a single solve is SECONDS of chip time (overhead
+    # <1%), and the long chained programs reproducibly crash the TPU
+    # worker there (2026-08-21: solve + ch1 ran ~72 V-cycles fine,
+    # the next chained call died in both attempts) — so measure
+    # solve_time directly from repeated single calls instead.
+    use_chain = nx < 224
+    if use_chain:
+        reps_hi = 4
+        ch1 = jax.jit(lambda ar, lv, b: refine(ar, lv, b, 1))
+        ch4 = jax.jit(lambda ar, lv, b: refine(ar, lv, b, reps_hi))
+        float(ch1(arenas, dlevels, b)[0][0])
+        float(ch4(arenas, dlevels, b)[0][0])
 
     # ---- SpMV roofline chain (compiled once, timed per attempt) ----------
     # chained inside ONE jit (per-call RPC latency through remote-device
@@ -380,18 +384,21 @@ def main():
             float(r.rel_residual_norm)
             times.append(time.perf_counter() - t0)
         sc = min(times)
-        t1 = t4 = float("inf")
-        its4 = None
-        for _ in range(args.repeats):
-            t0 = time.perf_counter()
-            _x, _i = ch1(arenas, dlevels, b); float(_x[0])
-            t1 = min(t1, time.perf_counter() - t0)
-            t0 = time.perf_counter()
-            _x, its4 = ch4(arenas, dlevels, b); float(_x[0])
-            t4 = min(t4, time.perf_counter() - t0)
-        st = max((t4 - t1) / (reps_hi - 1), 1e-9)
-        # refinement steps must do exactly the graded solve's work
-        assert int(its4) == reps_hi * iters, (int(its4), iters)
+        if use_chain:
+            t1 = t4 = float("inf")
+            its4 = None
+            for _ in range(args.repeats):
+                t0 = time.perf_counter()
+                _x, _i = ch1(arenas, dlevels, b); float(_x[0])
+                t1 = min(t1, time.perf_counter() - t0)
+                t0 = time.perf_counter()
+                _x, its4 = ch4(arenas, dlevels, b); float(_x[0])
+                t4 = min(t4, time.perf_counter() - t0)
+            st = max((t4 - t1) / (reps_hi - 1), 1e-9)
+            # refinement steps must do exactly the graded solve's work
+            assert int(its4) == reps_hi * iters, (int(its4), iters)
+        else:
+            st = sc  # one call is seconds; per-call overhead <1%
         ta = tb = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
