@@ -879,18 +879,76 @@ def spmv(A, x: jax.Array) -> jax.Array:
         y = spmv(A.inner, x)
         return jnp.zeros(A.n_out, y.dtype).at[A.pos].set(y)
     if isinstance(A, ParityRestrictOp):
-        parts = parity_split(x, A.fine_shape, A.factors)
-        acc = None
-        for m, xp in zip(A.mats, parts):
-            t = dia_spmv(m, xp)
-            acc = t if acc is None else acc + t
+        acc = _parity_restrict_batched(A, x)
         if A.tail is not None:  # rows = cells, cols = flat fine
             acc = tail_apply(A.tail, x, acc)
         return acc
     if isinstance(A, ParityInterpOp):
-        parts = [dia_spmv(m, x) for m in A.mats]
-        y = parity_merge(parts, A.fine_shape, A.factors)
+        y = parity_merge(_parity_interp_batched(A, x),
+                         A.fine_shape, A.factors)
         if A.tail is not None:  # rows = flat fine, cols = cells
             y = tail_apply(A.tail, x, y)
         return y
     return ell_spmv(A, x)[: A.num_rows]
+
+
+def _parity_union(mats):
+    """(union offsets, per-offset participating (mat-index, row) lists)
+    — static trace-time metadata for the batched parity apply."""
+    union = sorted({int(o) for m in mats for o in m.offsets})
+    plan = []
+    for off in union:
+        who = []
+        for b, m in enumerate(mats):
+            try:
+                k = m.offsets.index(off)
+            except ValueError:
+                continue
+            who.append((b, k))
+        plan.append((off, who))
+    return plan
+
+
+def _shift_cells(x, off):
+    """shift a cell-lattice vector: out[i] = x[i + off] (zero fill)."""
+    n = x.shape[-1]
+    if off == 0:
+        return x
+    z = jnp.zeros(x.shape[:-1] + (abs(off),), x.dtype)
+    if off > 0:
+        return jnp.concatenate([x[..., off:], z], axis=-1)
+    return jnp.concatenate([z, x[..., :off]], axis=-1)
+
+
+def _parity_interp_batched(A, x):
+    """All 2^k parity mats applied to the SAME cell vector as ONE pass
+    over the UNION of their offsets: each shifted x is computed once
+    and multiplied into every participating mat's output row.  The
+    per-mat loop dispatched 8 x ~30 separate shifted multiplies on
+    small arrays (launch-bound — the measured deep-level V-cycle
+    floor); this does ~union ops over [B, ncells] blocks."""
+    mats = A.mats
+    B = len(mats)
+    nc = mats[0].num_rows
+    Y = jnp.zeros((B, nc), x.dtype)
+    for off, who in _parity_union(mats):
+        shx = _shift_cells(x[:nc], off)
+        rows = jnp.stack([mats[b].data[k][:nc] for b, k in who])
+        bids = jnp.asarray([b for b, _ in who])
+        Y = Y.at[bids].add(rows.astype(x.dtype) * shx[None, :])
+    return [Y[b] for b in range(B)]
+
+
+def _parity_restrict_batched(A, x):
+    """y = sum_b mats[b] @ split_b(x) in one union-offset pass over the
+    stacked parity parts [B, ncells] (see _parity_interp_batched)."""
+    mats = A.mats
+    nc = mats[0].num_rows
+    X = jnp.stack(parity_split(x, A.fine_shape, A.factors))  # [B, nc']
+    y = jnp.zeros(nc, x.dtype)
+    for off, who in _parity_union(mats):
+        bids = jnp.asarray([b for b, _ in who])
+        shX = _shift_cells(X[bids], off)
+        rows = jnp.stack([mats[b].data[k][:nc] for b, k in who])
+        y = y + (rows.astype(x.dtype) * shX).sum(axis=0)
+    return y

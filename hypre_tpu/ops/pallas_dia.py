@@ -42,7 +42,14 @@ _VMEM_BUDGET = 11 << 20
 _CHUNK = int(os.environ.get("HYPRE_TPU_DIA_CHUNK", "64"))
 _BLK_MAX = 14 * 8192  # 114688: best measured in the 8k..220k sweep
 _BLK_MIN = 2048
-_N_MIN = 16384  # below this the XLA path / dense MXU wins anyway
+_N_MIN = 16384  # below this the XLA path / dense MXU wins anyway...
+# ...EXCEPT for wide diagonal unions: a relocated deep AMG level at
+# 96^3 carries ~661 offsets on a 13.8k-cell lattice, and the XLA
+# fallback emits one shifted multiply PER OFFSET — hundreds of ops on
+# 55KB arrays, launch/fusion-bound (measured: levels >=2 cost 2.7 ms
+# of a 3.6 ms V-cycle).  Wide-but-small operators go through the
+# SINGLE-call Pallas kernel instead (all diagonals fit VMEM at once).
+_WIDE_MIN = 96  # offsets at which "small n" still prefers Pallas
 
 
 def choose_block(noff: int, span: int = 0, itemsize: int = 4) -> int:
@@ -69,8 +76,12 @@ def pallas_dia_ok(A, x) -> bool:
     """Static (trace-time) dispatch gate for the Pallas path."""
     if not _ENABLED:
         return False
-    if A.num_rows != A.num_cols or A.num_rows < _N_MIN:
+    if A.num_rows != A.num_cols:
         return False
+    if A.num_rows < _N_MIN and len(A.offsets) < _WIDE_MIN:
+        return False  # narrow small operators: XLA/dense wins
+    if A.num_rows < _BLK_MIN:
+        return False  # below one kernel block
     if A.data.dtype not in (jnp.float32, jnp.bfloat16) or x.dtype != jnp.float32:
         return False
     if jax.config.jax_enable_x64:  # Mosaic rejects 64-bit index types

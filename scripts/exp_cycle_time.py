@@ -60,12 +60,15 @@ def timed_chain(fn, k1=8, k2=40):
     return (tb - ta) / (k2 - k1)
 
 
+from hypre_tpu.ops.transfer import unview
+
+
 def cyc(lv, v):
     return amg.cycle(v, levels=lv)
 
 
 def l0_visit(lv, v):
-    l0 = lv[0]
+    l0 = unview(lv[0])
     u = l0.l1inv * v                      # zero-guess smooth
     r = v - spmv(l0.A, u)                 # residual
     u = u + l0.l1inv * (v - spmv(l0.A, u))  # post smooth
@@ -73,7 +76,7 @@ def l0_visit(lv, v):
 
 
 def l01_visit(lv, v):
-    l0, l1 = lv[0], lv[1]
+    l0, l1 = unview(lv[0]), unview(lv[1])
     u = l0.l1inv * v
     r = v - spmv(l0.A, u)
     f1 = spmv(l0.R, r)

@@ -76,19 +76,31 @@ for l, lvl in enumerate(levels):
     x = jnp.ones(int(np.asarray(lvl.dinv).shape[0])
                  if lvl.dinv is not None else 8, jnp.float32)
     # residual-style matvec on this level
-    tA = timed_chain(lambda v, M=lvl.A: spmv(M, v) * 0.13 + v, x)
+    try:
+        tA = timed_chain(lambda v, M=lvl.A: spmv(M, v) * 0.13 + v, x)
+    except Exception as e:
+        print(f"   [A level {l} failed: {type(e).__name__}: {str(e)[:90]}]")
+        tA = 0.0
     sol_A = op_bytes(lvl.A) / HBM
     row = (f"level {l}: A {tA*1e6:8.1f}us (sol {sol_A*1e6:6.1f}us, "
            f"{op_bytes(lvl.A)/1e6:7.1f}MB)")
     tP = tR = 0.0
-    if lvl.P is not None:
+    if lvl.P is not None and True:
         xc = jnp.ones(
             int(np.asarray(levels[l + 1].dinv).shape[0])
             if levels[l + 1].dinv is not None else 8, jnp.float32)
-        tP = timed_chain(lambda v, M=lvl.P: spmv(M, v)[: v.shape[0]] * 0.1 + v, xc)
-        tR = timed_chain(lambda v, M=lvl.R, xf=x: spmv(
-            M, jnp.zeros(x.shape[0], jnp.float32).at[: v.shape[0]].set(v))
-            [: v.shape[0]] * 0.1 + v, xc)
+        try:
+            tP = timed_chain(lambda v, M=lvl.P: spmv(M, v)[: v.shape[0]] * 0.1 + v, xc)
+        except Exception as e:
+            print(f"   [P level {l} failed: {type(e).__name__}: {str(e)[:90]}]")
+            tP = 0.0
+        try:
+            tR = timed_chain(lambda v, M=lvl.R, xf=x: spmv(
+                M, jnp.zeros(x.shape[0], jnp.float32).at[: v.shape[0]].set(v))
+                [: v.shape[0]] * 0.1 + v, xc)
+        except Exception as e:
+            print(f"   [R level {l} failed: {type(e).__name__}: {str(e)[:90]}]")
+            tR = 0.0
         row += (f"  P {tP*1e6:7.1f}us ({op_bytes(lvl.P)/1e6:6.1f}MB)"
                 f"  R {tR*1e6:7.1f}us ({op_bytes(lvl.R)/1e6:6.1f}MB)")
     print(row)
